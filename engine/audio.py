@@ -1,0 +1,164 @@
+"""Vectorized audio payload codec + feature extraction (Arrow/pandas UDFs).
+
+The reference stores complex feature payloads Avro-binary-encoded as ``bytes``
+and decodes them lazily at read time (``base/engine/FeatureGroupUtils.java:191-200``,
+``base/engine/VectorServer.java:403-420``). Our graft's payload is an audio clip
+as an opaque ``binary`` column (BASELINE.json ``input_hint``): a PCM16
+little-endian WAV (or µ-law) body that must round-trip with SNR ≥ 30 dB.
+
+All decode paths are numpy-vectorized inside Arrow-batched pandas UDFs — never
+per-row Python loops over samples (``np.frombuffer`` on each buffer, numpy math
+on the whole batch). At 100 TB the binary column is only ever read when a query
+projects it: parquet column pruning keeps ``bytes`` unscanned otherwise, so
+audio feature extraction is the *only* stage that pays the decode cost.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# WAV PCM16 codec (RIFF container, 44-byte canonical header)
+# ---------------------------------------------------------------------------
+
+_WAV_HEADER_LEN = 44
+
+
+def encode_wav_pcm16(samples: np.ndarray, sr_hz: int) -> bytes:
+    """float samples in [-1, 1] → mono PCM16-LE WAV bytes."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(x * 32767.0).astype("<i2")
+    data = pcm.tobytes()
+    n = len(data)
+    header = (
+        b"RIFF"
+        + np.uint32(36 + n).tobytes()
+        + b"WAVE"
+        + b"fmt "
+        + np.uint32(16).tobytes()
+        + np.uint16(1).tobytes()  # PCM
+        + np.uint16(1).tobytes()  # mono
+        + np.uint32(sr_hz).tobytes()
+        + np.uint32(sr_hz * 2).tobytes()  # byte rate
+        + np.uint16(2).tobytes()  # block align
+        + np.uint16(16).tobytes()  # bits per sample
+        + b"data"
+        + np.uint32(n).tobytes()
+    )
+    return header + data
+
+
+def decode_wav_pcm16(buf: bytes) -> tuple[np.ndarray, int]:
+    """mono PCM16-LE WAV bytes → (float64 samples in [-1, 1], sr_hz)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE buffer")
+    sr = int(np.frombuffer(buf[24:28], dtype="<u4")[0])
+    n = int(np.frombuffer(buf[40:44], dtype="<u4")[0])
+    pcm = np.frombuffer(buf, dtype="<i2", offset=_WAV_HEADER_LEN, count=n // 2)
+    return pcm.astype(np.float64) / 32767.0, sr
+
+
+# ---------------------------------------------------------------------------
+# µ-law (G.711) codec — exercises codec dispatch on the `codec` column
+# ---------------------------------------------------------------------------
+
+_MU = 255.0
+
+
+def encode_ulaw(samples: np.ndarray) -> bytes:
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8).tobytes()
+
+
+def decode_ulaw(buf: bytes) -> np.ndarray:
+    y = np.frombuffer(buf, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
+    return np.sign(y) * (np.power(1.0 + _MU, np.abs(y)) - 1.0) / _MU
+
+
+def decode_payload(buf: bytes, codec: str, sr_hz: int) -> np.ndarray:
+    """Dispatch on the codec column. Unknown codecs raise (stub boundary —
+    real compressed codecs like opus/mp3 need external libs absent here)."""
+    if codec == "pcm_s16le":
+        samples, _sr = decode_wav_pcm16(buf)
+        return samples
+    if codec == "ulaw":
+        return decode_ulaw(buf)
+    raise NotImplementedError(f"codec '{codec}' requires external decoder (stub)")
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """Signal-to-noise ratio of a codec round trip, in dB."""
+    reference = np.asarray(reference, dtype=np.float64)
+    decoded = np.asarray(decoded, dtype=np.float64)
+    noise = reference - decoded
+    p_sig = float(np.mean(reference**2))
+    p_noise = float(np.mean(noise**2))
+    if p_noise == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side vectorized feature extraction
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_FIELDS = (
+    "n_samples bigint, rms double, peak double, zcr double, "
+    "decoded_dur_ms double, clipped_frac double"
+)
+
+
+def _features_one(buf: bytes, codec: str, sr_hz: int) -> tuple:
+    x = decode_payload(buf, codec, sr_hz)
+    n = x.size
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0, 0.0, 0.0
+    rms = float(np.sqrt(np.mean(x**2)))
+    peak = float(np.max(np.abs(x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    dur_ms = 1000.0 * n / sr_hz
+    clipped = float(np.mean(np.abs(x) >= (32766.0 / 32767.0)))
+    return n, rms, peak, zcr, dur_ms, clipped
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "bytes") -> DataFrame:
+    """Append per-clip acoustic features, decoded batch-at-a-time.
+
+    This is the graft analogue of the reference's per-record Avro decode map
+    (``OnlineFeatureGroupGenericRecordWriter.java:49-73``) — but batched via
+    ``mapInPandas`` so Python touches Arrow record batches, not rows. Columns
+    other than the payload pass through untouched; parquet scans that feed this
+    operator project only the needed columns (pushdown-friendly).
+    """
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields if f.name != payload_col)
+        + ", "
+        + AUDIO_FEATURE_FIELDS
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _features_one(b, c, s)
+                for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"])
+            ]
+            fcols = pd.DataFrame(
+                feats,
+                columns=["n_samples", "rms", "peak", "zcr", "decoded_dur_ms", "clipped_frac"],
+                index=pdf.index,
+            )
+            yield pd.concat([pdf[passthrough], fcols], axis=1)
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def with_payload_size(df: DataFrame, payload_col: str = "bytes") -> DataFrame:
+    """Cheap JVM-side metadata: payload byte length without any Python."""
+    return df.withColumn("payload_bytes", F.length(F.col(payload_col)))

@@ -1,0 +1,93 @@
+"""SparkSession construction tuned for both local[N] testing and cluster runs.
+
+The reference configures its runtime at the Flink ``StreamExecutionEnvironment``
+level (object reuse + 30 s checkpoints, ``TransactionFraudExample.java:39-41``).
+Our equivalents are session-level Spark confs; everything else (operator
+chaining, partial aggregation, code generation) Catalyst/Tungsten does for us.
+
+Scale posture: the same builder is used on a real cluster via
+``spark-submit --master yarn/k8s --py-files engine.zip``; only ``master`` and
+the shuffle-partition count change. AQE is always on so the post-shuffle
+partition count self-tunes with data volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(
+    app_name: str = "engine",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls the local master thread count; on a cluster this arg is
+    ignored (the master comes from spark-submit). ``shuffle_partitions``
+    defaults to the core count — at 100 TB scale you would instead size it so
+    each shuffle partition lands in the 100-200 MB range and let AQE coalesce.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # RocksDB state store: spill-to-disk keyed state, the analogue of the
+        # reference's RocksDB state backend (pom.xml:161-172).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    # Only force a local master when not running under spark-submit --master.
+    if "SPARK_SUBMIT_OPTS" not in os.environ and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cores}]")
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    """Read the driver testdata parquet tables and register temp views."""
+    out = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
