@@ -227,6 +227,23 @@ class FeatureGroup:
                     f"got {incoming[name].simpleString()}"
                 )
 
+    # -- physical read -----------------------------------------------------
+    def attach(self, df: DataFrame) -> "FeatureGroup":
+        """Bind an in-memory DataFrame as this group's source (tests, temp views)."""
+        self._df = df
+        return self
+
+    def read(self, spark=None) -> DataFrame:
+        """Offline read (S8): attached DataFrame, else parquet at ``path``."""
+        df = getattr(self, "_df", None)
+        if df is not None:
+            return df
+        if self.path:
+            if spark is None:
+                raise ValueError("spark session required to read from path")
+            return spark.read.parquet(self.path)
+        raise ValueError(f"feature group '{self.name}' has no attached data or path")
+
     # -- query entry points (wired in engine.query to avoid a cycle) ------
     def select_all(self):
         from engine.query import Query

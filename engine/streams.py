@@ -1,0 +1,145 @@
+"""Rate-controlled streaming read of the clip table + pipeline assembly.
+
+Replaces the reference's Kafka source chain (``KafkaSource`` + Avro decode,
+``TransactionFraudExample.java:52-57``; paced producer
+``TransactionEventSimulator.java:27,55`` at 1 batch / 5 ms) with Structured
+Streaming over the materialized clip table:
+
+- **File-paced replay**: the table is written as many small parquet files;
+  ``readStream.parquet(dir)`` + ``maxFilesPerTrigger`` replays them in
+  deterministic file order, N files per micro-batch. Checkpointing tracks the
+  file offsets, so kill/restart resumes exactly (T3).
+- **Row-paced replay** (``rate-micro-batch`` joined to an indexed snapshot) is
+  available for fixed rows/sec pacing, at the cost of a join per batch.
+
+The assembled pipeline mirrors ``TransactionFraudExample.run`` (:33-77):
+source → event-time watermark (60 s) → keyed tumbling/sliding/session window
+aggregate → exactly-once ledger sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine.sink import ParquetLedgerSink
+from engine.windows import session_agg, sliding_agg, tumbling_agg
+
+CLIP_SCHEMA_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, event_ts timestamp, speaker_id long"
+)
+
+
+def write_clips_stream_dir(
+    dir_path: str, n_clips: int, n_files: int = 20, seed: int = 42, **kw
+) -> str:
+    """Materialize the clip table as ``n_files`` parquet chunks in arrival
+    order — the replayable 'topic'. (Producer job, ``SimProducer.java:24-47``.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.synth import make_clips_pdf
+
+    pdf = make_clips_pdf(n_clips, seed=seed, **kw)
+    os.makedirs(dir_path, exist_ok=True)
+    chunk = (n_clips + n_files - 1) // n_files
+    schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+            ("event_ts", pa.timestamp("us")),
+            ("speaker_id", pa.int64()),
+        ]
+    )
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part) == 0:
+            break
+        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(dir_path, f"part-{i:05d}.parquet"))
+    return dir_path
+
+
+def read_clip_stream(
+    spark: SparkSession,
+    dir_path: str,
+    max_files_per_trigger: int = 1,
+    watermark: str = "60 seconds",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """S1 analogue: subscribe to the clip 'topic' from the earliest offset with
+    a bounded out-of-orderness watermark (W2)."""
+    stream = (
+        spark.readStream.schema(CLIP_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+    return stream.withWatermark(ts_col, watermark)
+
+
+def run_window_pipeline(
+    spark: SparkSession,
+    clips_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window_kind: str = "tumbling",
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    gap: str = "30 seconds",
+    key_col: str = "speaker_id",
+    value_col: str = "dur_ms",
+    watermark: str = "60 seconds",
+    max_files_per_trigger: int = 1,
+    bug_compatible_stdev: bool = False,
+    await_termination: bool = True,
+):
+    """The flagship streaming job (TransactionFraudExample analogue):
+    rate-controlled source → watermark → keyed window agg → exactly-once sink.
+
+    Returns (StreamingQuery, ParquetLedgerSink).
+    """
+    src = read_clip_stream(
+        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=watermark
+    )
+    if window_kind == "tumbling":
+        agg = tumbling_agg(src, "event_ts", key_col, value_col, width,
+                           bug_compatible_stdev=bug_compatible_stdev)
+    elif window_kind == "sliding":
+        agg = sliding_agg(src, "event_ts", key_col, value_col, width, slide,
+                          bug_compatible_stdev=bug_compatible_stdev)
+    elif window_kind == "session":
+        agg = session_agg(src, "event_ts", key_col, value_col, gap,
+                          bug_compatible_stdev=bug_compatible_stdev)
+    else:
+        raise ValueError(f"unknown window kind {window_kind}")
+
+    sink = ParquetLedgerSink(out_dir, event_ts_col="window_start")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    if await_termination:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    return q, sink
+
+
+def throughput_rows_per_sec(query) -> float:
+    """Sustained input rows/sec over the life of a finished StreamingQuery,
+    computed from its progress events (the metric BASELINE.json names)."""
+    progs = [p for p in query.recentProgress if p is not None]
+    rows = sum(p["numInputRows"] for p in progs)
+    secs = sum(
+        (p["batchDuration"] if "batchDuration" in p else 0) for p in progs
+    ) / 1000.0
+    return rows / secs if secs > 0 else float("nan")

@@ -1,0 +1,131 @@
+"""Streaming correctness harness (SURVEY.md §5.2 item 4):
+- batch == stream invariant for the windowed aggregate,
+- exactly-once sink: replayed batch ids no-op, audit is consistent,
+- kill mid-stream + restart from checkpoint → no dupes, no gaps,
+- watermark late-drop: closed windows don't reopen.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.sink import ParquetLedgerSink
+from engine.streams import (
+    read_clip_stream,
+    run_window_pipeline,
+    write_clips_stream_dir,
+)
+from engine.windows import tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def clips_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream") / "clips")
+    # ordered-ish event time: jitter 30s < 60s watermark keeps every row
+    write_clips_stream_dir(d, n_clips=2000, n_files=10, seed=42, jitter_ms=30_000)
+    return d
+
+
+def _run(spark, clips_dir, tmp, kind="tumbling", **kw):
+    out = os.path.join(tmp, f"out_{kind}")
+    ckpt = os.path.join(tmp, f"ckpt_{kind}")
+    q, sink = run_window_pipeline(
+        spark, clips_dir, out, ckpt, window_kind=kind,
+        max_files_per_trigger=2, **kw,
+    )
+    return sink
+
+
+def test_stream_matches_batch_tumbling(spark, clips_dir, tmp_path):
+    sink = _run(spark, clips_dir, str(tmp_path))
+    got = sink.read_committed(spark)
+    batch = spark.read.parquet(clips_dir)
+    want = tumbling_agg(batch, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    # The final window(s) past the last watermark never fire in append mode;
+    # compare on the windows the stream emitted — they must match batch exactly,
+    # and the stream must have emitted all windows ending before max_ts - 60s.
+    gp = got.toPandas().set_index(["window_start", "speaker_id"]).sort_index()
+    wp = want.toPandas().set_index(["window_start", "speaker_id"]).sort_index()
+    assert len(gp) > 0
+    missing = gp.index.difference(wp.index)
+    assert len(missing) == 0  # every emitted row exists in batch result
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(wp.loc[gp.index], gp, check_exact=False, rtol=1e-9)
+    # completeness: all windows closed by the final watermark were emitted
+    max_ts = batch.agg(F.max("event_ts")).collect()[0][0]
+    closed = wp[wp.index.get_level_values("window_start").map(
+        lambda t: (max_ts - t).total_seconds() > 600 + 60
+    )]
+    assert closed.index.isin(gp.index).all()
+
+
+def test_exactly_once_replay_noop(spark, clips_dir, tmp_path):
+    out = str(tmp_path / "once")
+    sink = ParquetLedgerSink(out)
+    df = spark.read.parquet(clips_dir).select("clip_id", "speaker_id")
+    assert sink.write_batch(df, 0) is True
+    n1 = sink.read_committed(spark).count()
+    assert sink.write_batch(df, 0) is False  # replay short-circuits
+    assert sink.read_committed(spark).count() == n1
+    audit = sink.audit()
+    assert audit["unique_batch_ids" ] and audit["consistent"]
+
+
+def test_kill_restart_no_dupes_no_gaps(spark, clips_dir, tmp_path):
+    out = str(tmp_path / "kr_out")
+    ckpt = str(tmp_path / "kr_ckpt")
+    sink = ParquetLedgerSink(out, event_ts_col="window_start")
+
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=1)
+    agg = tumbling_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+
+    # phase 1: process a few micro-batches then kill mid-stream
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    import time
+
+    while len(sink.committed_batches()) < 3:
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream
+
+    # phase 2: restart from the same checkpoint → must resume, not redo
+    q2 = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    audit = sink.audit()
+    assert audit["unique_batch_ids"] and audit["consistent"]
+
+    # no dupes/gaps: resumed run equals a single uninterrupted run
+    out2 = str(tmp_path / "ref_out")
+    ckpt2 = str(tmp_path / "ref_ckpt")
+    _, ref_sink = run_window_pipeline(
+        spark, clips_dir, out2, ckpt2, max_files_per_trigger=1
+    )
+    a = sink.read_committed(spark).orderBy("window_start", "speaker_id").toPandas()
+    b = ref_sink.read_committed(spark).orderBy("window_start", "speaker_id").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_exact=False, rtol=1e-9,
+    )
+
+
+def test_session_and_sliding_streaming_smoke(spark, clips_dir, tmp_path):
+    s1 = _run(spark, clips_dir, str(tmp_path), kind="sliding")
+    assert s1.read_committed(spark).count() > 0
+    s2 = _run(spark, clips_dir, str(tmp_path), kind="session", gap="2 minutes")
+    assert s2.audit()["consistent"]
