@@ -1,38 +1,711 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship windowed aggregate at sf0.001;
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data-pipeline family); ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible one. Column names/aliases match exactly between
+the Spark plan and the oracle; float columns are rounded to 6 decimals on both
+sides so cross-engine ulp noise doesn't break value-hash comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke (driver checks rows > 0, stable schema)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 10-minute tumbling count/avg/stdev/min/max per key on the
+    sf0.001 events stream stand-in (SURVEY.md §7.1)."""
+    return _q_tumbling_10m(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# window family (W3-W6, A1-A4) on events
+# ---------------------------------------------------------------------------
+
+
+def _round6(df: DataFrame, cols: list[str]) -> DataFrame:
+    return df.withColumns({c: F.round(F.col(c), 6) for c in cols})
+
+
+def _q_tumbling_10m(spark, sf_dir):
+    from engine.windows import tumbling_agg
+
+    out = tumbling_agg(_read(spark, sf_dir, "events"), "ts", "user_id", "value",
+                       "10 minutes")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+def _q_tumbling_1h_bugcompat(spark, sf_dir):
+    from engine.windows import tumbling_agg
+
+    out = tumbling_agg(_read(spark, sf_dir, "events"), "ts", "user_id", "value",
+                       "1 hour", bug_compatible_stdev=True, include_minmax=False)
+    return _round6(out, ["avg_amt_per_1h", "stdev_amt_per_1h"])
+
+
+def _q_tumbling_12h(spark, sf_dir):
+    from engine.windows import tumbling_agg
+
+    out = tumbling_agg(_read(spark, sf_dir, "events"), "ts", "user_id", "value",
+                       "12 hours")
+    return _round6(out, ["avg_amt_per_12h", "stdev_amt_per_12h",
+                         "min_amt_per_12h", "max_amt_per_12h"])
+
+
+def _q_sliding_10m_5m(spark, sf_dir):
+    from engine.windows import sliding_agg
+
+    out = sliding_agg(_read(spark, sf_dir, "events"), "ts", "user_id", "value",
+                      "10 minutes", "5 minutes", label="10m")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+def _q_session_6h(spark, sf_dir):
+    from engine.windows import session_agg
+
+    out = session_agg(_read(spark, sf_dir, "events"), "ts", "user_id", "value",
+                      gap="6 hours", label="session")
+    return _round6(out, ["avg_amt_per_session", "stdev_amt_per_session",
+                         "min_amt_per_session", "max_amt_per_session"])
+
+
+_WINDOW_AGG_10M = (
+    "count(*) AS num_trans_per_{l}, round(avg(value), 6) AS avg_amt_per_{l}, "
+    "round(stddev_samp(value), 6) AS stdev_amt_per_{l}, "
+    "round(min(value), 6) AS min_amt_per_{l}, round(max(value), 6) AS max_amt_per_{l}"
+)
+
+_SQL_TUMBLING_10M = f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS window_end,
+       user_id, {_WINDOW_AGG_10M.format(l='10m')}
+FROM events GROUP BY 1, 2, 3
+"""
+
+_SQL_TUMBLING_1H_BUG = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+       user_id, count(*) AS num_trans_per_1h,
+       round(avg(value), 6) AS avg_amt_per_1h,
+       0.0 AS stdev_amt_per_1h
+FROM events GROUP BY 1, 2, 3
+"""
+
+_SQL_TUMBLING_12H = f"""
+SELECT time_bucket(INTERVAL '12 hours', ts) AS window_start,
+       time_bucket(INTERVAL '12 hours', ts) + INTERVAL 12 HOUR AS window_end,
+       user_id, {_WINDOW_AGG_10M.format(l='12h')}
+FROM events GROUP BY 1, 2, 3
+"""
+
+# sliding(width 10m, slide 5m): a row belongs to starts {bucket5(ts), bucket5(ts)-5m}
+_SQL_SLIDING_10M_5M = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, user_id, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE, user_id, value FROM events
+)
+SELECT window_start, window_start + INTERVAL 10 MINUTE AS window_end, user_id,
+       {_WINDOW_AGG_10M.format(l='10m').replace('count(*)', 'count(*)')}
+FROM assigned GROUP BY 1, 2, 3
+"""
+
+# session(gap 6h): gaps-and-islands; window = [min_ts, max_ts + gap)
+_SQL_SESSION_6H = f"""
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT min(ts) AS window_start, max(ts) + INTERVAL 6 HOUR AS window_end, user_id,
+       {_WINDOW_AGG_10M.format(l='session')}
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1-A4) + classic relational
+# ---------------------------------------------------------------------------
+
+
+def _q_keyed_stats_orders(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders")
+    out = df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+    return out
+
+
+_SQL_KEYED_STATS_ORDERS = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 6) AS sum_price,
+       round(avg(o_totalprice), 6) AS avg_price,
+       round(min(o_totalprice), 6) AS min_price,
+       round(max(o_totalprice), 6) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def _q_lineitem_pricing(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# query DSL: filter tree (P6-P7), joins (J1-J4), projections (P1-P5)
+# ---------------------------------------------------------------------------
+
+
+def _q_filter_tree_orders(spark, sf_dir):
+    from engine.query import FeatureRef, Query
+
+    q = (
+        Query.from_dataframe(
+            _read(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+        )
+        .filter(
+            (FeatureRef("o_totalprice").gt(50000.0) & FeatureRef("o_orderstatus").eq("O"))
+            | FeatureRef("o_totalprice").le(1000.0)
+        )
+        .filter(FeatureRef("o_custkey").ge(10))
+    )
+    out = q.to_df(spark)
+    return out.withColumn("o_totalprice", F.round("o_totalprice", 6))
+
+
+_SQL_FILTER_TREE_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice, o_orderstatus
+FROM orders
+WHERE ((o_totalprice > 50000.0 AND o_orderstatus = 'O') OR o_totalprice <= 1000.0)
+  AND o_custkey >= 10
+"""
+
+
+def _q_join_prefix(spark, sf_dir):
+    from engine.query import Query
+
+    q = Query.from_dataframe(
+        _read(spark, sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).join(
+        Query.from_dataframe(
+            _read(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_mktsegment"]
+        ),
+        left_on=["o_custkey"],
+        right_on=["c_custkey"],
+        join_type="INNER",
+        prefix="cust_",
+    )
+    out = q.to_df(spark)
+    return out.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"),
+        "cust_c_name", "cust_c_mktsegment",
+    )
+
+
+_SQL_JOIN_PREFIX = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice,
+       c.c_name AS cust_c_name, c.c_mktsegment AS cust_c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def _q_left_semi(spark, sf_dir):
+    from engine.query import Query
+
+    q = Query.from_dataframe(
+        _read(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_mktsegment"]
+    ).join(
+        Query.from_dataframe(
+            _read(spark, sf_dir, "orders").filter("o_totalprice > 100000"),
+            ["o_custkey"],
+        ),
+        left_on=["c_custkey"],
+        right_on=["o_custkey"],
+        join_type="LEFT_SEMI_JOIN",
+    )
+    return q.to_df(spark)
+
+
+_SQL_LEFT_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def _q_three_way_join(spark, sf_dir):
+    from engine.query import Query
+
+    q = (
+        Query.from_dataframe(_read(spark, sf_dir, "nation"), ["n_nationkey", "n_name", "n_regionkey"])
+        .join(
+            Query.from_dataframe(_read(spark, sf_dir, "region"), ["r_regionkey", "r_name"]),
+            left_on=["n_regionkey"],
+            right_on=["r_regionkey"],
+            join_type="INNER",
+            broadcast=True,
+        )
+        .join(
+            Query.from_dataframe(_read(spark, sf_dir, "customer"), ["c_custkey", "c_nationkey"]),
+            left_on=["n_nationkey"],
+            right_on=["c_nationkey"],
+            join_type="INNER",
+        )
+    )
+    out = q.to_df(spark)
+    return out.groupBy("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_SQL_THREE_WAY_JOIN = """
+SELECT r.r_name, n.n_name, count(*) AS n_customers
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def _q_pit_join(spark, sf_dir):
+    """Point-in-time join (J5): latest click value at or before each purchase."""
+    from engine.query import as_of_join
+
+    ev = _read(spark, sf_dir, "events")
+    labels = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("purchase_value")
+    )
+    feats = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = as_of_join(labels, feats, keys=["user_id"], label_ts="ts", feature_ts="ts")
+    return out.withColumn("click_value", F.round("click_value", 6))
+
+
+_SQL_PIT_JOIN = """
+WITH labels AS (
+  SELECT event_id, user_id, ts, round(value, 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), feats AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, l.purchase_value,
+       round(f.click_value, 6) AS click_value
+FROM labels l ASOF LEFT JOIN feats f
+  ON l.user_id = f.user_id AND f.ts <= l.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation (T1 / §4.2)
+# ---------------------------------------------------------------------------
+
+
+def _q_salted_agg(spark, sf_dir):
+    from engine.skew import salted_agg
+
+    out = salted_agg(_read(spark, sf_dir, "events"), ["user_id"], "value", n_salts=16)
+    return _round6(out, ["avg_val", "min_val", "max_val", "stdev_val"])
+
+
+_SQL_SALTED_AGG = """
+SELECT user_id, count(value) AS cnt,
+       round(avg(value), 6) AS avg_val,
+       round(min(value), 6) AS min_val,
+       round(max(value), 6) AS max_val,
+       round(stddev_samp(value), 6) AS stdev_val
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# serving (S7)
+# ---------------------------------------------------------------------------
+
+
+def _q_serving_batch(spark, sf_dir):
+    from engine.serving import VectorServer
+
+    cust = _read(spark, sf_dir, "customer")
+    vs = VectorServer([("customer", cust, ["c_custkey"])])
+    out = vs.get_feature_vectors(spark, [{"c_custkey": i} for i in range(1, 51)])
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 6))
+
+
+_SQL_SERVING_BATCH = """
+SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 6) AS c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey BETWEEN 1 AND 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_token_count(spark, sf_dir):
+    from engine.text import token_count
+
+    out = token_count(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "n_chars", "n_subwords")
+
+
+_SQL_DOC_TOKEN_COUNT = r"""
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+FROM documents
+"""
+
+
+def _q_doc_quality(spark, sf_dir):
+    from engine.text import quality_score
+
+    out = quality_score(_read(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_tokens", "mean_word_len", "stop_ratio", "alpha_ratio", "quality")
+
+
+_SQL_DOC_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+           + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b'))
+           + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
+           + len(regexp_extract_all(text, '\bis\b')) + len(regexp_extract_all(text, '\bit\b'))
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS mean_word_len,
+       round(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
+       round(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
+       round(least(n_tokens / 64.0, 1.0) * 0.4
+             + least(stop_hits * 1.0 / n_tokens * 4.0, 1.0) * 0.3
+             + alpha_chars * 1.0 / n_chars * 0.3, 6) AS quality
+FROM f
+"""
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    from engine.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+def _sql_lang_score(lang, words):
+    return " + ".join(rf"len(regexp_extract_all(text, '\b{w}\b'))" for w in words)
+
+
+_SQL_DOC_LANG_ID = rf"""
+WITH s AS (
+  SELECT doc_id,
+         {_sql_lang_score('en', ['the','and','of','is'])} AS s_en,
+         {_sql_lang_score('es', ['el','la','que','de'])} AS s_es,
+         {_sql_lang_score('fr', ['le','la','et','les'])} AS s_fr,
+         {_sql_lang_score('de', ['der','die','und','das'])} AS s_de
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from engine.text import fingerprint
+
+    return fingerprint(_read(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+_SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family over documents
+# ---------------------------------------------------------------------------
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from engine.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM documents
+GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+"""
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from engine.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH words AS (
+  SELECT doc_id AS id,
+         string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT id,
+         unnest([array_to_string(w[i + 1:i + 3], ' ')
+                 for i in range(greatest(len(w) - 2, 1))]) AS shingle
+  FROM words
+), sizes AS (
+  SELECT id, count(*) AS sz FROM grams GROUP BY 1
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup (approximate — rows-only check; the exact-Jaccard
+    twin above is the strong-oracle version of the same operator)."""
+    from engine.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(spark, sf_dir, "documents"), n=3, num_perm=32, bands=16, threshold=0.2
+    )
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    from engine.dedup import simhash_dedup
+
+    return simhash_dedup(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    from engine.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10).select("query_id", "vec_id", "rank")
+
+
+_SQL_KNN_BRUTEFORCE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS query_vec
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.query_vec) AS cosine
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from engine.similarity import embedding_near_dup
+
+    return embedding_near_dup(_read(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+_SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+def _q_lsh_knn(spark, sf_dir):
+    """LSH-bucketed ANN (approximate by construction — rows-only check)."""
+    from engine.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=10, n_tables=6, n_bits=6)
+
+
+# ---------------------------------------------------------------------------
+# audio graft ops (clip table synthesized deterministically — rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _clips_df(spark, n=400):
+    from engine.synth import make_clips_pdf
+
+    pdf = make_clips_pdf(n, seed=42)
+    return spark.createDataFrame(pdf)
+
+
+def _q_audio_features(spark, sf_dir):
+    """Vectorized PCM decode + per-speaker acoustic stats (north star's
+    decode-inside-pandas-UDF path; input synthesized, so rows-only)."""
+    from engine.audio import extract_audio_features
+
+    feats = extract_audio_features(_clips_df(spark))
+    return feats.groupBy("speaker_id").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+        F.round(F.sum("decoded_dur_ms"), 3).alias("total_dur_ms"),
+    )
+
+
+def _q_clip_window_agg(spark, sf_dir):
+    """The graft flagship shape: tumbling window stats per speaker over the
+    audio clip stream's event time (batch twin of the streaming pipeline)."""
+    from engine.windows import tumbling_agg
+
+    out = tumbling_agg(_clips_df(spark), "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # window family (W3-W6, A1-A4)
+        "tumbling_10m": _q_tumbling_10m,
+        "tumbling_1h_bugcompat": _q_tumbling_1h_bugcompat,
+        "tumbling_12h": _q_tumbling_12h,
+        "sliding_10m_5m": _q_sliding_10m_5m,
+        "session_6h": _q_session_6h,
+        # aggregations
+        "keyed_stats_orders": _q_keyed_stats_orders,
+        "lineitem_pricing": _q_lineitem_pricing,
+        # query DSL: projections/filters/joins (P1-P7, J1-J5)
+        "filter_tree_orders": _q_filter_tree_orders,
+        "join_prefix": _q_join_prefix,
+        "left_semi": _q_left_semi,
+        "three_way_join": _q_three_way_join,
+        "pit_join": _q_pit_join,
+        # skew (T1)
+        "salted_agg": _q_salted_agg,
+        # serving (S7)
+        "serving_batch": _q_serving_batch,
+        # text analysis
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        # similarity search
+        "knn_bruteforce": _q_knn_bruteforce,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_knn": _q_lsh_knn,
+        # audio graft
+        "audio_features": _q_audio_features,
+        "clip_window_agg": _q_clip_window_agg,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tumbling_10m": _SQL_TUMBLING_10M,
+        "tumbling_1h_bugcompat": _SQL_TUMBLING_1H_BUG,
+        "tumbling_12h": _SQL_TUMBLING_12H,
+        "sliding_10m_5m": _SQL_SLIDING_10M_5M,
+        "session_6h": _SQL_SESSION_6H,
+        "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
+        "lineitem_pricing": _SQL_LINEITEM_PRICING,
+        "filter_tree_orders": _SQL_FILTER_TREE_ORDERS,
+        "join_prefix": _SQL_JOIN_PREFIX,
+        "left_semi": _SQL_LEFT_SEMI,
+        "three_way_join": _SQL_THREE_WAY_JOIN,
+        "pit_join": _SQL_PIT_JOIN,
+        "salted_agg": _SQL_SALTED_AGG,
+        "serving_batch": _SQL_SERVING_BATCH,
+        "doc_token_count": _SQL_DOC_TOKEN_COUNT,
+        "doc_quality": _SQL_DOC_QUALITY,
+        "doc_lang_id": _SQL_DOC_LANG_ID,
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
+        "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        # minhash_dedup, simhash_dedup, lsh_knn: approximate/hash-seeded →
+        # rows-only; audio_features, clip_window_agg: synthesized binary input
+        # DuckDB can't reproduce → rows-only.
+    }

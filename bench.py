@@ -1,0 +1,128 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS], plus the streaming flagship's sustained clips/sec.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_sustained", "value": N, "unit": "clips/sec",
+   "queries": {name: seconds, ...}, "sf": ..., ...}
+
+The streaming flagship is the BASELINE.json metric: rate-controlled clip
+stream → vectorized PCM decode (mapInPandas) → per-speaker tumbling window
+aggregate → exactly-once ledger sink. Scaling evidence across two parallelism
+levels is produced by scripts/bench_scaling.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "12000"))
+BENCH_QUERIES = [
+    "tumbling_10m",
+    "sliding_10m_5m",
+    "session_6h",
+    "lineitem_pricing",
+    "join_prefix",
+    "pit_join",
+    "salted_agg",
+    "minhash_dedup",
+    "knn_bruteforce",
+    "doc_quality",
+]
+
+
+def _force(df) -> None:
+    """Materialize every column (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    # warmup: JVM + parquet footer caches
+    _force(qs["tumbling_10m"](spark, SF_DIR).limit(1))
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _force(qs[name](spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_streaming(spark, workdir: str) -> dict:
+    """Flagship pipeline throughput: decode + window agg + exactly-once sink."""
+    from pyspark.sql import functions as F
+
+    from engine.audio import extract_audio_features
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import read_clip_stream, write_clips_stream_dir
+    from engine.windows import tumbling_agg
+
+    clips_dir = os.path.join(workdir, "clips")
+    n_files = 24
+    write_clips_stream_dir(clips_dir, N_CLIPS, n_files=n_files, seed=42,
+                           jitter_ms=30_000, max_dur_ms=600)
+
+    out_dir = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    sink = ParquetLedgerSink(out_dir, event_ts_col="window_start")
+
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=4, watermark=None)
+    feats = extract_audio_features(src).withWatermark("event_ts", "60 seconds")
+    agg = tumbling_agg(feats, "event_ts", "speaker_id", "rms", "10 minutes")
+
+    t0 = time.time()
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    audit = sink.audit()
+    return {
+        "clips": N_CLIPS,
+        "stream_elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(N_CLIPS / elapsed, 1),
+        "exactly_once_audit": audit["consistent"] and audit["unique_batch_ids"],
+        "n_batches": audit["n_batches"],
+    }
+
+
+def main() -> None:
+    from engine.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    workdir = tempfile.mkdtemp(prefix="bench_")
+    try:
+        queries = bench_queries(spark)
+        streaming = bench_streaming(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+    result = {
+        "metric": "clips_per_sec_sustained",
+        "value": streaming["clips_per_sec"],
+        "unit": "clips/sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
+        "cpus": CPUS,
+        "streaming": streaming,
+        "batch_total_sec": round(sum(queries.values()), 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup — the training-data-pipeline family.
+
+Scale design:
+
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle of
+  O(docs) tiny rows, the canonical 100 TB dedup plan.
+- **MinHash+LSH**: shingle → k permuted min-hashes → band buckets →
+  candidate pairs only within equal (band, signature) buckets → exact
+  Jaccard verification on candidates. All shuffles key on bounded-size
+  buckets; no O(n²) stage. Everything JVM-side (xxhash64 + higher-order
+  array functions) — zero Python in the pipeline.
+- **SimHash**: 64-bit sign-of-weighted-sums signature per doc (one Arrow
+  pandas UDF — per-doc numpy, no per-row Python loops), Hamming-banded into
+  4×16-bit keys for near-dup candidate generation.
+- **n-gram Jaccard**: exact pairwise similarity on explicit shingle sets —
+  the verification oracle for the approximate paths.
+- **embedding cosine**: see :mod:`engine.similarity` (same bucket-join shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative per normalized text (hash-groupBy)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.withColumn("_fp", F.md5(norm))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dupes"))
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash and exact Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: word n-grams of normalized text, JVM-side only."""
+    words = F.split(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 32
+) -> DataFrame:
+    """(id, perm_id, min_hash): k permutations as seeded xxhash64 re-hashes.
+
+    xxhash64(shingle, seed=perm) is a family of independent hash functions;
+    the min over a doc's shingle set per perm is its MinHash signature row.
+    Shuffle volume: O(docs × num_perm).
+    """
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm_id")
+    hashed = sh.select("id", "shingle", perms).withColumn(
+        "h", F.xxhash64(F.col("shingle"), F.col("perm_id"))
+    )
+    return hashed.groupBy("id", "perm_id").agg(F.min("h").alias("min_hash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature; docs sharing any (band, band_hash) bucket become
+    candidate pairs (a < b). Bucket join only — never a cross join."""
+    banded = (
+        sigs.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list("min_hash")))).alias("band_hash"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via shingle-set join (the 'verify'
+    phase of MinHash-LSH; also the standalone n-gram-Jaccard operator)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
+    sh = shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_perm)
+    pairs = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle (no LSH loss).
+    The shared-shingle join bounds the pair space far below n² on real data."""
+    sh = shingles(df, id_col, text_col, n)
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word unigrams (Arrow-batched; numpy per doc).
+
+    Deterministic: word → blake2b 8-byte digest; signature bit b is the sign
+    of the sum over words of (±1 per bit).
+    """
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = t.lower().split()
+        if not words:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in set(words)),
+            dtype="<u8",
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hamming_bands: int = 4
+) -> DataFrame:
+    """Near-dup candidates: equal 16-bit SimHash band in any of 4 bands
+    (guarantees recall for Hamming distance ≤ 3). Returns candidate pairs
+    with the exact Hamming distance."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(hamming_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "sig", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val"))
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,92 @@
+"""Online point / batch feature-vector lookup.
+
+Reference: ``base/engine/VectorServer.java`` — JDBC prepared statements
+``WHERE pk = ?`` per feature group (:112-157), a batch variant that rewrites
+the statement with an ``IN ((k1),(k2),...)`` tuple list (:201-268, tuple hack
+:234-236), Avro-decode of complex/bytes columns (:403-420), and stitching of
+multi-feature-group vectors in prepared-statement (TreeMap) order (:339-366).
+Missing primary-key entries raise (:137-139, :422-427).
+
+Spark expression: the "online store" is just the latest committed feature
+table; a lookup is a broadcast-hash semi-join of a small key DataFrame against
+it (point lookups and batch lookups share one plan). On a real deployment the
+online table would live in an external KV/JDBC store — the class keeps that
+boundary behind ``source_df`` so a JDBC reader can be swapped in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LookupError_(KeyError):
+    """Mirrors VectorServer's FeatureStoreException on unknown serving keys."""
+
+
+class VectorServer:
+    def __init__(self, feature_groups: list[tuple[str, DataFrame, list[str]]]):
+        """``feature_groups``: ordered [(name, online_df, primary_key_cols)].
+        Order is preserved when stitching vectors, mirroring the TreeMap
+        iteration order of ``VectorServer.java:339-366``."""
+        self.feature_groups = feature_groups
+
+    def _check_keys(self, entry: dict, pks: list[str]) -> None:
+        missing = [k for k in pks if k not in entry]
+        if missing:
+            raise LookupError_(
+                f"Provided primary key map doesn't contain required keys: {missing}"
+            )
+
+    def get_feature_vector(self, entry: dict) -> dict:
+        """Single lookup: primary-key map → stitched feature dict.
+
+        Raises if any feature group has no row for the key
+        (``VectorServer.java:137-139``).
+        """
+        out: dict = {}
+        for name, df, pks in self.feature_groups:
+            self._check_keys(entry, pks)
+            cond = None
+            for k in pks:
+                c = F.col(k) == F.lit(entry[k])
+                cond = c if cond is None else (cond & c)
+            rows = df.filter(cond).limit(2).collect()
+            if not rows:
+                raise LookupError_(f"No feature vector for {entry} in group '{name}'")
+            row = rows[0].asDict()
+            for k, v in row.items():
+                out.setdefault(k, v)
+        return out
+
+    def get_feature_vectors(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        """Batch lookup: the ``IN``-tuple path (:201-268) as a broadcast join.
+
+        Returns one row per requested entry per feature group hit; callers can
+        assert completeness with :meth:`check_complete`.
+        """
+        if not entries:
+            raise LookupError_("empty key batch")
+        out: DataFrame | None = None
+        for name, df, pks in self.feature_groups:
+            for e in entries:
+                self._check_keys(e, pks)
+            keys_df = spark.createDataFrame(
+                [tuple(e[k] for k in pks) for e in entries], pks
+            ).dropDuplicates(pks)
+            part = df.join(F.broadcast(keys_df), on=pks, how="inner")
+            out = part if out is None else out.join(part, on=pks, how="outer")
+        return out
+
+    def check_complete(self, spark: SparkSession, entries: list[dict]) -> None:
+        """Raise when any requested key is missing from any group (batch
+        analogue of the single-lookup miss error)."""
+        for name, df, pks in self.feature_groups:
+            keys_df = spark.createDataFrame(
+                [tuple(e[k] for k in pks) for e in entries], pks
+            ).dropDuplicates(pks)
+            n_miss = keys_df.join(df, on=pks, how="left_anti").count()
+            if n_miss:
+                raise LookupError_(
+                    f"{n_miss} requested key(s) have no feature vector in group '{name}'"
+                )

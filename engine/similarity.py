@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** — the exactness baseline: queries × corpus with
+  the dot product evaluated JVM-side (``zip_with`` + ``aggregate`` higher-order
+  functions, whole-stage codegen; no Python). Correct at any scale when the
+  query set is small enough to broadcast — the common serving shape.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane sign bits computed
+  in one Arrow pandas UDF (a single seeded matmul per batch), candidates only
+  within matching (table, bucket) pairs, exact cosine re-rank on candidates.
+  Sub-linear candidate generation; tunable recall via #tables/#bits.
+- **embedding-cosine near-dup** — all-pairs above a threshold via the same
+  bucket-join shape (dedup use case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_col(a, b):
+    """JVM-side cosine similarity between two array columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    rank per query. Ties break on corpus id ascending (deterministic)."""
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col)
+    )
+    joined = corpus.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_col(F.col(vec_col), F.col(query_vec_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplane_udf(n_bits: int, seed: int, dim: int):
+    @F.pandas_udf(T.IntegerType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bits))
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes) > 0
+        return pd.Series((bits @ (1 << np.arange(n_bits))).astype(np.int32))
+
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 4,
+    n_bits: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets per table, exact re-rank on
+    the union of bucket hits. Recall grows with n_tables; candidate count per
+    query is ~corpus/2^n_bits per table."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_sigs(df, col, out_prefix):
+        for t in range(n_tables):
+            udf = _hyperplane_udf(n_bits, seed + t, dim)
+            df = df.withColumn(f"{out_prefix}{t}", udf(F.col(col)))
+        return df
+
+    c = with_sigs(corpus, vec_col, "_b")
+    q = with_sigs(queries, query_vec_col, "_qb")
+
+    cand = None
+    for t in range(n_tables):
+        part = c.join(
+            F.broadcast(q.select(query_id_col, query_vec_col, f"_qb{t}")),
+            F.col(f"_b{t}") == F.col(f"_qb{t}"),
+        ).select(id_col, vec_col, query_id_col, query_vec_col)
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+
+    ranked = cand.withColumn("cosine", cosine_col(F.col(vec_col), F.col(query_vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (near-duplicate embeddings).
+
+    Plan: pre-normalize once, self-join (AQE/broadcast decides strategy for
+    small sides; at 100 TB swap the join for the LSH bucket shape above —
+    the scoring expression is shared)."""
+    normed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "cosine",
+            _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a._n") * F.col("b._n")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Salted two-phase aggregation for skewed keys (T1, SURVEY.md §4.2).
+
+The reference hash-partitions by key (``keyBy``, ``TransactionFraudExample
+.java:69``) and relies on uniform keys (uniform cc_num 1..1000,
+``TransactionEventSimulator.java:63-67``). Our clip table deliberately has
+Zipf-skewed speaker keys, so a single hot key would serialize one shuffle
+partition at scale. AQE's skew handling covers *joins* but not aggregations,
+so this module is genuinely custom:
+
+phase 1 (salted partial):  group by (key, salt = pmod(hash(cols..), n_salts))
+                           → partial count/sum/min/max/sum-of-squares
+phase 2 (final):           group by key → merge partials
+
+Algebraic merge identities match ``TransactionCountAggregate.merge``
+(``TransactionCountAggregate.java:35-39``): counts and sums add, min/max fold,
+variance recomposed from (n, Σx, Σx²). Catalyst already does map-side partial
+aggregation *within* a partition; salting additionally spreads one hot key
+across ``n_salts`` reducers, bounding any single reducer's share at
+~1/n_salts of the hot key. Cost: one extra (tiny) shuffle of
+O(keys × n_salts) partial rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str | Column],
+    value_col: str,
+    n_salts: int = 16,
+    count_alias: str = "cnt",
+    avg_alias: str = "avg_val",
+    min_alias: str = "min_val",
+    max_alias: str = "max_val",
+    stddev_alias: str | None = "stdev_val",
+) -> DataFrame:
+    """count/avg/min/max (+ sample stddev) per key via salt → merge."""
+    key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    key_names = [k if isinstance(k, str) else str(k) for k in keys]
+
+    salt = F.pmod(
+        F.hash(F.monotonically_increasing_id(), F.lit(17)), F.lit(n_salts)
+    ).alias("_salt")
+    partial = (
+        df.select(*key_cols, F.col(value_col).alias("_v"), salt)
+        .groupBy(*key_names, "_salt")
+        .agg(
+            F.count("_v").alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+            F.min("_v").alias("_min"),
+            F.max("_v").alias("_max"),
+        )
+    )
+    merged = partial.groupBy(*key_names).agg(
+        F.sum("_n").alias("_N"),
+        F.sum("_s").alias("_S"),
+        F.sum("_s2").alias("_S2"),
+        F.min("_min").alias(min_alias),
+        F.max("_max").alias(max_alias),
+    )
+    out = merged.select(
+        *key_names,
+        F.col("_N").alias(count_alias),
+        (F.col("_S") / F.col("_N")).alias(avg_alias),
+        F.col(min_alias),
+        F.col(max_alias),
+        *(
+            [
+                F.when(
+                    F.col("_N") > 1,
+                    F.sqrt(
+                        (F.col("_S2") - F.col("_S") * F.col("_S") / F.col("_N"))
+                        / (F.col("_N") - 1)
+                    ),
+                ).alias(stddev_alias)
+            ]
+            if stddev_alias
+            else []
+        ),
+    )
+    return out
+
+
+def repartition_salted(df: DataFrame, key: str, n_partitions: int, n_salts: int = 16) -> DataFrame:
+    """T2 analogue of ``.rescale().rebalance()`` for skewed keys: spread each
+    key across n_salts partitions instead of one."""
+    return df.repartition(
+        n_partitions,
+        F.col(key),
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Per-partition row counts — the lineage/metrics signal used to decide
+    when salting is needed and recorded by the sink ledger."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy("_pid")
+    )

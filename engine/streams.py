@@ -81,7 +81,12 @@ def read_clip_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(dir_path)
     )
-    return stream.withWatermark(ts_col, watermark)
+    # watermark=None lets callers that insert a mapInPandas stage define the
+    # watermark downstream instead (Spark requires it on the aggregation input
+    # and forbids redefinition).
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return stream
 
 
 def run_window_pipeline(

@@ -1,0 +1,235 @@
+"""Tests for skew-salted aggregation, serving lookups, text analysis,
+dedup family, similarity search, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from engine.serving import LookupError_, VectorServer
+from engine.similarity import brute_force_topk, embedding_near_dup, lsh_topk
+from engine.skew import partition_histogram, salted_agg
+from engine.text import fingerprint, lang_id, quality_score, token_count
+
+
+# --------------------------------------------------------------------------- skew
+def test_salted_agg_equals_plain(spark, tables):
+    ev = tables["events"]
+    got = (
+        salted_agg(ev, ["user_id"], "value", n_salts=8)
+        .orderBy("user_id")
+        .toPandas()
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.avg("value").alias("avg_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.stddev_samp("value").alias("stdev_val"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+
+
+def test_partition_histogram(spark, tables):
+    h = partition_histogram(tables["events"].repartition(4)).toPandas()
+    assert h["rows"].sum() == tables["events"].count()
+
+
+# --------------------------------------------------------------------------- serving
+def test_vector_server_point_and_batch(spark, tables):
+    cust = tables["customer"]
+    vs = VectorServer([("customer", cust, ["c_custkey"])])
+    one = vs.get_feature_vector({"c_custkey": 1})
+    assert one["c_custkey"] == 1 and "c_name" in one
+    with pytest.raises(LookupError_):
+        vs.get_feature_vector({"c_custkey": -99})
+    with pytest.raises(LookupError_):
+        vs.get_feature_vector({"wrong_key": 1})
+    batch = vs.get_feature_vectors(spark, [{"c_custkey": i} for i in range(1, 11)])
+    assert batch.count() == 10
+    with pytest.raises(LookupError_):
+        vs.check_complete(spark, [{"c_custkey": 1}, {"c_custkey": -5}])
+
+
+def test_vector_server_multi_group_stitch(spark, tables):
+    vs = VectorServer(
+        [
+            ("nation", tables["nation"], ["n_nationkey"]),
+            ("customer", tables["customer"].withColumnRenamed("c_nationkey", "n_nationkey"), ["n_nationkey"]),
+        ]
+    )
+    v = vs.get_feature_vector({"n_nationkey": 1})
+    assert "n_name" in v and "c_name" in v  # stitched across groups in order
+
+
+# --------------------------------------------------------------------------- text
+def test_token_count_and_quality(spark, tables):
+    docs = tables["documents"]
+    tc = token_count(docs).toPandas()
+    raw = docs.select("text").toPandas()["text"]
+    assert (tc["n_tokens"] == raw.str.split(" ").map(len)).all()
+    q = quality_score(docs).toPandas()
+    assert q["quality"].between(0, 1).all()
+    assert (q["stop_ratio"] >= 0).all()
+
+
+def test_lang_id_deterministic(spark, tables):
+    out = lang_id(tables["documents"]).select("doc_id", "pred_lang").toPandas()
+    out2 = lang_id(tables["documents"]).select("doc_id", "pred_lang").toPandas()
+    assert (out["pred_lang"] == out2["pred_lang"]).all()
+    assert set(out["pred_lang"]) <= {"en", "es", "fr", "de", "und"}
+
+
+def test_fingerprint_and_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["a b  c", "a b c", "x y", "unique doc"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fp = fingerprint(df).toPandas()
+    assert fp.loc[0, "fp"] == fp.loc[1, "fp"]  # whitespace-normalized equal
+    dd = exact_dedup(df).toPandas().sort_values("doc_id")
+    assert dd["doc_id"].tolist() == [1, 3, 4]
+    assert dd.set_index("doc_id").loc[1, "n_dupes"] == 2
+
+
+# --------------------------------------------------------------------------- dedup
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "completely different content about spark streaming and state stores",
+        "a third document with its own unrelated words entirely here",
+    ]
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i * 10, b))
+        # near-dup: one word changed
+        rows.append((i * 10 + 1, b.replace("the", "that", 1)))
+    rows.append((99, "totally singleton text nothing like the others at all"))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_dedup_finds_near_dups(spark, dup_docs):
+    pairs = minhash_dedup(dup_docs, n=2, num_perm=32, bands=16, threshold=0.3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got and (10, 11) in got and (20, 21) in got
+    assert not any(a // 10 != b // 10 for a, b in got)
+
+
+def test_ngram_jaccard_exact(spark, dup_docs):
+    pairs = ngram_jaccard_pairs(dup_docs, n=2, threshold=0.3).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    assert (pairs["jaccard"] <= 1.0).all()
+
+
+def test_simhash_dedup(spark, dup_docs):
+    pairs = simhash_dedup(dup_docs).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 1) in got  # one-word change → tiny hamming distance
+    near = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]
+    assert (near["hamming"] <= 16).all()
+
+
+# --------------------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def emb(spark, tables):
+    return tables["embeddings"]
+
+
+def _numpy_topk(corpus_pdf, qid, qvec, k):
+    m = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((corpus_pdf["vec_id"].to_numpy(), -sims))
+    return corpus_pdf["vec_id"].to_numpy()[order[:k]].tolist()
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_topk(emb, queries, k=5).toPandas()
+    corpus_pdf = emb.select("vec_id", "embedding").toPandas()
+    for qid in [0, 1, 2]:
+        qvec = corpus_pdf.set_index("vec_id").loc[qid, "embedding"]
+        want = _numpy_topk(corpus_pdf, qid, qvec, 5)
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == want
+        assert got[got["query_id"] == qid]["rank"].tolist() == [1, 2, 3, 4, 5]
+    # self similarity must rank first with cosine 1.0
+    self_rows = got[(got["query_id"] == got["vec_id"])]
+    assert (self_rows["rank"] == 1).all()
+
+
+def test_lsh_topk_recall(spark):
+    # Clustered corpus (true near neighbors exist): 20 centroids × 25 noisy
+    # copies. Hyperplane LSH must recover most exact top-5 sets; on uniform
+    # random data recall is meaningless (no structure to find).
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((20, 32))
+    vecs = np.repeat(cents, 25, axis=0) + 0.05 * rng.standard_normal((500, 32))
+    pdf = pd.DataFrame(
+        {"vec_id": range(500), "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    queries = corpus.filter("vec_id % 25 = 0").limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(corpus, queries, k=5).toPandas()
+    approx = lsh_topk(corpus, queries, k=5, n_tables=6, n_bits=8, seed=3).toPandas()
+    rec = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.8
+
+
+def test_embedding_near_dup_self(spark, emb):
+    # duplicate a vector under a new id → must be flagged at threshold ~1.0
+    extra = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    dd = embedding_near_dup(emb.unionByName(extra), threshold=0.9999).toPandas()
+    assert ((dd["id_a"] == 0) & (dd["id_b"] == 100000)).any()
+
+
+# --------------------------------------------------------------------------- multimodal
+def test_multimodal_plumbing(spark, clips_df):
+    from engine.multimodal import (
+        decode_image_stub,
+        extract_image_features,
+        fake_image_decoder,
+        with_media_metadata,
+    )
+
+    df = with_media_metadata(clips_df.limit(16), "bytes", "audio", "audio/wav")
+    meta = df.toPandas()
+    assert (meta["payload_bytes"] > 0).all() and (meta["media_kind"] == "audio").all()
+
+    feats = extract_image_features(
+        clips_df.limit(8), decoder=fake_image_decoder
+    ).toPandas()
+    assert (feats["width"] == 8).all() and (feats["height"] == 8).all()
+    assert feats["mean_lum"].between(0, 255).all()
+
+    with pytest.raises(Exception) as exc_info:
+        extract_image_features(clips_df.limit(2)).collect()  # stub decoder raises
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
