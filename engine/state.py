@@ -1,0 +1,452 @@
+"""Custom keyed state store built on ``applyInPandasWithState`` (T5, J6).
+
+The reference keeps window accumulators in Flink keyed state (RocksDB backend,
+``pom.xml:161-172``) behind the built-in incremental window aggregate
+(``TransactionFraudExample.java:69-71`` keyBy → TumblingEventTimeWindows →
+``TransactionCountAggregate.java:10-40``).  The north rule asks for the same
+semantics with state held in a *custom* ``applyInPandasWithState`` store, plus
+a stateful stream-stream join of clip features against transcript features
+keyed by ``clip_id``.
+
+This module implements both, Arrow-vectorized (no per-row Python):
+
+- :func:`stateful_window_agg` — tumbling/sliding event-time windows.  State is
+  one accumulator row per open window: ``(window_start) → (cnt, sum, sumsq,
+  min, max)`` held as parallel arrays; exactly the reference accumulator
+  ``Tuple4(key, count, sum, 0.0)`` widened with min/max/sumsq (north rule
+  "count/min/max/avg-style stats").  Windows emit when the watermark passes
+  the window end (event-time timeout), matching Flink's fire-at-watermark and
+  Spark's append-mode semantics; later rows for an emitted window are dropped
+  (no allowedLateness, ``TransactionFraudExample.java:60-71``).
+- :func:`stateful_session_agg` — session windows via vectorized
+  gaps-and-islands interval merging in state.
+- :func:`stateful_stream_join` — symmetric hash join: both sides buffered per
+  key, new-left × seen-right ∪ new-right × previous-left emitted per batch,
+  buffers evicted once the watermark passes ``ts + ttl``.
+
+The built-in ``window()`` / ``session_window`` aggregates (engine.windows) and
+the watermarked built-in stream-stream join serve as semantic oracles in
+tests/test_state.py.
+
+Scale posture: state is partitioned by key (the groupBy shuffle), one Arrow
+batch per key-group per micro-batch; per-key state is O(open windows) /
+O(in-flight rows within TTL), independent of total stream length.  RocksDB
+state store (engine.session) spills cold keys to disk.  Skewed speaker keys:
+see engine.skew for salted pre-aggregation in front of this operator.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def dur_ms(s: str) -> int:
+    """Parse an interval string like '10 minutes' to epoch milliseconds."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]+?)s?\s*", s.lower())
+    if not m or m.group(2) not in _UNIT_MS:
+        raise ValueError(f"cannot parse duration {s!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2)]
+
+
+def _ts_ms(series: pd.Series) -> np.ndarray:
+    """datetime64[ns/us] (session tz = UTC, naive) → int64 epoch ms."""
+    return series.to_numpy(dtype="datetime64[ms]").astype("int64")
+
+
+def _ms_ts(arr) -> pd.Series:
+    return pd.Series(np.asarray(arr, dtype="int64").astype("datetime64[ms]"))
+
+
+_ACC_COLS = ("start", "cnt", "sum", "sumsq", "mn", "mx")
+_ACC_STATE_DDL = (
+    "start array<long>, cnt array<long>, sum array<double>, "
+    "sumsq array<double>, mn array<double>, mx array<double>"
+)
+
+
+_INT_COLS = {"start", "end", "cnt"}
+
+
+def _acc_from_state(state: GroupState, cols=_ACC_COLS) -> pd.DataFrame:
+    vals = state.get if state.exists else [[] for _ in cols]
+    return pd.DataFrame(
+        {
+            c: np.asarray(v, dtype="int64" if c in _INT_COLS else "float64")
+            for c, v in zip(cols, vals)
+        }
+    )
+
+
+def _acc_to_state(state: GroupState, acc: pd.DataFrame, timeout_ms: int, cols=_ACC_COLS):
+    if len(acc) == 0:
+        if state.exists:
+            state.remove()
+        return
+    state.update(
+        tuple(
+            acc[c].astype("int64" if c in _INT_COLS else "float64").tolist()
+            for c in cols
+        )
+    )
+    state.setTimeoutTimestamp(timeout_ms)
+
+
+def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev, key_name):
+    """Accumulators → output rows shaped like engine.windows._agg_exprs."""
+    n = acc["cnt"].to_numpy(dtype="float64")
+    s = acc["sum"].to_numpy()
+    ssq = acc["sumsq"].to_numpy()
+    avg = s / n
+    if bug_compatible_stdev:
+        stdev = np.zeros(len(acc))
+    else:
+        # stddev_samp; NaN (→ null) for n == 1, matching Spark's stddev_samp.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (ssq - s * s / n) / (n - 1)
+            stdev = np.sqrt(np.maximum(var, 0.0))
+        stdev[n <= 1] = np.nan
+    end = acc["start"] + width_ms if width_ms is not None else acc["end"]
+    return pd.DataFrame(
+        {
+            "window_start": _ms_ts(acc["start"]),
+            "window_end": _ms_ts(end),
+            key_name: [key[0]] * len(acc),
+            f"num_trans_per_{label}": acc["cnt"].astype("int64"),
+            f"avg_amt_per_{label}": avg,
+            f"stdev_amt_per_{label}": stdev,
+            f"min_amt_per_{label}": acc["mn"],
+            f"max_amt_per_{label}": acc["mx"],
+        }
+    )
+
+
+def _out_ddl(key_name: str, key_sql_type: str, label: str) -> str:
+    return (
+        f"window_start timestamp, window_end timestamp, {key_name} {key_sql_type}, "
+        f"num_trans_per_{label} long, avg_amt_per_{label} double, "
+        f"stdev_amt_per_{label} double, min_amt_per_{label} double, "
+        f"max_amt_per_{label} double"
+    )
+
+
+def stateful_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    width: str = "10 minutes",
+    slide: str | None = None,
+    label: str | None = None,
+    bug_compatible_stdev: bool = False,
+) -> DataFrame:
+    """Tumbling (``slide=None``) or sliding keyed event-time window aggregate
+    with state in a custom ``applyInPandasWithState`` store.
+
+    Input must be a streaming DataFrame with ``withWatermark(ts_col, ...)``
+    already applied.  Output schema and values match
+    :func:`engine.windows.tumbling_agg` / ``sliding_agg`` in append mode
+    (window emitted once, when the watermark passes its end).
+    """
+    from engine.windows import width_label
+
+    width_ms = dur_ms(width)
+    slide_ms = dur_ms(slide) if slide else width_ms
+    if width_ms % slide_ms != 0:
+        raise ValueError("width must be a multiple of slide")
+    n_wins = width_ms // slide_ms
+    label = label or width_label(width)
+    key_sql_type = df.schema[key_col].dataType.simpleString()
+    out_ddl = _out_ddl(key_col, key_sql_type, label)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        acc = _acc_from_state(state)
+        contribs = [acc]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = _ts_ms(pdf[ts_col])
+            v = pdf[value_col].to_numpy(dtype="float64")
+            # Window assignment: the n_wins slide-aligned starts covering ts.
+            base = (ts // slide_ms) * slide_ms
+            for off in range(n_wins):
+                start = base - off * slide_ms
+                live = start + width_ms > wm  # drop rows for emitted windows
+                if not live.any():
+                    continue
+                s, vv = start[live], v[live]
+                contribs.append(
+                    pd.DataFrame(
+                        {"start": s, "cnt": 1, "sum": vv, "sumsq": vv * vv,
+                         "mn": vv, "mx": vv}
+                    )
+                )
+        if len(contribs) > 1:
+            allc = pd.concat(contribs, ignore_index=True)
+            acc = (
+                allc.groupby("start", as_index=False, sort=True)
+                .agg(cnt=("cnt", "sum"), sum=("sum", "sum"), sumsq=("sumsq", "sum"),
+                     mn=("mn", "min"), mx=("mx", "max"))
+            )
+        mature = acc["start"] + width_ms <= wm
+        if mature.any():
+            yield _result_pdf(
+                key, acc[mature], width_ms, label, bug_compatible_stdev, key_col
+            )
+        rest = acc[~mature]
+        timeout = int(rest["start"].min() + width_ms) if len(rest) else 0
+        _acc_to_state(state, rest, timeout)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_ddl, _ACC_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+_SESS_COLS = ("start", "end", "cnt", "sum", "sumsq", "mn", "mx")
+_SESS_STATE_DDL = (
+    "start array<long>, end array<long>, cnt array<long>, sum array<double>, "
+    "sumsq array<double>, mn array<double>, mx array<double>"
+)
+
+
+def stateful_session_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap: str = "30 seconds",
+    label: str = "session",
+    bug_compatible_stdev: bool = False,
+) -> DataFrame:
+    """Session windows (static gap) in the custom state store.
+
+    Each event contributes interval ``[ts, ts+gap)``; overlapping intervals
+    merge (vectorized gaps-and-islands over the sorted interval set — the same
+    merge rule as ``F.session_window`` and Flink session windows).  A session
+    emits when the watermark passes its end (it can no longer be extended).
+    """
+    gap_ms = dur_ms(gap)
+    key_sql_type = df.schema[key_col].dataType.simpleString()
+    out_ddl = _out_ddl(key_col, key_sql_type, label)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        acc = _acc_from_state(state, _SESS_COLS)
+        contribs = [acc]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = _ts_ms(pdf[ts_col])
+            v = pdf[value_col].to_numpy(dtype="float64")
+            live = ts + gap_ms > wm  # late rows past every live session: drop
+            if not live.any():
+                continue
+            ts, v = ts[live], v[live]
+            contribs.append(
+                pd.DataFrame(
+                    {"start": ts, "end": ts + gap_ms, "cnt": 1, "sum": v,
+                     "sumsq": v * v, "mn": v, "mx": v}
+                )
+            )
+        allc = pd.concat(contribs, ignore_index=True) if len(contribs) > 1 else acc
+        if len(allc):
+            allc = allc.sort_values("start", kind="mergesort", ignore_index=True)
+            s = allc["start"].to_numpy(dtype="int64")
+            e = allc["end"].to_numpy(dtype="int64")
+            cummax_e = np.maximum.accumulate(e)
+            # new island iff this interval starts at/after the running max end
+            grp = np.concatenate(([0], (s[1:] >= cummax_e[:-1]).cumsum()))
+            allc["grp"] = grp
+            acc = allc.groupby("grp", as_index=False, sort=True).agg(
+                start=("start", "min"), end=("end", "max"), cnt=("cnt", "sum"),
+                sum=("sum", "sum"), sumsq=("sumsq", "sum"),
+                mn=("mn", "min"), mx=("mx", "max"),
+            )[list(_SESS_COLS)]
+        else:
+            acc = allc
+        mature = acc["end"] <= wm
+        if mature.any():
+            yield _result_pdf(key, acc[mature], None, label, bug_compatible_stdev, key_col)
+        rest = acc[~mature]
+        timeout = int(rest["end"].min()) if len(rest) else 0
+        _acc_to_state(state, rest, timeout, _SESS_COLS)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_ddl, _SESS_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def stateful_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    ttl: str = "10 minutes",
+    left_ts_name: str = "left_ts",
+    right_ts_name: str = "right_ts",
+) -> DataFrame:
+    """Stateful inner stream-stream equi-join with buffered state (J6).
+
+    Symmetric hash join: rows from both watermarked streams are buffered per
+    key; each micro-batch emits new-left × all-seen-right plus new-right ×
+    previously-buffered-left (no double counting).  Buffered rows are evicted
+    once the watermark passes ``ts + ttl`` — the join-state retention Spark's
+    built-in watermarked join derives from the join condition, made explicit.
+
+    Both inputs must already carry ``withWatermark(ts_col, ...)``; payload
+    column names (everything except key/ts) must be disjoint between sides —
+    use per-side prefixes as in the reference's join prefixing
+    (``base/constructor/Join.java:50-71``).
+    """
+    ttl_ms = dur_ms(ttl)
+    lcols = [c for c in left.columns if c not in (key_col, ts_col)]
+    rcols = [c for c in right.columns if c not in (key_col, ts_col)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"payload columns must be disjoint, got overlap {overlap}")
+
+    def _norm(dt) -> str:
+        # Normalize narrow numerics so pandas' null-driven float upcasts
+        # round-trip losslessly through the Arrow state arrays.
+        s = dt.simpleString()
+        if s in ("tinyint", "smallint", "int", "bigint"):
+            return "bigint"
+        if s in ("float", "double"):
+            return "double"
+        return s
+
+    ltypes = {c: _norm(left.schema[c].dataType) for c in lcols}
+    rtypes = {c: _norm(right.schema[c].dataType) for c in rcols}
+
+    tagged_l = left.select(
+        F.col(key_col), F.col(ts_col), F.lit(0).alias("__side"),
+        *[F.col(c).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+    )
+    tagged_r = right.select(
+        F.col(key_col), F.col(ts_col), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[F.col(c).cast(rtypes[c]).alias(c) for c in rcols],
+    )
+    both = tagged_l.unionByName(tagged_r)
+
+    key_sql = both.schema[key_col].dataType.simpleString()
+    out_ddl = ", ".join(
+        [f"{key_col} {key_sql}", f"{left_ts_name} timestamp", f"{right_ts_name} timestamp"]
+        + [f"{c} {ltypes[c]}" for c in lcols]
+        + [f"{c} {rtypes[c]}" for c in rcols]
+    )
+    state_cols = (["lts"] + [f"l_{c}" for c in lcols] + ["rts"] + [f"r_{c}" for c in rcols])
+    state_ddl = ", ".join(
+        ["lts array<long>"]
+        + [f"l_{c} array<{ltypes[c]}>" for c in lcols]
+        + ["rts array<long>"]
+        + [f"r_{c} array<{rtypes[c]}>" for c in rcols]
+    )
+    out_cols = [key_col, left_ts_name, right_ts_name] + lcols + rcols
+
+    _pd_dtype = {"bigint": "int64", "double": "float64"}
+
+    def _coerce(frame: pd.DataFrame, cols, types) -> pd.DataFrame:
+        frame = frame.copy()
+        for c in cols:
+            dt = _pd_dtype.get(types[c])
+            if dt is not None and len(frame):
+                frame[c] = frame[c].astype(dt)
+        return frame
+
+    def _buf_from_state(state: GroupState):
+        if state.exists:
+            vals = list(state.get)
+        else:
+            vals = [[] for _ in state_cols]
+        d = dict(zip(state_cols, vals))
+        lbuf = pd.DataFrame({"__ts": np.asarray(d["lts"], dtype="int64"),
+                             **{c: pd.Series(d[f"l_{c}"]) for c in lcols}})
+        rbuf = pd.DataFrame({"__ts": np.asarray(d["rts"], dtype="int64"),
+                             **{c: pd.Series(d[f"r_{c}"]) for c in rcols}})
+        return _coerce(lbuf, lcols, ltypes), _coerce(rbuf, rcols, rtypes)
+
+    def _emit(key, lrows: pd.DataFrame, rrows: pd.DataFrame) -> pd.DataFrame:
+        lr = lrows.rename(columns={"__ts": "__lts"}).assign(__k=0)
+        rr = rrows.rename(columns={"__ts": "__rts"}).assign(__k=0)
+        m = lr.merge(rr, on="__k").drop(columns="__k")
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(m),
+                left_ts_name: _ms_ts(m["__lts"]),
+                right_ts_name: _ms_ts(m["__rts"]),
+                **{c: m[c] for c in lcols},
+                **{c: m[c] for c in rcols},
+            }
+        )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        old_l, old_r = _buf_from_state(state)
+        new_l_parts, new_r_parts = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = _ts_ms(pdf[ts_col])
+            pdf = pdf.assign(__ts=ts)
+            live = pdf[ts + ttl_ms > wm]
+            side = live["__side"].to_numpy()
+            new_l_parts.append(live.loc[side == 0, ["__ts"] + lcols])
+            new_r_parts.append(live.loc[side == 1, ["__ts"] + rcols])
+        new_l = (pd.concat(new_l_parts, ignore_index=True)
+                 if new_l_parts else old_l.iloc[0:0])
+        new_r = (pd.concat(new_r_parts, ignore_index=True)
+                 if new_r_parts else old_r.iloc[0:0])
+        new_l = _coerce(new_l, lcols, ltypes)
+        new_r = _coerce(new_r, rcols, rtypes)
+        all_r = pd.concat([old_r, new_r], ignore_index=True)
+        outs = []
+        if len(new_l) and len(all_r):
+            outs.append(_emit(key, new_l, all_r))
+        if len(new_r) and len(old_l):
+            outs.append(_emit(key, old_l, new_r))
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+            if len(out):
+                yield out[out_cols]
+        # retain buffers still inside TTL
+        all_l = pd.concat([old_l, new_l], ignore_index=True)
+        all_l = _coerce(all_l[all_l["__ts"] + ttl_ms > wm], lcols, ltypes)
+        all_r = _coerce(all_r[all_r["__ts"] + ttl_ms > wm], rcols, rtypes)
+        if len(all_l) == 0 and len(all_r) == 0:
+            if state.exists:
+                state.remove()
+            return
+        vals = (
+            [all_l["__ts"].tolist()]
+            + [all_l[c].tolist() for c in lcols]
+            + [all_r["__ts"].tolist()]
+            + [all_r[c].tolist() for c in rcols]
+        )
+        state.update(tuple(vals))
+        lo = min(
+            ([int(all_l["__ts"].min())] if len(all_l) else [])
+            + ([int(all_r["__ts"].min())] if len(all_r) else [])
+        )
+        state.setTimeoutTimestamp(lo + ttl_ms)
+
+    return both.groupBy(key_col).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
+    )

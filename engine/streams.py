@@ -139,6 +139,67 @@ def run_window_pipeline(
     return q, sink
 
 
+def transcript_features(df: DataFrame) -> DataFrame:
+    """Transcript-side feature extraction — pure JVM built-ins (no Python):
+    token count (whitespace split) + character count per clip."""
+    return df.select(
+        "clip_id",
+        "event_ts",
+        F.size(F.split(F.col("transcript"), r"\s+")).alias("n_tokens"),
+        F.length("transcript").alias("n_chars"),
+    )
+
+
+def run_join_pipeline(
+    spark: SparkSession,
+    clips_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "60 seconds",
+    ttl: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+    await_termination: bool = True,
+):
+    """North-rule J6 pipeline: clip-feature stream ⋈ transcript-feature stream,
+    keyed by ``clip_id``, state in the custom applyInPandasWithState store
+    (engine.state.stateful_stream_join), exactly-once ledger sink.
+
+    Both sides replay the same clip 'topic' through independent sources: side A
+    decodes PCM (vectorized mapInPandas) into acoustic features; side B derives
+    transcript stats JVM-side. Scale note: the union+groupBy shuffles once on
+    clip_id; per-key state is bounded by the join TTL, not stream length.
+    """
+    from engine.audio import extract_audio_features
+    from engine.state import stateful_stream_join
+
+    clip_side = read_clip_stream(
+        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=None
+    )
+    feats = (
+        extract_audio_features(clip_side)
+        .select("clip_id", "event_ts", "rms", "peak", "decoded_dur_ms")
+        .withWatermark("event_ts", watermark)
+    )
+    txt_side = read_clip_stream(
+        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=None
+    )
+    txts = transcript_features(txt_side).withWatermark("event_ts", watermark)
+
+    joined = stateful_stream_join(feats, txts, "clip_id", "event_ts", ttl=ttl)
+    sink = ParquetLedgerSink(out_dir, event_ts_col="left_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    if await_termination:
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    return q, sink
+
+
 def throughput_rows_per_sec(query) -> float:
     """Sustained input rows/sec over the life of a finished StreamingQuery,
     computed from its progress events (the metric BASELINE.json names)."""

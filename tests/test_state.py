@@ -1,0 +1,141 @@
+"""Custom applyInPandasWithState store (engine.state) vs built-in oracles.
+
+The built-in window()/session_window aggregates and a batch join serve as
+semantic oracles: the custom store must emit the identical row set for the
+same replayed stream + watermark (SURVEY.md §4.2, north rule T5/J6).
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.state import dur_ms, stateful_session_agg, stateful_stream_join, stateful_window_agg
+from engine.streams import (
+    read_clip_stream,
+    run_join_pipeline,
+    transcript_features,
+    write_clips_stream_dir,
+)
+from engine.windows import session_agg, sliding_agg, tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def clips_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("state_stream") / "clips")
+    write_clips_stream_dir(d, n_clips=1500, n_files=8, seed=11, jitter_ms=30_000)
+    return d
+
+
+_MEMQ = [0]
+
+
+def _run_stream(spark, df):
+    _MEMQ[0] += 1
+    name = f"state_mem_{_MEMQ[0]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame, keys):
+    got = got.sort_values(keys, ignore_index=True)[sorted(got.columns)]
+    want = want.sort_values(keys, ignore_index=True)[sorted(want.columns)]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9, check_dtype=False)
+
+
+def test_dur_ms():
+    assert dur_ms("10 minutes") == 600_000
+    assert dur_ms("1 hour") == 3_600_000
+    assert dur_ms("30 seconds") == 30_000
+    with pytest.raises(ValueError):
+        dur_ms("10 fortnights")
+
+
+def test_stateful_tumbling_matches_builtin(spark, clips_dir):
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark, stateful_window_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark, tumbling_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_stateful_sliding_matches_builtin(spark, clips_dir):
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        stateful_window_agg(
+            src, "event_ts", "speaker_id", "dur_ms", "10 minutes", slide="5 minutes"
+        ),
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark,
+        sliding_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes", "5 minutes"),
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_stateful_session_matches_builtin(spark, clips_dir):
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark, stateful_session_agg(src, "event_ts", "speaker_id", "dur_ms", "2 minutes")
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark, session_agg(src2, "event_ts", "speaker_id", "dur_ms", "2 minutes")
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_stateful_join_matches_batch(spark, clips_dir, tmp_path):
+    out = os.path.join(str(tmp_path), "join_out")
+    ckpt = os.path.join(str(tmp_path), "join_ckpt")
+    _, sink = run_join_pipeline(
+        spark, clips_dir, out, ckpt, max_files_per_trigger=2, ttl="10 minutes"
+    )
+    got = sink.read_committed(spark).toPandas()
+
+    batch = spark.read.parquet(clips_dir)
+    from engine.audio import extract_audio_features
+
+    feats = extract_audio_features(batch).select(
+        "clip_id", "event_ts", "rms", "peak", "decoded_dur_ms"
+    )
+    txts = transcript_features(batch)
+    want = (
+        feats.join(txts.withColumnRenamed("event_ts", "right_ts"), on="clip_id")
+        .withColumnRenamed("event_ts", "left_ts")
+        .toPandas()
+    )
+    # both sides replay the same table in lockstep → every pair joins
+    _cmp(got, want, ["clip_id"])
+
+
+def test_join_ttl_expires_unmatched(spark, clips_dir, tmp_path):
+    """A right side filtered to half the keys → unmatched left state must be
+    evicted (no growth) and only matching pairs emitted."""
+    src_l = read_clip_stream(spark, clips_dir, max_files_per_trigger=4)
+    left = src_l.select("clip_id", "event_ts", F.col("dur_ms").alias("l_dur"))
+    src_r = read_clip_stream(spark, clips_dir, max_files_per_trigger=4)
+    right = transcript_features(src_r).where(
+        F.abs(F.hash("clip_id")) % 2 == 0
+    )
+    joined = stateful_stream_join(left, right, "clip_id", "event_ts", ttl="2 minutes")
+    got = _run_stream(spark, joined)
+    batch = spark.read.parquet(clips_dir)
+    want_keys = (
+        transcript_features(batch)
+        .where(F.abs(F.hash("clip_id")) % 2 == 0)
+        .select("clip_id")
+        .toPandas()["clip_id"]
+    )
+    assert set(got["clip_id"]) == set(want_keys)
+    assert got["clip_id"].is_unique
