@@ -636,6 +636,112 @@ def _q_clip_window_agg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# custom stateful operators (T5/J6) — run as real streams over the events
+# table, then value-checked against DuckDB. Deterministic because the whole
+# table arrives in one micro-batch: the final watermark is max(ts) - 60 s and
+# the emitted set is exactly the windows closed by it.
+# ---------------------------------------------------------------------------
+
+_MEMQ_N = [0]
+
+
+def _stream_events(spark, sf_dir):
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(src).schema
+    if os.path.isdir(src):
+        path = src
+    else:
+        d = tempfile.mkdtemp(prefix="entry_stream_")
+        os.symlink(os.path.abspath(src), os.path.join(d, "events.parquet"))
+        path = d
+    # watermarks require TIMESTAMP (events.parquet stores TIMESTAMP_NTZ;
+    # session tz is pinned UTC so the cast is value-preserving)
+    return (
+        spark.readStream.schema(schema).parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_stream_to_df(spark, sdf):
+    _MEMQ_N[0] += 1
+    name = f"entry_mem_{_MEMQ_N[0]}"
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def _nan_to_null(df, col):
+    return df.withColumn(col, F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)))
+
+
+def _q_stateful_tumbling_10m(spark, sf_dir):
+    """Custom applyInPandasWithState tumbling window store (T5), streamed."""
+    from engine.state import stateful_window_agg
+
+    src = _stream_events(spark, sf_dir).withWatermark("ts", "60 seconds")
+    out = _run_stream_to_df(
+        spark, stateful_window_agg(src, "ts", "user_id", "value", "10 minutes")
+    )
+    out = _nan_to_null(out, "stdev_amt_per_10m")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+def _q_stateful_session_6h(spark, sf_dir):
+    """Custom state-store session windows (gaps-and-islands in state)."""
+    from engine.state import stateful_session_agg
+
+    src = _stream_events(spark, sf_dir).withWatermark("ts", "60 seconds")
+    out = _run_stream_to_df(
+        spark, stateful_session_agg(src, "ts", "user_id", "value", "6 hours")
+    )
+    out = _nan_to_null(out, "stdev_amt_per_session")
+    return _round6(out, ["avg_amt_per_session", "stdev_amt_per_session",
+                         "min_amt_per_session", "max_amt_per_session"])
+
+
+def _q_stateful_stream_join(spark, sf_dir):
+    """Symmetric-hash stateful stream-stream equi-join (J6): two event streams
+    keyed by event_id; every pair matches inside the TTL."""
+    from engine.state import stateful_stream_join
+
+    left = (
+        _stream_events(spark, sf_dir)
+        .select("event_id", F.col("ts").alias("event_ts"), F.col("value").alias("l_value"))
+        .withWatermark("event_ts", "60 seconds")
+    )
+    right = (
+        _stream_events(spark, sf_dir)
+        .select("event_id", F.col("ts").alias("event_ts"),
+                F.col("event_type").alias("r_type"))
+        .withWatermark("event_ts", "60 seconds")
+    )
+    joined = stateful_stream_join(left, right, "event_id", "event_ts", ttl="10 minutes")
+    out = _run_stream_to_df(spark, joined)
+    return _round6(out, ["l_value"])
+
+
+_SQL_CLOSED_WM = "(SELECT max(ts) - INTERVAL 60 SECOND FROM events)"
+
+_SQL_STATEFUL_TUMBLING_10M = f"""
+SELECT * FROM ({_SQL_TUMBLING_10M}) WHERE window_end <= {_SQL_CLOSED_WM}
+"""
+
+_SQL_STATEFUL_SESSION_6H = f"""
+SELECT * FROM ({_SQL_SESSION_6H}) WHERE window_end <= {_SQL_CLOSED_WM}
+"""
+
+_SQL_STATEFUL_STREAM_JOIN = """
+SELECT event_id, ts AS left_ts, ts AS right_ts,
+       round(value, 6) AS l_value, event_type AS r_type
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -678,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio graft
         "audio_features": _q_audio_features,
         "clip_window_agg": _q_clip_window_agg,
+        # custom stateful operators (T5/J6) — executed as real streams
+        "stateful_tumbling_10m": _q_stateful_tumbling_10m,
+        "stateful_session_6h": _q_stateful_session_6h,
+        "stateful_stream_join": _q_stateful_stream_join,
     }
 
 
@@ -705,6 +815,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "stateful_tumbling_10m": _SQL_STATEFUL_TUMBLING_10M,
+        "stateful_session_6h": _SQL_STATEFUL_SESSION_6H,
+        "stateful_stream_join": _SQL_STATEFUL_STREAM_JOIN,
         # minhash_dedup, simhash_dedup, lsh_knn: approximate/hash-seeded →
         # rows-only; audio_features, clip_window_agg: synthesized binary input
         # DuckDB can't reproduce → rows-only.

@@ -127,7 +127,48 @@ def _features_one(buf: bytes, codec: str, sr_hz: int) -> tuple:
     return n, rms, peak, zcr, dur_ms, clipped
 
 
-def extract_audio_features(df: DataFrame, payload_col: str = "bytes") -> DataFrame:
+SPECTRAL_FEATURE_FIELDS = (
+    "centroid_mean double, centroid_std double, bandwidth_mean double, "
+    "rolloff_mean double, flatness_mean double, energy_std double, "
+    "band_energies array<double>"
+)
+
+_HANN_CACHE: dict = {}
+N_BANDS = 8
+
+
+def _spectral_one(x: np.ndarray, sr: int) -> tuple:
+    """STFT-based clip descriptors: spectral centroid/bandwidth/rolloff/
+    flatness stats + log band energies — the standard speech-feature set
+    (25 ms window, 10 ms hop)."""
+    win = max(64, int(0.025 * sr))
+    hop = max(32, int(0.010 * sr))
+    if x.size < win:
+        x = np.pad(x, (0, win - x.size))
+    w = _HANN_CACHE.get(win)
+    if w is None:
+        w = _HANN_CACHE[win] = np.hanning(win)
+    frames = np.lib.stride_tricks.sliding_window_view(x, win)[::hop] * w
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(win, 1.0 / sr)
+    total = spec.sum(axis=1) + 1e-12
+    centroid = (spec * freqs).sum(axis=1) / total
+    bw = np.sqrt(((freqs[None, :] - centroid[:, None]) ** 2 * spec).sum(axis=1) / total)
+    roll = freqs[np.argmax(np.cumsum(spec, axis=1) >= 0.85 * total[:, None], axis=1)]
+    flat = np.exp(np.mean(np.log(spec + 1e-12), axis=1)) / (spec.mean(axis=1) + 1e-12)
+    bands = [
+        float(np.log10(b.mean() + 1e-12))
+        for b in np.array_split(spec, N_BANDS, axis=1)
+    ]
+    return (
+        float(centroid.mean()), float(centroid.std()), float(bw.mean()),
+        float(roll.mean()), float(flat.mean()), float(total.std()), bands,
+    )
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "bytes", spectral: bool = False
+) -> DataFrame:
     """Append per-clip acoustic features, decoded batch-at-a-time.
 
     This is the graft analogue of the reference's per-record Avro decode map
@@ -141,22 +182,134 @@ def extract_audio_features(df: DataFrame, payload_col: str = "bytes") -> DataFra
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields if f.name != payload_col)
         + ", "
         + AUDIO_FEATURE_FIELDS
+        + (", " + SPECTRAL_FEATURE_FIELDS if spectral else "")
     )
+    base_cols = ["n_samples", "rms", "peak", "zcr", "decoded_dur_ms", "clipped_frac"]
+    spec_cols = [
+        "centroid_mean", "centroid_std", "bandwidth_mean", "rolloff_mean",
+        "flatness_mean", "energy_std", "band_energies",
+    ]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _features_one(b, c, s)
-                for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"])
-            ]
-            fcols = pd.DataFrame(
-                feats,
-                columns=["n_samples", "rms", "peak", "zcr", "decoded_dur_ms", "clipped_frac"],
-                index=pdf.index,
-            )
+            feats, specs = [], []
+            for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"]):
+                x = decode_payload(b, c, s)
+                n = x.size
+                if n == 0:
+                    feats.append((0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                else:
+                    rms = float(np.sqrt(np.mean(x**2)))
+                    peak = float(np.max(np.abs(x)))
+                    zcr = (
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if n > 1 else 0.0
+                    )
+                    feats.append(
+                        (n, rms, peak, zcr, 1000.0 * n / s,
+                         float(np.mean(np.abs(x) >= (32766.0 / 32767.0))))
+                    )
+                if spectral:
+                    specs.append(_spectral_one(x, int(s)))
+            fcols = pd.DataFrame(feats, columns=base_cols, index=pdf.index)
+            if spectral:
+                scols = pd.DataFrame(specs, columns=spec_cols, index=pdf.index)
+                fcols = pd.concat([fcols, scols], axis=1)
             yield pd.concat([pdf[passthrough], fcols], axis=1)
 
     return df.mapInPandas(op, schema=out_schema)
+
+
+def extract_audio_features_direct(
+    df: DataFrame,
+    spectral: bool = False,
+    payload_col: str = "bytes",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Payload-direct feature extraction: bytes never cross the JVM.
+
+    For payload-heavy tables the JVM→Python Arrow transfer of the ``bytes``
+    column is the throughput ceiling (measured ~750 MB/s aggregate on this
+    box, flat in cores — it caps the whole pipeline while CPUs idle).  The
+    scale-correct plan is: let Catalyst scan only the *metadata* columns
+    (parquet column pruning keeps the payload on disk), and have the
+    vectorized Python stage read the payload column straight from the backing
+    parquet file (disk → Arrow → numpy, no JVM hop), keyed by
+    ``_metadata.file_path``.  At 100 TB this is the difference between moving
+    the corpus through the scan twice and once.
+
+    ``df`` must be a parquet-backed DataFrame (batch or streaming).  All
+    non-payload columns pass through; output schema matches
+    :func:`extract_audio_features`.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
+
+    meta_cols = [c for c in df.columns if c != payload_col]
+    pruned = df.select(*meta_cols, F.col("_metadata.file_path").alias("__file_path"))
+
+    out_schema = (
+        ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != payload_col
+        )
+        + ", "
+        + AUDIO_FEATURE_FIELDS
+        + (", " + SPECTRAL_FEATURE_FIELDS if spectral else "")
+    )
+    base_cols = ["n_samples", "rms", "peak", "zcr", "decoded_dur_ms", "clipped_frac"]
+    spec_cols = [
+        "centroid_mean", "centroid_std", "bandwidth_mean", "rolloff_mean",
+        "flatness_mean", "energy_std", "band_energies",
+    ]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        payload_cache: dict[str, dict] = {}
+
+        def payloads_for(path: str) -> dict:
+            got = payload_cache.get(path)
+            if got is None:
+                local = path[7:] if path.startswith("file://") else path
+                tbl = pq.read_table(local, columns=[id_col, payload_col])
+                got = dict(
+                    zip(tbl.column(id_col).to_pylist(), tbl.column(payload_col).to_pylist())
+                )
+                payload_cache.clear()  # one file resident at a time per worker
+                payload_cache[path] = got
+            return got
+
+        for pdf in batches:
+            feats, specs = [], []
+            for cid, fp, c, s in zip(
+                pdf[id_col], pdf["__file_path"], pdf["codec"], pdf["sr_hz"]
+            ):
+                b = payloads_for(fp)[cid]
+                x = decode_payload(b, c, s)
+                n = x.size
+                if n == 0:
+                    feats.append((0, 0.0, 0.0, 0.0, 0.0, 0.0))
+                else:
+                    rms = float(np.sqrt(np.mean(x**2)))
+                    peak = float(np.max(np.abs(x)))
+                    zcr = (
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if n > 1 else 0.0
+                    )
+                    feats.append(
+                        (n, rms, peak, zcr, 1000.0 * n / s,
+                         float(np.mean(np.abs(x) >= (32766.0 / 32767.0))))
+                    )
+                if spectral:
+                    specs.append(_spectral_one(x, int(s)))
+            fcols = pd.DataFrame(feats, columns=base_cols, index=pdf.index)
+            if spectral:
+                scols = pd.DataFrame(specs, columns=spec_cols, index=pdf.index)
+                fcols = pd.concat([fcols, scols], axis=1)
+            yield pd.concat([pdf[meta_cols], fcols], axis=1)
+
+    return pruned.mapInPandas(op, schema=out_schema)
 
 
 def with_payload_size(df: DataFrame, payload_col: str = "bytes") -> DataFrame:

@@ -1,0 +1,222 @@
+"""spark-submit entry points (SURVEY.md §3.1-3.2 analogues).
+
+The reference ships two jobs in one jar (``pom.xml:250`` mainClass plus
+``SimProducer``): a paced synthetic producer and the windowed-aggregate
+consumer, launched on a cluster from the Hopsworks UI (``README.md:10-28``).
+Our equivalents are subcommands of this module, launched either as
+
+    python -m engine.jobs <cmd> ...                      (local dev)
+    spark-submit --master ... --py-files engine.zip \
+        scripts/run_job.py <cmd> ...                     (cluster)
+
+Subcommands
+-----------
+producer   materialize the clip 'topic' (deterministic synthetic audio+
+           transcript table as ordered parquet chunks) — SimProducer analogue.
+pipeline   rate-controlled stream → watermark → keyed window aggregate →
+           exactly-once ledger sink — TransactionFraudExample analogue.
+           ``--stateful`` switches the aggregation from the built-in
+           ``window()`` operator to the custom applyInPandasWithState store.
+join       dual-stream stateful join: clip features ⋈ transcript features
+           keyed by clip_id (north rule J6).
+
+Each job prints ONE JSON line with row counts, elapsed time, throughput, and
+the sink audit, so cluster runs at different parallelism can be compared
+directly (scaling-efficiency evidence, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cores", type=int, default=None,
+                   help="local[N] threads; ignored under spark-submit --master")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def cmd_producer(args) -> dict:
+    from engine.streams import write_clips_stream_dir
+
+    t0 = time.time()
+    write_clips_stream_dir(
+        args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
+        jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
+    )
+    return {
+        "job": "producer", "out": args.out, "clips": args.n_clips,
+        "files": args.n_files, "elapsed_sec": round(time.time() - t0, 3),
+    }
+
+
+def cmd_pipeline(args) -> dict:
+    from engine.session import get_spark
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import read_clip_stream, run_window_pipeline
+
+    spark = get_spark("pipeline", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
+
+    def extractor(sdf):
+        from engine.audio import extract_audio_features, extract_audio_features_direct
+
+        fe = extract_audio_features_direct if args.payload_direct else extract_audio_features
+        return fe(sdf, spectral=(args.features == "spectral"))
+
+    if args.decode and args.warmup:
+        # Spawn python workers + compile codegen before the clock starts, so
+        # sustained throughput is measured, not JVM/worker cold start.
+        extractor(spark.read.parquet(args.clips).limit(256)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    t0 = time.time()
+    if args.decode or args.stateful:
+        from engine.state import stateful_session_agg, stateful_window_agg
+        from engine.windows import session_agg, sliding_agg, tumbling_agg
+
+        src = read_clip_stream(
+            spark, args.clips, max_files_per_trigger=args.max_files_per_trigger,
+            watermark=None if args.decode else args.watermark,
+        )
+        if args.decode:
+            # end-to-end flagship: vectorized PCM decode feeds the aggregate
+            src = extractor(src).withWatermark("event_ts", args.watermark)
+            args.value = "rms"
+        if args.stateful:
+            if args.window == "session":
+                agg = stateful_session_agg(src, "event_ts", args.key, args.value, args.gap)
+            else:
+                slide = args.slide if args.window == "sliding" else None
+                agg = stateful_window_agg(
+                    src, "event_ts", args.key, args.value, args.width, slide=slide
+                )
+        elif args.window == "session":
+            agg = session_agg(src, "event_ts", args.key, args.value, args.gap)
+        elif args.window == "sliding":
+            agg = sliding_agg(src, "event_ts", args.key, args.value, args.width, args.slide)
+        else:
+            agg = tumbling_agg(src, "event_ts", args.key, args.value, args.width)
+        sink = ParquetLedgerSink(args.out, event_ts_col="window_start")
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    else:
+        _, sink = run_window_pipeline(
+            spark, args.clips, args.out, ckpt,
+            window_kind=args.window, width=args.width, slide=args.slide,
+            gap=args.gap, key_col=args.key, value_col=args.value,
+            watermark=args.watermark,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    elapsed = time.time() - t0
+    n_in = spark.read.parquet(args.clips).count()
+    audit = sink.audit()
+    out_rows = sink.read_committed(spark).count()
+    spark.stop()
+    return {
+        "job": "pipeline", "window": args.window, "stateful": args.stateful,
+        "decode": args.decode,
+        "input_clips": n_in, "output_rows": out_rows,
+        "elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(n_in / elapsed, 1),
+        "exactly_once": audit["consistent"] and audit["unique_batch_ids"],
+        "n_batches": audit["n_batches"],
+    }
+
+
+def cmd_join(args) -> dict:
+    from engine.session import get_spark
+    from engine.streams import run_join_pipeline
+
+    spark = get_spark("join", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
+    t0 = time.time()
+    _, sink = run_join_pipeline(
+        spark, args.clips, args.out, ckpt, watermark=args.watermark,
+        ttl=args.ttl, max_files_per_trigger=args.max_files_per_trigger,
+    )
+    elapsed = time.time() - t0
+    n_in = spark.read.parquet(args.clips).count()
+    audit = sink.audit()
+    out_rows = sink.read_committed(spark).count()
+    spark.stop()
+    return {
+        "job": "join", "input_clips": n_in, "joined_rows": out_rows,
+        "elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(n_in / elapsed, 1),
+        "exactly_once": audit["consistent"] and audit["unique_batch_ids"],
+        "n_batches": audit["n_batches"],
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="engine.jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("producer", help="materialize the clip topic")
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-clips", type=int, default=10_000)
+    p.add_argument("--n-files", type=int, default=20)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--jitter-ms", type=int, default=30_000)
+    p.add_argument("--max-dur-ms", type=int, default=1000)
+    p.set_defaults(fn=cmd_producer)
+
+    for name, fn in (("pipeline", cmd_pipeline), ("join", cmd_join)):
+        p = sub.add_parser(name)
+        p.add_argument("--clips", required=True, help="clip topic dir (producer output)")
+        p.add_argument("--out", required=True, help="sink dir (data + ledger)")
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--watermark", default="60 seconds")
+        p.add_argument("--max-files-per-trigger", type=int, default=4)
+        _add_common(p)
+        if name == "pipeline":
+            p.add_argument("--window", choices=("tumbling", "sliding", "session"),
+                           default="tumbling")
+            p.add_argument("--width", default="10 minutes")
+            p.add_argument("--slide", default="5 minutes")
+            p.add_argument("--gap", default="2 minutes")
+            p.add_argument("--key", default="speaker_id")
+            p.add_argument("--value", default="dur_ms")
+            p.add_argument("--stateful", action="store_true",
+                           help="use the custom applyInPandasWithState store")
+            p.add_argument("--decode", action="store_true",
+                           help="decode PCM (vectorized) and aggregate rms "
+                                "instead of the metadata dur_ms column")
+            p.add_argument("--features", choices=("basic", "spectral"),
+                           default="basic",
+                           help="acoustic feature set computed after decode")
+            p.add_argument("--payload-direct", action="store_true",
+                           help="read audio bytes straight from parquet in the "
+                                "Python stage (JVM scans metadata only)")
+            p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                           default=True,
+                           help="pre-spawn workers/codegen before timing")
+        else:
+            p.add_argument("--ttl", default="10 minutes")
+        p.set_defaults(fn=fn)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    result = args.fn(args)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -71,9 +71,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     # Only force a local master when not running under spark-submit --master.
-    if "SPARK_SUBMIT_OPTS" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    # PYSPARK_GATEWAY_PORT is set iff spark-submit's JVM launched this Python
+    # process (the JVM then owns master/memory); SPARK_MASTER is our own
+    # explicit override.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cores}]")
-        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # spark.driver.memory must reach the JVM at launch: setting it on the
+        # builder is too late (py4j has already forked the gateway with the
+        # 1 GiB default), so inject it via PYSPARK_SUBMIT_ARGS before the
+        # first session of this process.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        if "PYSPARK_SUBMIT_ARGS" not in os.environ:
+            os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} pyspark-shell"
+        builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -20,6 +20,7 @@ aggregate → exactly-once ledger sink.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,37 +34,69 @@ CLIP_SCHEMA_DDL = (
 )
 
 
-def write_clips_stream_dir(
-    dir_path: str, n_clips: int, n_files: int = 20, seed: int = 42, **kw
-) -> str:
-    """Materialize the clip table as ``n_files`` parquet chunks in arrival
-    order — the replayable 'topic'. (Producer job, ``SimProducer.java:24-47``.)"""
+_CLIP_PA_SCHEMA_FIELDS = (
+    ("clip_id", "string"),
+    ("bytes", "binary"),
+    ("sr_hz", "int32"),
+    ("dur_ms", "int32"),
+    ("codec", "string"),
+    ("transcript", "string"),
+    ("event_ts", "timestamp[us]"),
+    ("speaker_id", "int64"),
+)
+
+
+def _write_clip_file(args) -> str:
+    """One producer shard: generate [start, start+n) deterministically and
+    write a single parquet file. Top-level so multiprocessing can pickle it."""
+    dir_path, i, start, n, seed, kw = args
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from engine.synth import make_clips_pdf
 
-    pdf = make_clips_pdf(n_clips, seed=seed, **kw)
+    pdf = make_clips_pdf(n, seed=seed, start_index=start, **kw)
+    schema = pa.schema([(name, pa.type_for_alias(t)) for name, t in _CLIP_PA_SCHEMA_FIELDS])
+    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    out = os.path.join(dir_path, f"part-{i:05d}.parquet")
+    pq.write_table(table, out)
+    return out
+
+
+def write_clips_stream_dir(
+    dir_path: str, n_clips: int, n_files: int = 20, seed: int = 42,
+    parallelism: int | None = None, **kw
+) -> str:
+    """Materialize the clip table as ``n_files`` parquet chunks in arrival
+    order — the replayable 'topic'. (Producer job, ``SimProducer.java:24-47``.)
+
+    Shards are generated in parallel processes; each shard's rng derives from
+    ``(seed, start_index)`` (engine.synth.make_clips_pdf), so output is
+    deterministic regardless of parallelism."""
     os.makedirs(dir_path, exist_ok=True)
     chunk = (n_clips + n_files - 1) // n_files
-    schema = pa.schema(
-        [
-            ("clip_id", pa.string()),
-            ("bytes", pa.binary()),
-            ("sr_hz", pa.int32()),
-            ("dur_ms", pa.int32()),
-            ("codec", pa.string()),
-            ("transcript", pa.string()),
-            ("event_ts", pa.timestamp("us")),
-            ("speaker_id", pa.int64()),
-        ]
-    )
+    tasks = []
     for i in range(n_files):
-        part = pdf.iloc[i * chunk : (i + 1) * chunk]
-        if len(part) == 0:
+        start = i * chunk
+        n = min(chunk, n_clips - start)
+        if n <= 0:
             break
-        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
-        pq.write_table(table, os.path.join(dir_path, f"part-{i:05d}.parquet"))
+        tasks.append((dir_path, i, start, n, seed, kw))
+    if parallelism is None:
+        parallelism = min(len(tasks), max(1, (os.cpu_count() or 4) // 2))
+    if parallelism <= 1 or len(tasks) <= 1:
+        paths = [_write_clip_file(t) for t in tasks]
+    else:
+        import multiprocessing as mp
+
+        with mp.Pool(parallelism) as pool:
+            paths = pool.map(_write_clip_file, tasks)
+    # Spark's file stream source replays in modification-time order; parallel
+    # shard writes finish out of order, so stamp monotone mtimes to preserve
+    # arrival order (the 'topic offset' order).
+    base = int(time.time()) - len(paths) - 10
+    for i, p in enumerate(sorted(paths)):
+        os.utime(p, (base + i, base + i))
     return dir_path
 
 

@@ -54,15 +54,28 @@ def make_clips_pdf(
     jitter_ms: int = 60_000,
     ulaw_frac: float = 0.05,
     max_dur_ms: int = 1000,
+    start_index: int = 0,
 ) -> pd.DataFrame:
     """Generate the clip table as a pandas DataFrame (FIXTURES.md F1 schema).
 
     Columns: clip_id, bytes, sr_hz, dur_ms, codec, transcript  (input_hint)
     plus event_ts (timestamp) and speaker_id (long) for streaming semantics.
-    """
-    rng = np.random.default_rng(seed)
 
-    clip_ids = [hashlib.sha256(f"clip{i}".encode()).hexdigest() for i in range(n_clips)]
+    ``start_index`` makes generation shardable: shard k of a large table is
+    ``make_clips_pdf(chunk, seed, start_index=k*chunk)`` — clip ids and event
+    times continue the global sequence, and the rng is derived from
+    ``(seed, start_index)`` so shards are independent and deterministic.
+    """
+    rng = (
+        np.random.default_rng(seed)
+        if start_index == 0
+        else np.random.default_rng([seed, start_index])
+    )
+
+    clip_ids = [
+        hashlib.sha256(f"clip{i}".encode()).hexdigest()
+        for i in range(start_index, start_index + n_clips)
+    ]
 
     # Zipf-skewed speaker keys clipped to [1, n_speakers]
     speakers = np.minimum(rng.zipf(zipf_a, size=n_clips), n_speakers).astype(np.int64)
@@ -75,7 +88,10 @@ def make_clips_pdf(
 
     # Event time: monotone base + jitter up to ±jitter_ms (out-of-orderness the
     # 60 s watermark must tolerate / drop at the boundary).
-    base = EPOCH_BASE_MS + np.arange(n_clips, dtype=np.int64) * mean_gap_ms
+    base = (
+        EPOCH_BASE_MS
+        + (start_index + np.arange(n_clips, dtype=np.int64)) * mean_gap_ms
+    )
     ts_ms = base + rng.integers(-jitter_ms, jitter_ms + 1, size=n_clips)
 
     freqs = rng.uniform(80.0, 2000.0, size=n_clips)

@@ -70,3 +70,67 @@ def test_extract_audio_features_spark(spark, clips_df):
     np.testing.assert_allclose(
         feats["decoded_dur_ms"], feats["n_samples"] * 1000.0 / feats["sr_hz"], rtol=1e-9
     )
+
+
+def test_spectral_features_sine_centroid():
+    from engine.audio import _spectral_one
+
+    sig = _sine(sr=16000, dur_s=0.5, f=440.0, amp=0.6, seed=3)
+    (centroid_mean, centroid_std, bw_mean, rolloff_mean, flat_mean, e_std,
+     bands) = _spectral_one(sig, 16000)
+    # a near-pure 440 Hz tone: centroid and rolloff sit near 440 Hz
+    assert 350 < centroid_mean < 550
+    assert 350 < rolloff_mean < 600
+    assert bw_mean < 400
+    assert 0.0 <= flat_mean < 0.05  # tonal, far from white noise
+    assert len(bands) == 8
+    # white noise: centroid near sr/4, flatness much higher
+    rng = np.random.default_rng(0)
+    noise = 0.5 * rng.standard_normal(8000)
+    (nc, _, _, _, nflat, _, _) = _spectral_one(noise, 16000)
+    assert 3000 < nc < 5000
+    assert nflat > 0.3
+
+
+def test_spectral_features_spark(spark, clips_df):
+    out = extract_audio_features(clips_df.limit(50), spectral=True)
+    pdf = out.toPandas()
+    assert {"centroid_mean", "band_energies", "rms"} <= set(pdf.columns)
+    assert (pdf["centroid_mean"] > 0).all()
+    assert pdf["band_energies"].map(len).eq(8).all()
+
+
+def test_payload_direct_matches_in_jvm(spark, tmp_path):
+    """extract_audio_features_direct (bytes read straight from parquet in the
+    Python stage) must produce byte-identical features to the JVM-scan path."""
+    from engine.audio import extract_audio_features, extract_audio_features_direct
+    from engine.streams import write_clips_stream_dir
+
+    d = str(tmp_path / "clips")
+    write_clips_stream_dir(d, 300, n_files=3, seed=5)
+    df = spark.read.parquet(d)
+    a = extract_audio_features(df, spectral=True).drop("band_energies").toPandas()
+    b = extract_audio_features_direct(df, spectral=True).drop("band_energies").toPandas()
+    a = a.sort_values("clip_id", ignore_index=True)
+    b = b.sort_values("clip_id", ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_parallel_producer_deterministic(tmp_path):
+    """Same (seed, sharding) → identical files regardless of parallelism."""
+    import hashlib
+
+    from engine.streams import write_clips_stream_dir
+
+    d1 = str(tmp_path / "p1")
+    d2 = str(tmp_path / "p2")
+    write_clips_stream_dir(d1, 400, n_files=4, seed=9, parallelism=1)
+    write_clips_stream_dir(d2, 400, n_files=4, seed=9, parallelism=4)
+    import os
+
+    for f in sorted(os.listdir(d1)):
+        h1 = hashlib.sha256(open(os.path.join(d1, f), "rb").read()).hexdigest()
+        h2 = hashlib.sha256(open(os.path.join(d2, f), "rb").read()).hexdigest()
+        assert h1 == h2, f
