@@ -73,6 +73,16 @@ def _ms_ts(arr) -> pd.Series:
     return pd.Series(np.asarray(arr, dtype="int64").astype("datetime64[ms]"))
 
 
+def _ts_us(series: pd.Series) -> np.ndarray:
+    """Full-precision event time (epoch µs) — session windows and join
+    buffers must preserve sub-millisecond timestamps exactly."""
+    return series.to_numpy(dtype="datetime64[us]").astype("int64")
+
+
+def _us_ts(arr) -> pd.Series:
+    return pd.Series(np.asarray(arr, dtype="int64").astype("datetime64[us]"))
+
+
 _ACC_COLS = ("start", "cnt", "sum", "sumsq", "mn", "mx")
 _ACC_STATE_DDL = (
     "start array<long>, cnt array<long>, sum array<double>, "
@@ -107,7 +117,8 @@ def _acc_to_state(state: GroupState, acc: pd.DataFrame, timeout_ms: int, cols=_A
     state.setTimeoutTimestamp(timeout_ms)
 
 
-def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev, key_name):
+def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
+                key_name, to_ts=_ms_ts):
     """Accumulators → output rows shaped like engine.windows._agg_exprs."""
     n = acc["cnt"].to_numpy(dtype="float64")
     s = acc["sum"].to_numpy()
@@ -124,8 +135,8 @@ def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev, k
     end = acc["start"] + width_ms if width_ms is not None else acc["end"]
     return pd.DataFrame(
         {
-            "window_start": _ms_ts(acc["start"]),
-            "window_end": _ms_ts(end),
+            "window_start": to_ts(acc["start"]),
+            "window_end": to_ts(end),
             key_name: [key[0]] * len(acc),
             f"num_trans_per_{label}": acc["cnt"].astype("int64"),
             f"avg_amt_per_{label}": avg,
@@ -241,26 +252,26 @@ def stateful_session_agg(
     merge rule as ``F.session_window`` and Flink session windows).  A session
     emits when the watermark passes its end (it can no longer be extended).
     """
-    gap_ms = dur_ms(gap)
+    gap_us = dur_ms(gap) * 1000
     key_sql_type = df.schema[key_col].dataType.simpleString()
     out_ddl = _out_ddl(key_col, key_sql_type, label)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        wm = state.getCurrentWatermarkMs()
+        wm = state.getCurrentWatermarkMs() * 1000  # µs
         acc = _acc_from_state(state, _SESS_COLS)
         contribs = [acc]
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts = _ts_ms(pdf[ts_col])
+            ts = _ts_us(pdf[ts_col])
             v = pdf[value_col].to_numpy(dtype="float64")
-            live = ts + gap_ms > wm  # late rows past every live session: drop
+            live = ts + gap_us > wm  # late rows past every live session: drop
             if not live.any():
                 continue
             ts, v = ts[live], v[live]
             contribs.append(
                 pd.DataFrame(
-                    {"start": ts, "end": ts + gap_ms, "cnt": 1, "sum": v,
+                    {"start": ts, "end": ts + gap_us, "cnt": 1, "sum": v,
                      "sumsq": v * v, "mn": v, "mx": v}
                 )
             )
@@ -282,9 +293,11 @@ def stateful_session_agg(
             acc = allc
         mature = acc["end"] <= wm
         if mature.any():
-            yield _result_pdf(key, acc[mature], None, label, bug_compatible_stdev, key_col)
+            yield _result_pdf(key, acc[mature], None, label, bug_compatible_stdev,
+                              key_col, to_ts=_us_ts)
         rest = acc[~mature]
-        timeout = int(rest["end"].min()) if len(rest) else 0
+        # timeout is in ms and must be strictly past the watermark
+        timeout = int(rest["end"].min()) // 1000 + 1 if len(rest) else 0
         _acc_to_state(state, rest, timeout, _SESS_COLS)
 
     return df.groupBy(key_col).applyInPandasWithState(
@@ -314,7 +327,7 @@ def stateful_stream_join(
     use per-side prefixes as in the reference's join prefixing
     (``base/constructor/Join.java:50-71``).
     """
-    ttl_ms = dur_ms(ttl)
+    ttl_us = dur_ms(ttl) * 1000
     lcols = [c for c in left.columns if c not in (key_col, ts_col)]
     rcols = [c for c in right.columns if c not in (key_col, ts_col)]
     overlap = set(lcols) & set(rcols)
@@ -390,23 +403,23 @@ def stateful_stream_join(
         return pd.DataFrame(
             {
                 key_col: [key[0]] * len(m),
-                left_ts_name: _ms_ts(m["__lts"]),
-                right_ts_name: _ms_ts(m["__rts"]),
+                left_ts_name: _us_ts(m["__lts"]),
+                right_ts_name: _us_ts(m["__rts"]),
                 **{c: m[c] for c in lcols},
                 **{c: m[c] for c in rcols},
             }
         )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        wm = state.getCurrentWatermarkMs()
+        wm = state.getCurrentWatermarkMs() * 1000  # µs
         old_l, old_r = _buf_from_state(state)
         new_l_parts, new_r_parts = [], []
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            ts = _ts_ms(pdf[ts_col])
+            ts = _ts_us(pdf[ts_col])
             pdf = pdf.assign(__ts=ts)
-            live = pdf[ts + ttl_ms > wm]
+            live = pdf[ts + ttl_us > wm]
             side = live["__side"].to_numpy()
             new_l_parts.append(live.loc[side == 0, ["__ts"] + lcols])
             new_r_parts.append(live.loc[side == 1, ["__ts"] + rcols])
@@ -428,8 +441,8 @@ def stateful_stream_join(
                 yield out[out_cols]
         # retain buffers still inside TTL
         all_l = pd.concat([old_l, new_l], ignore_index=True)
-        all_l = _coerce(all_l[all_l["__ts"] + ttl_ms > wm], lcols, ltypes)
-        all_r = _coerce(all_r[all_r["__ts"] + ttl_ms > wm], rcols, rtypes)
+        all_l = _coerce(all_l[all_l["__ts"] + ttl_us > wm], lcols, ltypes)
+        all_r = _coerce(all_r[all_r["__ts"] + ttl_us > wm], rcols, rtypes)
         if len(all_l) == 0 and len(all_r) == 0:
             if state.exists:
                 state.remove()
@@ -445,7 +458,8 @@ def stateful_stream_join(
             ([int(all_l["__ts"].min())] if len(all_l) else [])
             + ([int(all_r["__ts"].min())] if len(all_r) else [])
         )
-        state.setTimeoutTimestamp(lo + ttl_ms)
+        # timeout is in ms, strictly past the watermark
+        state.setTimeoutTimestamp((lo + ttl_us) // 1000 + 1)
 
     return both.groupBy(key_col).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
