@@ -719,7 +719,8 @@ def _q_stateful_stream_join(spark, sf_dir):
                 F.col("event_type").alias("r_type"))
         .withWatermark("event_ts", "60 seconds")
     )
-    joined = stateful_stream_join(left, right, "event_id", "event_ts", ttl="10 minutes")
+    joined = stateful_stream_join(left, right, "event_id", "event_ts",
+                                  ttl="10 minutes", n_buckets=128)
     out = _run_stream_to_df(spark, joined)
     return _round6(out, ["l_value"])
 

@@ -43,7 +43,6 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _UNIT_MS = {
@@ -313,154 +312,14 @@ def stateful_stream_join(
     ttl: str = "10 minutes",
     left_ts_name: str = "left_ts",
     right_ts_name: str = "right_ts",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Stateful inner stream-stream equi-join with buffered state (J6).
 
-    Symmetric hash join: rows from both watermarked streams are buffered per
-    key; each micro-batch emits new-left × all-seen-right plus new-right ×
-    previously-buffered-left (no double counting).  Buffered rows are evicted
-    once the watermark passes ``ts + ttl`` — the join-state retention Spark's
-    built-in watermarked join derives from the join condition, made explicit.
+    Implemented in :mod:`engine.state_join`; ``n_buckets`` selects the
+    key-coarsened layout that keeps per-micro-batch Python-invocation cost
+    independent of key cardinality (see that module's docstring)."""
+    from engine.state_join import stateful_stream_join as impl
 
-    Both inputs must already carry ``withWatermark(ts_col, ...)``; payload
-    column names (everything except key/ts) must be disjoint between sides —
-    use per-side prefixes as in the reference's join prefixing
-    (``base/constructor/Join.java:50-71``).
-    """
-    ttl_us = dur_ms(ttl) * 1000
-    lcols = [c for c in left.columns if c not in (key_col, ts_col)]
-    rcols = [c for c in right.columns if c not in (key_col, ts_col)]
-    overlap = set(lcols) & set(rcols)
-    if overlap:
-        raise ValueError(f"payload columns must be disjoint, got overlap {overlap}")
-
-    def _norm(dt) -> str:
-        # Normalize narrow numerics so pandas' null-driven float upcasts
-        # round-trip losslessly through the Arrow state arrays.
-        s = dt.simpleString()
-        if s in ("tinyint", "smallint", "int", "bigint"):
-            return "bigint"
-        if s in ("float", "double"):
-            return "double"
-        return s
-
-    ltypes = {c: _norm(left.schema[c].dataType) for c in lcols}
-    rtypes = {c: _norm(right.schema[c].dataType) for c in rcols}
-
-    tagged_l = left.select(
-        F.col(key_col), F.col(ts_col), F.lit(0).alias("__side"),
-        *[F.col(c).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
-    )
-    tagged_r = right.select(
-        F.col(key_col), F.col(ts_col), F.lit(1).alias("__side"),
-        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.col(c).cast(rtypes[c]).alias(c) for c in rcols],
-    )
-    both = tagged_l.unionByName(tagged_r)
-
-    key_sql = both.schema[key_col].dataType.simpleString()
-    out_ddl = ", ".join(
-        [f"{key_col} {key_sql}", f"{left_ts_name} timestamp", f"{right_ts_name} timestamp"]
-        + [f"{c} {ltypes[c]}" for c in lcols]
-        + [f"{c} {rtypes[c]}" for c in rcols]
-    )
-    state_cols = (["lts"] + [f"l_{c}" for c in lcols] + ["rts"] + [f"r_{c}" for c in rcols])
-    state_ddl = ", ".join(
-        ["lts array<long>"]
-        + [f"l_{c} array<{ltypes[c]}>" for c in lcols]
-        + ["rts array<long>"]
-        + [f"r_{c} array<{rtypes[c]}>" for c in rcols]
-    )
-    out_cols = [key_col, left_ts_name, right_ts_name] + lcols + rcols
-
-    _pd_dtype = {"bigint": "int64", "double": "float64"}
-
-    def _coerce(frame: pd.DataFrame, cols, types) -> pd.DataFrame:
-        frame = frame.copy()
-        for c in cols:
-            dt = _pd_dtype.get(types[c])
-            if dt is not None and len(frame):
-                frame[c] = frame[c].astype(dt)
-        return frame
-
-    def _buf_from_state(state: GroupState):
-        if state.exists:
-            vals = list(state.get)
-        else:
-            vals = [[] for _ in state_cols]
-        d = dict(zip(state_cols, vals))
-        lbuf = pd.DataFrame({"__ts": np.asarray(d["lts"], dtype="int64"),
-                             **{c: pd.Series(d[f"l_{c}"]) for c in lcols}})
-        rbuf = pd.DataFrame({"__ts": np.asarray(d["rts"], dtype="int64"),
-                             **{c: pd.Series(d[f"r_{c}"]) for c in rcols}})
-        return _coerce(lbuf, lcols, ltypes), _coerce(rbuf, rcols, rtypes)
-
-    def _emit(key, lrows: pd.DataFrame, rrows: pd.DataFrame) -> pd.DataFrame:
-        lr = lrows.rename(columns={"__ts": "__lts"}).assign(__k=0)
-        rr = rrows.rename(columns={"__ts": "__rts"}).assign(__k=0)
-        m = lr.merge(rr, on="__k").drop(columns="__k")
-        return pd.DataFrame(
-            {
-                key_col: [key[0]] * len(m),
-                left_ts_name: _us_ts(m["__lts"]),
-                right_ts_name: _us_ts(m["__rts"]),
-                **{c: m[c] for c in lcols},
-                **{c: m[c] for c in rcols},
-            }
-        )
-
-    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        wm = state.getCurrentWatermarkMs() * 1000  # µs
-        old_l, old_r = _buf_from_state(state)
-        new_l_parts, new_r_parts = [], []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts = _ts_us(pdf[ts_col])
-            pdf = pdf.assign(__ts=ts)
-            live = pdf[ts + ttl_us > wm]
-            side = live["__side"].to_numpy()
-            new_l_parts.append(live.loc[side == 0, ["__ts"] + lcols])
-            new_r_parts.append(live.loc[side == 1, ["__ts"] + rcols])
-        new_l = (pd.concat(new_l_parts, ignore_index=True)
-                 if new_l_parts else old_l.iloc[0:0])
-        new_r = (pd.concat(new_r_parts, ignore_index=True)
-                 if new_r_parts else old_r.iloc[0:0])
-        new_l = _coerce(new_l, lcols, ltypes)
-        new_r = _coerce(new_r, rcols, rtypes)
-        all_r = pd.concat([old_r, new_r], ignore_index=True)
-        outs = []
-        if len(new_l) and len(all_r):
-            outs.append(_emit(key, new_l, all_r))
-        if len(new_r) and len(old_l):
-            outs.append(_emit(key, old_l, new_r))
-        if outs:
-            out = pd.concat(outs, ignore_index=True)
-            if len(out):
-                yield out[out_cols]
-        # retain buffers still inside TTL
-        all_l = pd.concat([old_l, new_l], ignore_index=True)
-        all_l = _coerce(all_l[all_l["__ts"] + ttl_us > wm], lcols, ltypes)
-        all_r = _coerce(all_r[all_r["__ts"] + ttl_us > wm], rcols, rtypes)
-        if len(all_l) == 0 and len(all_r) == 0:
-            if state.exists:
-                state.remove()
-            return
-        vals = (
-            [all_l["__ts"].tolist()]
-            + [all_l[c].tolist() for c in lcols]
-            + [all_r["__ts"].tolist()]
-            + [all_r[c].tolist() for c in rcols]
-        )
-        state.update(tuple(vals))
-        lo = min(
-            ([int(all_l["__ts"].min())] if len(all_l) else [])
-            + ([int(all_r["__ts"].min())] if len(all_r) else [])
-        )
-        # timeout is in ms, strictly past the watermark
-        state.setTimeoutTimestamp((lo + ttl_us) // 1000 + 1)
-
-    return both.groupBy(key_col).applyInPandasWithState(
-        fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
-    )
+    return impl(left, right, key_col, ts_col, ttl, left_ts_name,
+                right_ts_name, n_buckets)

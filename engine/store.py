@@ -1,0 +1,152 @@
+"""FeatureStore facade: metadata registry + insert / insert_stream (S5).
+
+The reference splits this between REST metadata calls
+(``MetaDataUtils.getOrCreateStreamFeatureGroup``,
+``flink/metadata/MetaDataUtils.java:54-87``; ``FeatureGroupApi.getInternal``,
+``base/metadata/FeatureGroupApi.java:53-72``) and the streaming insert engine
+(``FeatureGroupEngine.insertStream``, ``flink/engine/FeatureGroupEngine.java:
+46-64`` → ``FlinkEngine.writeDataStream:80-95``).  Here the "backend" is a
+directory: one JSON metadata file + one ledgered parquet table per feature
+group (``<root>/<name>_<version>/``), and the insert path is the exactly-once
+ledger sink — an upgrade over the reference's AT_LEAST_ONCE Kafka producer.
+
+Batch ``insert`` reuses the same commit protocol (each insert = one ledger
+batch), which is what makes ``Query.as_of`` / ``pull_changes`` time travel
+work over plain parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from engine.schema import Feature, FeatureGroup, SchemaError, sanitize_feature_names, spark_type
+from engine.sink import ParquetLedgerSink
+
+
+class FeatureStore:
+    """Directory-backed feature-group registry."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    def _meta_path(self, name: str, version: int) -> str:
+        return os.path.join(self.root, f"{name.lower()}_{version}", "_meta.json")
+
+    def _save_meta(self, fg: FeatureGroup) -> None:
+        p = self._meta_path(fg.name, fg.version)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        meta = {
+            "name": fg.name,
+            "version": fg.version,
+            "features": [
+                {"name": f.name, "type": f.dtype.simpleString(), "primary": f.primary,
+                 "partition": f.partition}
+                for f in fg.features
+            ],
+            "primary_key": fg.primary_key,
+            "partition_key": fg.partition_key,
+            "event_time": fg.event_time,
+            "description": fg.description,
+            "online_enabled": fg.online_enabled,
+        }
+        with open(p, "w") as fh:
+            json.dump(meta, fh, sort_keys=True, indent=1)
+
+    def get_feature_group(self, name: str, version: int = 1) -> FeatureGroup | None:
+        p = self._meta_path(name, version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            m = json.load(fh)
+        fg = FeatureGroup(
+            name=m["name"], version=m["version"],
+            features=[
+                Feature(f["name"], spark_type(f["type"]), primary=f["primary"],
+                        partition=f["partition"])
+                for f in m["features"]
+            ],
+            primary_key=m["primary_key"], partition_key=m["partition_key"],
+            event_time=m["event_time"], description=m["description"],
+            online_enabled=m["online_enabled"],
+        )
+        fg.path = os.path.join(os.path.dirname(p), "data")
+        fg._store = self
+        return fg
+
+    def get_or_create_stream_feature_group(
+        self,
+        name: str,
+        version: int = 1,
+        df: DataFrame | None = None,
+        primary_key: list[str] | None = None,
+        partition_key: list[str] | None = None,
+        event_time: str | None = None,
+        **kw,
+    ) -> FeatureGroup:
+        """GET, else create from the DataFrame schema (the reference's
+        get-or-404-then-build flow, ``FeatureGroupApi.java:53-72``)."""
+        fg = self.get_feature_group(name, version)
+        if fg is not None:
+            return fg
+        if df is None:
+            raise SchemaError(f"feature group {name}_{version} not found and no "
+                              "DataFrame given to create it from")
+        fg = FeatureGroup.from_dataframe(
+            name, df, version=version, primary_key=primary_key,
+            partition_key=partition_key, event_time=event_time, **kw
+        )
+        fg.path = os.path.join(self.root, fg.table_name, "data")
+        fg._store = self
+        self._save_meta(fg)
+        return fg
+
+    # -- writes (S4/S5) ----------------------------------------------------
+    def _sink(self, fg: FeatureGroup) -> ParquetLedgerSink:
+        out_dir = os.path.join(self.root, fg.table_name)
+        return ParquetLedgerSink(
+            os.path.join(out_dir, "table"), event_ts_col=fg.event_time
+        )
+
+    def insert(self, fg: FeatureGroup, df: DataFrame) -> int:
+        """Batch insert = one exactly-once ledger commit; returns batch id."""
+        df = sanitize_feature_names(df)
+        fg.verify_schema(df)
+        sink = self._sink(fg)
+        batch_id = max((r.batch_id for r in sink.committed_batches()), default=-1) + 1
+        sink.write_batch(df, batch_id)
+        return batch_id
+
+    def insert_stream(self, fg: FeatureGroup, df: DataFrame, checkpoint_dir: str,
+                      await_termination: bool = False):
+        """S5: streaming insert → exactly-once ledger sink. Returns the
+        StreamingQuery (caller manages lifecycle, as ``insertStream`` does)."""
+        df = sanitize_feature_names(df)
+        fg.verify_schema(df)
+        sink = self._sink(fg)
+        q = (
+            df.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        if await_termination:
+            q.processAllAvailable()
+            q.stop()
+        return q
+
+    def read(self, spark: SparkSession, fg: FeatureGroup) -> DataFrame:
+        return self._sink(fg).read_committed(spark)
+
+    def commit_details(self, fg: FeatureGroup) -> list[dict]:
+        """V3: the commit log (batch id, commit ts, row counts, lineage)."""
+        return [
+            {"batch_id": r.batch_id, "commit_ts_ms": r.commit_ts_ms,
+             "row_count": r.row_count, "partitions": r.partitions,
+             "lineage": r.lineage}
+            for r in self._sink(fg).committed_batches()
+        ]

@@ -192,6 +192,7 @@ def run_join_pipeline(
     ttl: str = "10 minutes",
     max_files_per_trigger: int = 1,
     await_termination: bool = True,
+    n_buckets: int | None = 128,
 ):
     """North-rule J6 pipeline: clip-feature stream ⋈ transcript-feature stream,
     keyed by ``clip_id``, state in the custom applyInPandasWithState store
@@ -218,7 +219,9 @@ def run_join_pipeline(
     )
     txts = transcript_features(txt_side).withWatermark("event_ts", watermark)
 
-    joined = stateful_stream_join(feats, txts, "clip_id", "event_ts", ttl=ttl)
+    joined = stateful_stream_join(
+        feats, txts, "clip_id", "event_ts", ttl=ttl, n_buckets=n_buckets
+    )
     sink = ParquetLedgerSink(out_dir, event_ts_col="left_ts")
     q = (
         joined.writeStream.outputMode("append")

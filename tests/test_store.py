@@ -1,0 +1,162 @@
+"""FeatureStore registry + insert/insert_stream (S5), connectors (S6),
+FeatureView training splits (§1.1)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.connectors import (
+    ConnectorError,
+    FsConnector,
+    JdbcConnector,
+    KafkaConnector,
+    S3Connector,
+)
+from engine.schema import SchemaError
+from engine.store import FeatureStore
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return FeatureStore(str(tmp_path / "fs"))
+
+
+def test_get_or_create_and_meta_roundtrip(spark, tables, store):
+    df = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    fg = store.get_or_create_stream_feature_group(
+        "Orders", df=df, primary_key=["o_orderkey"], event_time="o_orderdate"
+    )
+    assert fg.table_name == "orders_1"
+    got = store.get_feature_group("orders")
+    assert got is not None
+    assert got.feature_names == [c.lower() for c in df.columns]
+    assert got.primary_key == ["o_orderkey"]
+    assert got.event_time == "o_orderdate"
+    # second get_or_create returns the saved one, no DataFrame needed
+    again = store.get_or_create_stream_feature_group("orders")
+    assert again.feature_names == got.feature_names
+
+
+def test_insert_and_commit_log(spark, tables, store):
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_copy", df=df, primary_key=["r_regionkey"]
+    )
+    b0 = store.insert(fg, df)
+    b1 = store.insert(fg, df.limit(2))
+    assert (b0, b1) == (0, 1)
+    assert store.read(spark, fg).count() == df.count() + 2
+    details = store.commit_details(fg)
+    assert [d["batch_id"] for d in details] == [0, 1]
+    assert details[1]["row_count"] == 2
+
+
+def test_insert_schema_mismatch_raises(spark, tables, store):
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_strict", df=df, primary_key=["r_regionkey"]
+    )
+    with pytest.raises(SchemaError):
+        store.insert(fg, df.withColumn("extra", F.lit(1)))
+    with pytest.raises(SchemaError):
+        store.insert(fg, df.drop("r_name"))
+
+
+def test_insert_stream(spark, store, clips_dir_small, tmp_path):
+    from engine.streams import CLIP_SCHEMA_DDL
+
+    # parquet batch reads surface timestamp_ntz; the streaming DDL uses
+    # timestamp — declare the group with the streaming-side type
+    batch = spark.read.parquet(clips_dir_small).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    fg = store.get_or_create_stream_feature_group(
+        "clips", df=batch, primary_key=["clip_id"], event_time="event_ts"
+    )
+    stream = (
+        spark.readStream.schema(CLIP_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(clips_dir_small)
+    )
+    q = store.insert_stream(fg, stream, str(tmp_path / "ckpt"), await_termination=True)
+    assert store.read(spark, fg).count() == batch.count()
+    details = store.commit_details(fg)
+    assert len(details) >= 2  # several micro-batches committed
+    assert sum(d["row_count"] for d in details) == batch.count()
+
+
+@pytest.fixture(scope="module")
+def clips_dir_small(tmp_path_factory):
+    from engine.streams import write_clips_stream_dir
+
+    d = str(tmp_path_factory.mktemp("store_clips") / "clips")
+    write_clips_stream_dir(d, 300, n_files=4, seed=3)
+    return d
+
+
+# -- connectors (S6) --------------------------------------------------------
+
+
+def test_fs_connector_reads_local(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    conn = FsConnector(str(tmp_path))
+    assert conn.read(spark, "parquet", "t.parquet").count() == 5
+
+
+def test_s3_connector_conf():
+    c = S3Connector("bucket/prefix", access_key="ak", secret_key="sk",
+                    session_token="tok")
+    assert c.base_path == "s3a://bucket/prefix"
+    conf = c.hadoop_conf()
+    assert conf["fs.s3a.access.key"] == "ak"
+    assert "TemporaryAWSCredentialsProvider" in conf["fs.s3a.aws.credentials.provider"]
+
+
+def test_jdbc_connector_options():
+    c = JdbcConnector("jdbc:mysql://host/db", user="u", password="p",
+                      driver="com.mysql.Driver")
+    opts = c.options(dbtable="t")
+    assert opts["url"].startswith("jdbc:mysql")
+    assert opts["dbtable"] == "t"
+    with pytest.raises(ConnectorError):
+        c.options()  # neither dbtable nor query
+
+
+def test_kafka_connector_validation(spark):
+    c = KafkaConnector("broker:9092", security={"security.protocol": "SSL"})
+    opts = c.options(subscribe="topic")
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["kafka.security.protocol"] == "SSL"
+    with pytest.raises(ConnectorError):
+        c.read_stream(spark, "csv", topic="t")  # invalid format
+    with pytest.raises(ConnectorError):
+        c.read_stream(spark, "json")  # no subscription
+    with pytest.raises(ConnectorError):
+        c.read_stream(spark, "json", topic="a", topic_pattern="b")  # both
+
+
+# -- feature view (§1.1) ----------------------------------------------------
+
+
+def test_feature_view_splits(spark, tables):
+    from engine.query import Query
+    from engine.views import FeatureView
+
+    df = tables["events"].select("event_id", "ts", "user_id", "value")
+    fv = FeatureView("ev", 1, Query.from_dataframe(df), labels=["value"])
+    feats, labels = fv.training_data(spark)
+    assert "value" not in feats.columns and labels.columns == ["value"]
+
+    tr, te = fv.train_test_split(0.25, seed=7, spark=spark)
+    n, ntr, nte = df.count(), tr.count(), te.count()
+    assert ntr + nte == n and 0 < nte < n
+    tr2, _ = fv.train_test_split(0.25, seed=7, spark=spark)
+    assert tr2.count() == ntr  # seeded → deterministic
+
+    mid = df.agg(F.max("ts")).collect()[0][0]
+    tr, te = fv.time_series_split("ts", "20240105", spark=spark)
+    assert tr.filter(F.col("ts") >= "2024-01-05").count() == 0
+    assert te.filter(F.col("ts") < "2024-01-05").count() == 0
+    assert tr.count() + te.count() == n
