@@ -122,6 +122,50 @@ def read_clip_stream(
     return stream
 
 
+def read_clip_stream_paced(
+    spark: SparkSession,
+    dir_path: str,
+    rows_per_batch: int = 1000,
+    watermark: str | None = "60 seconds",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Row-paced replay (S2 pacing analogue): a ``rate-micro-batch`` ticker
+    joined to an arrival-order-indexed snapshot of the clip table, emitting
+    exactly ``rows_per_batch`` clips per micro-batch — the fixed rows/sec
+    equivalent of the simulator's 5 ms-per-batch pacing
+    (``TransactionEventSimulator.java:27,55``).
+
+    The stream is unbounded (the ticker keeps counting past the table end and
+    the join just stops matching) — callers stop the query once the sink has
+    consumed the table.  Costs a stream-static join per batch, so
+    :func:`read_clip_stream` (file-paced) is the default; this variant exists
+    for rate experiments.  The arrival index is a global sort by
+    ``(event_ts, clip_id)`` — fine at bench scale; at warehouse scale you
+    would persist the index once instead.
+    """
+    from pyspark.sql.window import Window
+
+    snap = (
+        spark.read.parquet(dir_path)
+        # batch parquet reads surface timestamp_ntz; watermarks need timestamp
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn(
+            "__idx",
+            F.row_number().over(Window.orderBy(ts_col, "clip_id")) - 1,
+        )
+    )
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+        .select(F.col("value").alias("__idx"))
+    )
+    stream = rate.join(snap, on="__idx").drop("__idx")
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return stream
+
+
 def run_window_pipeline(
     spark: SparkSession,
     clips_dir: str,

@@ -139,3 +139,46 @@ def test_join_ttl_expires_unmatched(spark, clips_dir, tmp_path):
     )
     assert set(got["clip_id"]) == set(want_keys)
     assert got["clip_id"].is_unique
+
+
+def test_stateful_kill_restart_resumes(spark, clips_dir, tmp_path):
+    """Custom applyInPandasWithState store must survive checkpoint restore:
+    kill mid-stream, restart, result equals an uninterrupted run."""
+    import time
+
+    from engine.sink import ParquetLedgerSink
+
+    def build(out, ckpt):
+        src = read_clip_stream(spark, clips_dir, max_files_per_trigger=1)
+        agg = stateful_window_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+        sink = ParquetLedgerSink(out, event_ts_col="window_start")
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        return q, sink
+
+    out, ckpt = str(tmp_path / "kr_out"), str(tmp_path / "kr_ckpt")
+    q, sink = build(out, ckpt)
+    while len(sink.committed_batches()) < 3:
+        time.sleep(0.2)
+    q.stop()  # kill mid-stream
+
+    q2, _ = build(out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    audit = sink.audit()
+    assert audit["unique_batch_ids"] and audit["consistent"]
+
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    q3, ref_sink = build(ref_out, ref_ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    a = sink.read_committed(spark).orderBy("window_start", "speaker_id").toPandas()
+    b = ref_sink.read_committed(spark).orderBy("window_start", "speaker_id").toPandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True),
+        check_exact=False, rtol=1e-9,
+    )
