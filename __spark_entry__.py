@@ -703,6 +703,21 @@ def _q_stateful_session_6h(spark, sf_dir):
                          "min_amt_per_session", "max_amt_per_session"])
 
 
+def _q_salted_stream_agg_10m(spark, sf_dir):
+    """Streaming salted two-phase tumbling aggregate (T1 under skew): chained
+    stateful aggregations, same emitted rows as the single-phase operator."""
+    from engine.skew import salted_window_agg_stream
+
+    src = _stream_events(spark, sf_dir).withWatermark("ts", "60 seconds")
+    out = _run_stream_to_df(
+        spark,
+        salted_window_agg_stream(src, "ts", "user_id", "value", "10 minutes",
+                                 n_salts=8, salt_from="event_id"),
+    )
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
 def _q_stateful_stream_join(spark, sf_dir):
     """Symmetric-hash stateful stream-stream equi-join (J6): two event streams
     keyed by event_id; every pair matches inside the TTL."""
@@ -787,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_window_agg": _q_clip_window_agg,
         # custom stateful operators (T5/J6) — executed as real streams
         "stateful_tumbling_10m": _q_stateful_tumbling_10m,
+        "salted_stream_agg_10m": _q_salted_stream_agg_10m,
         "stateful_session_6h": _q_stateful_session_6h,
         "stateful_stream_join": _q_stateful_stream_join,
     }
@@ -817,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "stateful_tumbling_10m": _SQL_STATEFUL_TUMBLING_10M,
+        "salted_stream_agg_10m": _SQL_STATEFUL_TUMBLING_10M,
         "stateful_session_6h": _SQL_STATEFUL_SESSION_6H,
         "stateful_stream_join": _SQL_STATEFUL_STREAM_JOIN,
         # minhash_dedup, simhash_dedup, lsh_knn: approximate/hash-seeded →

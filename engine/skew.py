@@ -85,6 +85,76 @@ def salted_agg(
     return out
 
 
+def salted_window_agg_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    width: str = "10 minutes",
+    n_salts: int = 16,
+    salt_from: str | None = None,
+    label: str | None = None,
+) -> DataFrame:
+    """Streaming salted two-phase tumbling window aggregate.
+
+    Phase 1 groups by ``(window, key, salt)`` — a hot speaker key spreads over
+    ``n_salts`` state partitions; phase 2 re-windows the partials with the
+    chained-streaming-aggregation pattern (``window(window_time(window))``,
+    Spark ≥ 3.4 multiple stateful operators) and merges them per key.
+    Output schema matches :func:`engine.windows.tumbling_agg` (real stddev).
+
+    The salt must be deterministic under micro-batch replay (exactly-once), so
+    it derives from ``xxhash64`` of ``salt_from`` (default: the value column),
+    never from random ids.  Input must already carry ``withWatermark``.
+    """
+    from engine.windows import width_label
+
+    label = label or width_label(width)
+    salt_src = salt_from or value_col
+    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(F.window(ts_col, width).alias("window"), F.col(key_col),
+                  F.col(value_col).alias("_v"), salt)
+        .groupBy("window", key_col, "_salt")
+        .agg(
+            F.count("_v").alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+            F.min("_v").alias("_min"),
+            F.max("_v").alias("_max"),
+        )
+    )
+    merged = (
+        partial.groupBy(F.window(F.window_time("window"), width).alias("window"), key_col)
+        .agg(
+            F.sum("_n").alias("_N"),
+            F.sum("_s").alias("_S"),
+            F.sum("_s2").alias("_S2"),
+            F.min("_min").alias(f"min_amt_per_{label}"),
+            F.max("_max").alias(f"max_amt_per_{label}"),
+        )
+    )
+    return merged.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        F.col(key_col),
+        F.col("_N").alias(f"num_trans_per_{label}"),
+        (F.col("_S") / F.col("_N")).alias(f"avg_amt_per_{label}"),
+        F.when(
+            F.col("_N") > 1,
+            F.sqrt(
+                F.greatest(
+                    (F.col("_S2") - F.col("_S") * F.col("_S") / F.col("_N"))
+                    / (F.col("_N") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        ).alias(f"stdev_amt_per_{label}"),
+        F.col(f"min_amt_per_{label}"),
+        F.col(f"max_amt_per_{label}"),
+    )
+
+
 def repartition_salted(df: DataFrame, key: str, n_partitions: int, n_salts: int = 16) -> DataFrame:
     """T2 analogue of ``.rescale().rebalance()`` for skewed keys: spread each
     key across n_salts partitions instead of one."""

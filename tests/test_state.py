@@ -182,3 +182,22 @@ def test_stateful_kill_restart_resumes(spark, clips_dir, tmp_path):
         a.reset_index(drop=True), b.reset_index(drop=True),
         check_exact=False, rtol=1e-9,
     )
+
+
+def test_salted_streaming_window_matches_unsalted(spark, clips_dir):
+    """Streaming two-phase salted aggregate (chained stateful aggs) must emit
+    the same rows as the single-phase windowed aggregate."""
+    from engine.skew import salted_window_agg_stream
+
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        salted_window_agg_stream(src, "event_ts", "speaker_id", "dur_ms",
+                                 "10 minutes", n_salts=8, salt_from="clip_id"),
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark, tumbling_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    )
+    # column order may differ; stdev null-vs-NaN normalized by _cmp's rtol path
+    _cmp(got, want, ["window_start", "speaker_id"])
