@@ -233,3 +233,22 @@ def test_multimodal_plumbing(spark, clips_df):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_complex_bytes_roundtrip(spark):
+    """F6 fallback codec: complex columns → bytes at rest → lazy decode."""
+    from engine.complexio import avro_available, decode_complex, encode_complex
+
+    df = spark.createDataFrame(
+        [(1, [1.5, 2.5], {"a": 1}), (2, [], {"b": 2})],
+        "id int, vec array<double>, m map<string,int>",
+    )
+    enc = encode_complex(df, ["vec", "m"])
+    assert dict(enc.dtypes)["vec_bytes"] == "binary"
+    dec = decode_complex(decode_complex(enc, "vec_bytes", "array<double>"),
+                         "m_bytes", "map<string,int>")
+    got = {r["id"]: (r["vec"], r["m"]) for r in dec.collect()}
+    assert got[1] == ([1.5, 2.5], {"a": 1})
+    assert got[2] == ([], {"b": 2})
+    # real Avro wire format requires the spark-avro jar — absent here
+    assert avro_available(spark) is False
