@@ -88,6 +88,19 @@ def _q_session_6h(spark, sf_dir):
                          "min_amt_per_session", "max_amt_per_session"])
 
 
+def _q_session_dynamic_gap(spark, sf_dir):
+    """W6 dynamic gap: per-event gap (2h for clicks, 6h otherwise)."""
+    from engine.windows import session_agg_dynamic
+
+    gap = F.when(F.col("event_type") == "click", F.lit("2 hours")).otherwise(
+        F.lit("6 hours")
+    )
+    out = session_agg_dynamic(_read(spark, sf_dir, "events"), "ts", "user_id",
+                              "value", gap, label="session")
+    return _round6(out, ["avg_amt_per_session", "stdev_amt_per_session",
+                         "min_amt_per_session", "max_amt_per_session"])
+
+
 _WINDOW_AGG_10M = (
     "count(*) AS num_trans_per_{l}, round(avg(value), 6) AS avg_amt_per_{l}, "
     "round(stddev_samp(value), 6) AS stdev_amt_per_{l}, "
@@ -144,6 +157,36 @@ sess AS (
 )
 SELECT min(ts) AS window_start, max(ts) + INTERVAL 6 HOUR AS window_end, user_id,
        {_WINDOW_AGG_10M.format(l='session')}
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# dynamic-gap session: union of per-event intervals [ts, ts+gap); new island
+# iff ts >= running max of previous ends; window = [min ts, max end)
+_SQL_SESSION_DYNAMIC = """
+WITH iv AS (
+  SELECT user_id, ts, value,
+         ts + CASE WHEN event_type = 'click' THEN INTERVAL 2 HOUR
+                   ELSE INTERVAL 6 HOUR END AS e
+  FROM events
+),
+marks AS (
+  SELECT user_id, ts, value, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                   OR ts >= max(e) OVER (PARTITION BY user_id ORDER BY ts, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM iv
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s DESC
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT min(ts) AS window_start, max(e) AS window_end, user_id,
+       count(*) AS num_trans_per_session, round(avg(value), 6) AS avg_amt_per_session, round(stddev_samp(value), 6) AS stdev_amt_per_session, round(min(value), 6) AS min_amt_per_session, round(max(value), 6) AS max_amt_per_session
 FROM sess GROUP BY user_id, sid
 """
 
@@ -703,6 +746,21 @@ def _q_stateful_session_6h(spark, sf_dir):
                          "min_amt_per_session", "max_amt_per_session"])
 
 
+def _q_stateful_sliding_10m_5m(spark, sf_dir):
+    """Custom state-store sliding windows (width 10m, slide 5m), streamed."""
+    from engine.state import stateful_window_agg
+
+    src = _stream_events(spark, sf_dir).withWatermark("ts", "60 seconds")
+    out = _run_stream_to_df(
+        spark,
+        stateful_window_agg(src, "ts", "user_id", "value", "10 minutes",
+                            slide="5 minutes", label="10m"),
+    )
+    out = _nan_to_null(out, "stdev_amt_per_10m")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
 def _q_salted_stream_agg_10m(spark, sf_dir):
     """Streaming salted two-phase tumbling aggregate (T1 under skew): chained
     stateful aggregations, same emitted rows as the single-phase operator."""
@@ -746,6 +804,10 @@ _SQL_STATEFUL_TUMBLING_10M = f"""
 SELECT * FROM ({_SQL_TUMBLING_10M}) WHERE window_end <= {_SQL_CLOSED_WM}
 """
 
+_SQL_STATEFUL_SLIDING_10M_5M = f"""
+SELECT * FROM ({_SQL_SLIDING_10M_5M}) WHERE window_end <= {_SQL_CLOSED_WM}
+"""
+
 _SQL_STATEFUL_SESSION_6H = f"""
 SELECT * FROM ({_SQL_SESSION_6H}) WHERE window_end <= {_SQL_CLOSED_WM}
 """
@@ -770,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_12h": _q_tumbling_12h,
         "sliding_10m_5m": _q_sliding_10m_5m,
         "session_6h": _q_session_6h,
+        "session_dynamic_gap": _q_session_dynamic_gap,
         # aggregations
         "keyed_stats_orders": _q_keyed_stats_orders,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -802,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_window_agg": _q_clip_window_agg,
         # custom stateful operators (T5/J6) — executed as real streams
         "stateful_tumbling_10m": _q_stateful_tumbling_10m,
+        "stateful_sliding_10m_5m": _q_stateful_sliding_10m_5m,
         "salted_stream_agg_10m": _q_salted_stream_agg_10m,
         "stateful_session_6h": _q_stateful_session_6h,
         "stateful_stream_join": _q_stateful_stream_join,
@@ -815,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_12h": _SQL_TUMBLING_12H,
         "sliding_10m_5m": _SQL_SLIDING_10M_5M,
         "session_6h": _SQL_SESSION_6H,
+        "session_dynamic_gap": _SQL_SESSION_DYNAMIC,
         "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "filter_tree_orders": _SQL_FILTER_TREE_ORDERS,
@@ -834,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "stateful_tumbling_10m": _SQL_STATEFUL_TUMBLING_10M,
         "salted_stream_agg_10m": _SQL_STATEFUL_TUMBLING_10M,
+        "stateful_sliding_10m_5m": _SQL_STATEFUL_SLIDING_10M_5M,
         "stateful_session_6h": _SQL_STATEFUL_SESSION_6H,
         "stateful_stream_join": _SQL_STATEFUL_STREAM_JOIN,
         # minhash_dedup, simhash_dedup, lsh_knn: approximate/hash-seeded →

@@ -216,6 +216,55 @@ def run_window_pipeline(
     return q, sink
 
 
+def run_multi_width_pipeline(
+    spark: SparkSession,
+    clips_dir: str,
+    out_root: str,
+    checkpoint_root: str,
+    widths: tuple[str, ...] = ("10 minutes", "1 hour", "12 hours"),
+    key_col: str = "speaker_id",
+    value_col: str = "dur_ms",
+    watermark: str = "60 seconds",
+    max_files_per_trigger: int = 4,
+    await_termination: bool = True,
+):
+    """W4: the reference's three parallel feature groups (10m/1h/12h) fed from
+    ONE clip topic — one StreamingQuery per width (each owns its window state
+    and checkpoint), all subscribed to the same source directory, exactly like
+    the three ``card_transactions_*_agg`` groups in the setup notebook
+    (cells 4, 10-13).
+
+    Returns {width_label: (query, sink)}.
+    """
+    from engine.windows import tumbling_agg, width_label
+
+    out = {}
+    for w in widths:
+        lbl = width_label(w)
+        src = read_clip_stream(
+            spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
+            watermark=watermark,
+        )
+        agg = tumbling_agg(src, "event_ts", key_col, value_col, w)
+        sink = ParquetLedgerSink(
+            os.path.join(out_root, lbl), event_ts_col="window_start"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .queryName(f"width_{lbl}")
+            .option("checkpointLocation", os.path.join(checkpoint_root, lbl))
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        out[lbl] = (q, sink)
+    if await_termination:
+        for q, _ in out.values():
+            q.processAllAvailable()
+        for q, _ in out.values():
+            q.stop()
+    return out
+
+
 def transcript_features(df: DataFrame) -> DataFrame:
     """Transcript-side feature extraction — pure JVM built-ins (no Python):
     token count (whitespace split) + character count per clip."""

@@ -133,6 +133,30 @@ def session_agg(
     return _finish(agg, "session_window")
 
 
+def session_agg_dynamic(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap_expr: Column,
+    bug_compatible_stdev: bool = False,
+    include_minmax: bool = True,
+    label: str = "session",
+) -> DataFrame:
+    """Session window with a per-row dynamic gap (W6's "dynamic gap"):
+    ``gap_expr`` is a duration-string Column evaluated per event, e.g.
+    ``F.when(F.col("event_type") == "click", F.lit("2 hours"))
+    .otherwise(F.lit("6 hours"))`` (``session_window`` requires
+    CalendarIntervalType or duration strings — ANSI ``INTERVAL`` literals
+    produce DayTimeIntervalType and are rejected).  Each event contributes
+    ``[ts, ts+gap)``; overlapping intervals merge, the window is
+    ``[min ts, max(ts+gap))``."""
+    agg = df.groupBy(F.session_window(ts_col, gap_expr), key_col).agg(
+        *_agg_exprs(value_col, label, bug_compatible_stdev, include_minmax)
+    )
+    return _finish(agg, "session_window")
+
+
 def with_event_time(
     df: DataFrame,
     epoch_ms_col: str | None = None,

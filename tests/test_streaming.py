@@ -161,3 +161,26 @@ def test_row_paced_replay(spark, clips_dir, tmp_path):
     assert got.select("clip_id").distinct().count() == n
     # pacing honored: no committed batch exceeded rows_per_batch
     assert max(r.row_count for r in sink.committed_batches()) <= 500
+
+
+def test_multi_width_pipeline(spark, clips_dir, tmp_path):
+    """W4: three widths fed from one topic, each matching its batch twin."""
+    from engine.streams import run_multi_width_pipeline
+    from engine.windows import tumbling_agg, width_label
+
+    res = run_multi_width_pipeline(
+        spark, clips_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        widths=("10 minutes", "1 hour"),
+    )
+    batch = spark.read.parquet(clips_dir)
+    for w in ("10 minutes", "1 hour"):
+        _, sink = res[width_label(w)]
+        got = sink.read_committed(spark).toPandas()
+        assert len(got) > 0
+        want = tumbling_agg(batch, "event_ts", "speaker_id", "dur_ms", w).toPandas()
+        gp = got.set_index(["window_start", "speaker_id"]).sort_index()
+        wp = want.set_index(["window_start", "speaker_id"]).sort_index()
+        assert len(gp.index.difference(wp.index)) == 0
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(wp.loc[gp.index], gp, check_exact=False, rtol=1e-9)
