@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "24000"))
+N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "48000"))
 BENCH_QUERIES = [
     "tumbling_10m",
     "sliding_10m_5m",

@@ -162,6 +162,40 @@ def cmd_join(args) -> dict:
     }
 
 
+def cmd_backfill(args) -> dict:
+    """Batch backfill of the windowed feature groups from the historical clip
+    table (the reference's backfill job, ``README.md:26-28``): same aggregate
+    as the streaming pipeline, committed as one exactly-once ledger batch per
+    width so time travel and serving read a consistent snapshot."""
+    from pyspark.sql import functions as F
+
+    from engine.session import get_spark
+    from engine.sink import ParquetLedgerSink
+    from engine.windows import multi_width_aggs
+
+    spark = get_spark("backfill", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    clips = spark.read.parquet(args.clips).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    widths = tuple(w.strip() for w in args.widths.split(",") if w.strip())
+    aggs = multi_width_aggs(clips, "event_ts", args.key, args.value, widths=widths)
+    out_rows = {}
+    for lbl, agg in aggs.items():
+        sink = ParquetLedgerSink(os.path.join(args.out, lbl),
+                                 event_ts_col="window_start")
+        batch_id = max((r.batch_id for r in sink.committed_batches()), default=-1) + 1
+        sink.write_batch(agg, batch_id)
+        out_rows[lbl] = sink.audit()["ledger_rows"]
+    n_in = clips.count()
+    spark.stop()
+    return {
+        "job": "backfill", "input_clips": n_in, "widths": list(out_rows),
+        "rows_per_width": out_rows, "elapsed_sec": round(time.time() - t0, 3),
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="engine.jobs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -174,6 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jitter-ms", type=int, default=30_000)
     p.add_argument("--max-dur-ms", type=int, default=1000)
     p.set_defaults(fn=cmd_producer)
+
+    p = sub.add_parser("backfill", help="batch backfill of windowed feature groups")
+    p.add_argument("--clips", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--widths", default="10 minutes,1 hour,12 hours")
+    p.add_argument("--key", default="speaker_id")
+    p.add_argument("--value", default="dur_ms")
+    _add_common(p)
+    p.set_defaults(fn=cmd_backfill)
 
     for name, fn in (("pipeline", cmd_pipeline), ("join", cmd_join)):
         p = sub.add_parser(name)
