@@ -32,6 +32,7 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 10-minute tumbling count/avg/stdev/min/max per key on the
     sf0.001 events stream stand-in (SURVEY.md §7.1)."""
+    _ensure_conf(spark)
     return _q_tumbling_10m(spark, "/root/testdata/sf0.001")
 
 
@@ -824,7 +825,35 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def _ensure_conf(spark: SparkSession) -> None:
+    """Pin runtime-settable session confs the engine depends on — the driver
+    harness owns the SparkSession, so don't assume its defaults."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.streaming.stateStore.providerClass",
+         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def _wrap(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_conf(spark)
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _wrap(fn) for name, fn in _raw_queries().items()}
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # window family (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,

@@ -42,6 +42,30 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "60 seconds",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark`` — state
+    per key is evicted once the watermark passes its event time + delay, so
+    state is bounded by the disorder window (the 100 TB-stream mode).
+    ``False`` uses plain ``dropDuplicates`` (state holds every key ever seen —
+    only for bounded key spaces).  Batch DataFrames just dedup directly.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if ts_col is not None:
+        df = df.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by MinHash and exact Jaccard)
 # ---------------------------------------------------------------------------

@@ -184,3 +184,29 @@ def test_multi_width_pipeline(spark, clips_dir, tmp_path):
         import pandas as pd
 
         pd.testing.assert_frame_equal(wp.loc[gp.index], gp, check_exact=False, rtol=1e-9)
+
+
+def test_streaming_dedup(spark, clips_dir, tmp_path):
+    """Duplicated stream (two subscriptions unioned) → exactly one row per
+    clip_id survives; state bounded by the watermark."""
+    from engine.dedup import streaming_dedup
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import read_clip_stream
+
+    a = read_clip_stream(spark, clips_dir, max_files_per_trigger=2, watermark=None)
+    b = read_clip_stream(spark, clips_dir, max_files_per_trigger=2, watermark=None)
+    dup = a.unionByName(b).select("clip_id", "event_ts", "speaker_id")
+    ded = streaming_dedup(dup, ["clip_id"], ts_col="event_ts")
+    sink = ParquetLedgerSink(str(tmp_path / "dd_out"))
+    q = (
+        ded.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sink.read_committed(spark)
+    n = spark.read.parquet(clips_dir).count()
+    assert got.count() == n
+    assert got.select("clip_id").distinct().count() == n
