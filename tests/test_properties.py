@@ -1,0 +1,121 @@
+"""Property-based tests (SURVEY.md §5.2 item 5) over the pandas golden oracle
+— the independent reference every Spark plan is checked against.  Pure-pandas,
+so hypothesis can run hundreds of examples without Spark in the loop."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.oracle import session_oracle, sliding_oracle, tumbling_oracle
+
+WIDTH = 600_000  # 10 minutes
+SLIDE = 300_000
+
+
+def events(min_size=1, max_size=80):
+    row = st.tuples(
+        st.integers(min_value=0, max_value=5_000_000),   # ts_ms
+        st.integers(min_value=1, max_value=5),           # key
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+    )
+    return st.lists(row, min_size=min_size, max_size=max_size)
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["ts", "k", "v"])
+
+
+def _norm(out, label="x"):
+    cols = sorted(out.columns)
+    return (
+        out[cols]
+        .sort_values(["window_start_ms", "k"], ignore_index=True)
+        .round(9)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(events(), st.randoms())
+def test_tumbling_permutation_invariant(rows, rnd):
+    """Batch window aggregation is invariant to arrival order."""
+    pdf = _pdf(rows)
+    shuffled = pdf.sample(frac=1.0, random_state=rnd.randrange(1 << 30))
+    a = _norm(tumbling_oracle(pdf, "ts", "k", "v", WIDTH, "x"))
+    b = _norm(tumbling_oracle(shuffled, "ts", "k", "v", WIDTH, "x"))
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(events(min_size=2), st.integers(min_value=1, max_value=79))
+def test_tumbling_merge_associative(rows, cut):
+    """Partial aggregation over any split merges to the full result —
+    the reference accumulator's add/merge law (TransactionCountAggregate)."""
+    pdf = _pdf(rows)
+    cut = cut % max(len(pdf) - 1, 1) + 1
+    full = tumbling_oracle(pdf, "ts", "k", "v", WIDTH, "x")
+
+    def partial(p):
+        w = (p["ts"].to_numpy() // WIDTH) * WIDTH
+        g = p.assign(w=w).groupby(["w", "k"])["v"]
+        return pd.DataFrame({
+            "n": g.count(), "s": g.sum(), "mn": g.min(), "mx": g.max()
+        }).reset_index()
+
+    merged = (
+        pd.concat([partial(pdf.iloc[:cut]), partial(pdf.iloc[cut:])])
+        .groupby(["w", "k"], as_index=False)
+        .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    )
+    chk = full.merge(merged, left_on=["window_start_ms", "k"], right_on=["w", "k"])
+    assert len(chk) == len(full) == len(merged)
+    assert (chk["num_trans_per_x"] == chk["n"]).all()
+    np.testing.assert_allclose(chk["avg_amt_per_x"] * chk["n"], chk["s"], rtol=1e-9)
+    np.testing.assert_allclose(chk["min_amt_per_x"], chk["mn"], rtol=1e-12)
+    np.testing.assert_allclose(chk["max_amt_per_x"], chk["mx"], rtol=1e-12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(events())
+def test_sliding_covers_each_row_exactly_width_over_slide(rows):
+    """Every event lands in exactly width/slide sliding windows, and total
+    sliding count mass = rows x (width/slide)."""
+    pdf = _pdf(rows)
+    out = sliding_oracle(pdf, "ts", "k", "v", WIDTH, SLIDE, "x")
+    assert out["num_trans_per_x"].sum() == len(pdf) * (WIDTH // SLIDE)
+    # window starts are slide-aligned and cover their rows
+    assert (out["window_start_ms"] % SLIDE == 0).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(events(), st.integers(min_value=1_000, max_value=600_000))
+def test_session_islands_disjoint_and_gap_respected(rows, gap):
+    """Per key: sessions are disjoint, ordered, separated by >= gap, and
+    account for every event exactly once."""
+    pdf = _pdf(rows)
+    out = session_oracle(pdf, "ts", "k", "v", gap, "x")
+    assert out["num_trans_per_x"].sum() == len(pdf)
+    for k, grp in out.groupby("k"):
+        g = grp.sort_values("window_start_ms")
+        starts = g["window_start_ms"].to_numpy()
+        ends = g["window_end_ms"].to_numpy()
+        assert (ends - gap >= starts).all()  # end = last_ts + gap >= start + gap
+        if len(g) > 1:
+            assert (starts[1:] >= ends[:-1]).all()  # disjoint, gap-separated
+
+
+@settings(max_examples=150, deadline=None)
+@given(events(min_size=1, max_size=60))
+def test_session_equals_interval_union(rows):
+    """Independent formulation: session windows == union of per-event
+    intervals [ts, ts+gap) — same islands either way."""
+    gap = 120_000
+    pdf = _pdf(rows)
+    out = session_oracle(pdf, "ts", "k", "v", gap, "x")
+    for k, grp in pdf.groupby("k"):
+        ts = np.sort(grp["ts"].to_numpy())
+        s, e = ts, ts + gap
+        cummax = np.maximum.accumulate(e)
+        islands = 1 + int((s[1:] >= cummax[:-1]).sum())
+        assert islands == (out["k"] == k).sum()
