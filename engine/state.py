@@ -11,28 +11,48 @@ keyed by ``clip_id``.
 This module implements both, Arrow-vectorized (no per-row Python):
 
 - :func:`stateful_window_agg` — tumbling/sliding event-time windows.  State is
-  one accumulator row per open window: ``(window_start) → (cnt, sum, sumsq,
-  min, max)`` held as parallel arrays; exactly the reference accumulator
+  one accumulator row per open (key, window): ``(cnt, sum, sumsq, min, max)``
+  held as parallel arrays; exactly the reference accumulator
   ``Tuple4(key, count, sum, 0.0)`` widened with min/max/sumsq (north rule
   "count/min/max/avg-style stats").  Windows emit when the watermark passes
   the window end (event-time timeout), matching Flink's fire-at-watermark and
-  Spark's append-mode semantics; later rows for an emitted window are dropped
-  (no allowedLateness, ``TransactionFraudExample.java:60-71``).
+  Spark's append-mode semantics.
 - :func:`stateful_session_agg` — session windows via vectorized
   gaps-and-islands interval merging in state.
-- :func:`stateful_stream_join` — symmetric hash join: both sides buffered per
-  key, new-left × seen-right ∪ new-right × previous-left emitted per batch,
-  buffers evicted once the watermark passes ``ts + ttl``.
+- :func:`stateful_stream_join` — symmetric hash join (engine.state_join).
 
-The built-in ``window()`` / ``session_window`` aggregates (engine.windows) and
-the watermarked built-in stream-stream join serve as semantic oracles in
-tests/test_state.py.
+**Key-coarsening** (``n_buckets``): ``applyInPandasWithState`` pays ~1 ms of
+Arrow/invocation overhead per GROUP per micro-batch, so grouping by a raw
+high-cardinality key makes overhead linear in distinct keys.  Passing
+``n_buckets`` groups by ``pmod(xxhash64(key), n_buckets)`` instead, carries
+the key inside the state arrays, and handles per-key logic vectorized — the
+invocation count becomes a constant chosen to exceed shuffle parallelism,
+independent of key cardinality (Flink's key-group partitioning, made explicit
+because our per-group cost lives in Python).  Semantics are identical.
 
-Scale posture: state is partitioned by key (the groupBy shuffle), one Arrow
-batch per key-group per micro-batch; per-key state is O(open windows) /
+**Late-data semantics** match the built-in operators exactly (verified under
+disorder beyond the watermark in tests/test_state.py) via three mechanisms:
+
+1. With event-time timeouts Spark's exec pre-filters input rows by raw
+   timestamp against the previous batch's watermark, while the built-in
+   aggregation filters by WINDOW END — so when ``watermark`` is passed here,
+   the declared delay is widened by the window width (making the exec filter
+   a strict subset of the built-in's) and the exposed watermark is shifted
+   back inside the function, leaving emission timing unchanged.
+2. ``GroupState`` exposes only the eviction watermark (current batch), but
+   the built-in late filter uses the previous batch's — so each group tracks
+   an **emitted frontier**: a row is dropped iff its window end ≤ the
+   frontier the group already finalized.  Never re-emits a window, never
+   drops a row the built-in would keep.
+3. Fully-drained groups leave a tombstone holding the frontier for
+   ``late_retention`` of event time — bounded state, straggler-safe
+   exactly-once emission.
+
+Scale posture: state is partitioned by key/bucket (the groupBy shuffle), one
+Arrow batch per group per micro-batch; per-group state is O(open windows) /
 O(in-flight rows within TTL), independent of total stream length.  RocksDB
-state store (engine.session) spills cold keys to disk.  Skewed speaker keys:
-see engine.skew for salted pre-aggregation in front of this operator.
+state store (engine.session) spills cold groups to disk.  Skewed speaker
+keys: see engine.skew for salted pre-aggregation.
 """
 
 from __future__ import annotations
@@ -43,6 +63,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _UNIT_MS = {
@@ -82,32 +103,44 @@ def _us_ts(arr) -> pd.Series:
     return pd.Series(np.asarray(arr, dtype="int64").astype("datetime64[us]"))
 
 
-_ACC_COLS = ("start", "cnt", "sum", "sumsq", "mn", "mx")
+def _norm_key_sql(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if s in ("float", "double"):
+        return "double"
+    return s
+
+
 #: "no windows finalized yet" frontier sentinel
 _THRU_NEG = -(1 << 62)
 
-_ACC_STATE_DDL = (
-    "thru long, start array<long>, cnt array<long>, sum array<double>, "
-    "sumsq array<double>, mn array<double>, mx array<double>"
-)
-
+_ACC_COLS = ("k", "start", "cnt", "sum", "sumsq", "mn", "mx")
+_SESS_COLS = ("k", "start", "end", "cnt", "sum", "sumsq", "mn", "mx")
 
 _INT_COLS = {"start", "end", "cnt"}
 
 
-def _acc_from_state(state: GroupState, cols=_ACC_COLS) -> tuple[int, pd.DataFrame]:
+def _acc_dtype(col: str, key_pd: str | None) -> str | None:
+    if col == "k":
+        return key_pd  # None → leave as object (string keys)
+    return "int64" if col in _INT_COLS else "float64"
+
+
+def _acc_from_state(
+    state: GroupState, cols, key_pd: str | None
+) -> tuple[int, pd.DataFrame]:
     """→ (emitted-frontier thru, accumulator frame)."""
     if state.exists:
         vals = state.get
         thru, arrays = vals[0], vals[1:]
     else:
         thru, arrays = _THRU_NEG, [[] for _ in cols]
-    return int(thru), pd.DataFrame(
-        {
-            c: np.asarray(v, dtype="int64" if c in _INT_COLS else "float64")
-            for c, v in zip(cols, arrays)
-        }
-    )
+    out = {}
+    for c, v in zip(cols, arrays):
+        dt = _acc_dtype(c, key_pd)
+        out[c] = pd.Series(v) if dt is None else np.asarray(v, dtype=dt)
+    return int(thru), pd.DataFrame(out)
 
 
 def _acc_to_state(
@@ -115,19 +148,18 @@ def _acc_to_state(
     thru: int,
     acc: pd.DataFrame,
     timeout_ms: int,
-    cols=_ACC_COLS,
+    cols,
+    key_pd: str | None,
 ):
-    state.update(
-        (int(thru),)
-        + tuple(
-            acc[c].astype("int64" if c in _INT_COLS else "float64").tolist()
-            for c in cols
-        )
-    )
+    vals = []
+    for c in cols:
+        dt = _acc_dtype(c, key_pd)
+        vals.append(acc[c].tolist() if dt is None else acc[c].astype(dt).tolist())
+    state.update((int(thru),) + tuple(vals))
     state.setTimeoutTimestamp(timeout_ms)
 
 
-def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
+def _result_pdf(acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
                 key_name, to_ts=_ms_ts):
     """Accumulators → output rows shaped like engine.windows._agg_exprs."""
     n = acc["cnt"].to_numpy(dtype="float64")
@@ -147,12 +179,12 @@ def _result_pdf(key, acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
         {
             "window_start": to_ts(acc["start"]),
             "window_end": to_ts(end),
-            key_name: [key[0]] * len(acc),
-            f"num_trans_per_{label}": acc["cnt"].astype("int64"),
+            key_name: acc["k"].reset_index(drop=True),
+            f"num_trans_per_{label}": acc["cnt"].astype("int64").reset_index(drop=True),
             f"avg_amt_per_{label}": avg,
             f"stdev_amt_per_{label}": stdev,
-            f"min_amt_per_{label}": acc["mn"],
-            f"max_amt_per_{label}": acc["mx"],
+            f"min_amt_per_{label}": acc["mn"].reset_index(drop=True),
+            f"max_amt_per_{label}": acc["mx"].reset_index(drop=True),
         }
     )
 
@@ -166,6 +198,21 @@ def _out_ddl(key_name: str, key_sql_type: str, label: str) -> str:
     )
 
 
+def _grouped(df: DataFrame, key_col: str, n_buckets: int | None):
+    if n_buckets is None:
+        return df.groupBy(key_col)
+    return df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    ).groupBy("__bucket")
+
+
+def _key_meta(df: DataFrame, key_col: str) -> tuple[str, str | None]:
+    """→ (normalized SQL type, pandas dtype or None-for-object)."""
+    sql = _norm_key_sql(df.schema[key_col].dataType)
+    pd_dt = {"bigint": "int64", "double": "float64"}.get(sql)
+    return sql, pd_dt
+
+
 def stateful_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -177,6 +224,7 @@ def stateful_window_agg(
     bug_compatible_stdev: bool = False,
     late_retention: str = "1 hour",
     watermark: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Tumbling (``slide=None``) or sliding keyed event-time window aggregate
     with state in a custom ``applyInPandasWithState`` store.
@@ -185,22 +233,9 @@ def stateful_window_agg(
     exact built-in append-mode parity under arbitrary lateness; or pre-apply
     ``withWatermark`` yourself and leave ``watermark=None`` for the
     frontier-only policy (identical when disorder stays within the delay).
-
-    Late handling — three layers reproduce the built-in operator exactly:
-
-    1. Spark's exec filters input rows with ``ts < previous-batch watermark``
-       when event-time timeouts are used, which would drop rows the built-in
-       keeps (its filter is on WINDOW END, not ts).  When ``watermark`` is
-       given we declare the delay widened by the window width, making the exec
-       filter a strict subset of the built-in's (a row's window end ≤ ts +
-       width), and shift the exposed watermark back by the width inside the
-       function so emission timing is unchanged.
-    2. A per-key **emitted frontier**: a row is dropped iff its window end ≤
-       the frontier this key already finalized — never re-emitting a window,
-       never dropping a row the built-in would keep.
-    3. After all windows close, the frontier survives as a tombstone for
-       ``late_retention`` of event time, bounding state while protecting
-       exactly-once emission against stragglers.
+    ``n_buckets`` selects the key-coarsened state layout for high-cardinality
+    keys (module docstring).  Output schema and values match
+    :func:`engine.windows.tumbling_agg` / ``sliding_agg`` in append mode.
     """
     from engine.windows import width_label
 
@@ -217,14 +252,18 @@ def stateful_window_agg(
         df = df.withWatermark(
             ts_col, f"{dur_ms(watermark) + shift_ms} milliseconds"
         )
-    key_sql_type = df.schema[key_col].dataType.simpleString()
-    out_ddl = _out_ddl(key_col, key_sql_type, label)
+    key_sql, key_pd = _key_meta(df, key_col)
+    out_ddl = _out_ddl(key_col, key_sql, label)
+    state_ddl = (
+        f"thru long, k array<{key_sql}>, start array<long>, cnt array<long>, "
+        "sum array<double>, sumsq array<double>, mn array<double>, mx array<double>"
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         wm = state.getCurrentWatermarkMs()
         if wm > 0:
-            wm += shift_ms  # undo the widened-delay shift (docstring layer 1)
-        thru, acc = _acc_from_state(state)
+            wm += shift_ms  # undo the widened-delay shift (docstring)
+        thru, acc = _acc_from_state(state, _ACC_COLS, key_pd)
         contribs = [acc]
         folded = False
         for pdf in pdfs:
@@ -232,6 +271,7 @@ def stateful_window_agg(
                 continue
             ts = _ts_ms(pdf[ts_col])
             v = pdf[value_col].to_numpy(dtype="float64")
+            kv = pdf[key_col].reset_index(drop=True)
             # Window assignment: the n_wins slide-aligned starts covering ts.
             base = (ts // slide_ms) * slide_ms
             for off in range(n_wins):
@@ -243,43 +283,39 @@ def stateful_window_agg(
                 s, vv = start[live], v[live]
                 contribs.append(
                     pd.DataFrame(
-                        {"start": s, "cnt": 1, "sum": vv, "sumsq": vv * vv,
+                        {"k": kv[live].reset_index(drop=True), "start": s,
+                         "cnt": 1, "sum": vv, "sumsq": vv * vv,
                          "mn": vv, "mx": vv}
                     )
                 )
         if len(contribs) > 1:
             allc = pd.concat(contribs, ignore_index=True)
             acc = (
-                allc.groupby("start", as_index=False, sort=True)
+                allc.groupby(["k", "start"], as_index=False, sort=True)
                 .agg(cnt=("cnt", "sum"), sum=("sum", "sum"), sumsq=("sumsq", "sum"),
                      mn=("mn", "min"), mx=("mx", "max"))
             )
         mature = acc["start"] + width_ms <= wm
         if mature.any():
             yield _result_pdf(
-                key, acc[mature], width_ms, label, bug_compatible_stdev, key_col
+                acc[mature], width_ms, label, bug_compatible_stdev, key_col
             )
             thru = max(thru, wm)
         rest = acc[~mature]
         if len(rest):
             _acc_to_state(state, max(thru, wm), rest,
-                          int(rest["start"].min() + width_ms) - shift_ms)
+                          int(rest["start"].min() + width_ms) - shift_ms,
+                          _ACC_COLS, key_pd)
         elif state.hasTimedOut and not folded:
             state.remove()  # tombstone expired
         else:
             thru = max(thru, wm)
-            _acc_to_state(state, thru, rest, thru + retention_ms - shift_ms)
+            _acc_to_state(state, thru, rest, thru + retention_ms - shift_ms,
+                          _ACC_COLS, key_pd)
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_ddl, _ACC_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
+    return _grouped(df, key_col, n_buckets).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
     )
-
-
-_SESS_COLS = ("start", "end", "cnt", "sum", "sumsq", "mn", "mx")
-_SESS_STATE_DDL = (
-    "thru long, start array<long>, end array<long>, cnt array<long>, "
-    "sum array<double>, sumsq array<double>, mn array<double>, mx array<double>"
-)
 
 
 def stateful_session_agg(
@@ -292,15 +328,16 @@ def stateful_session_agg(
     bug_compatible_stdev: bool = False,
     late_retention: str = "1 hour",
     watermark: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Session windows (static gap) in the custom state store.
 
     Each event contributes interval ``[ts, ts+gap)``; overlapping intervals
-    merge (vectorized gaps-and-islands over the sorted interval set — the same
-    merge rule as ``F.session_window`` and Flink session windows).  A session
-    emits when the watermark passes its end (it can no longer be extended).
-    Late handling uses the per-key emitted frontier + retention tombstone
-    (see :func:`stateful_window_agg`).
+    merge (vectorized gaps-and-islands over the per-key sorted interval set —
+    the same merge rule as ``F.session_window`` and Flink session windows).
+    A session emits when the watermark passes its end (it can no longer be
+    extended).  ``watermark`` / ``late_retention`` / ``n_buckets`` as in
+    :func:`stateful_window_agg`.
     """
     gap_us = dur_ms(gap) * 1000
     retention_us = dur_ms(late_retention) * 1000
@@ -310,14 +347,19 @@ def stateful_session_agg(
         df = df.withWatermark(
             ts_col, f"{dur_ms(watermark) + dur_ms(gap)} milliseconds"
         )
-    key_sql_type = df.schema[key_col].dataType.simpleString()
-    out_ddl = _out_ddl(key_col, key_sql_type, label)
+    key_sql, key_pd = _key_meta(df, key_col)
+    out_ddl = _out_ddl(key_col, key_sql, label)
+    state_ddl = (
+        f"thru long, k array<{key_sql}>, start array<long>, end array<long>, "
+        "cnt array<long>, sum array<double>, sumsq array<double>, "
+        "mn array<double>, mx array<double>"
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         wm = state.getCurrentWatermarkMs() * 1000  # µs
         if wm > 0:
             wm += shift_us  # undo the widened-delay shift
-        thru, acc = _acc_from_state(state, _SESS_COLS)
+        thru, acc = _acc_from_state(state, _SESS_COLS, key_pd)
         contribs = [acc]
         folded = False
         for pdf in pdfs:
@@ -329,49 +371,56 @@ def stateful_session_agg(
             if not live.any():
                 continue
             folded = True
-            ts, v = ts[live], v[live]
+            kv = pdf[key_col].reset_index(drop=True)[live]
+            tsl, vl = ts[live], v[live]
             contribs.append(
                 pd.DataFrame(
-                    {"start": ts, "end": ts + gap_us, "cnt": 1, "sum": v,
-                     "sumsq": v * v, "mn": v, "mx": v}
+                    {"k": kv.reset_index(drop=True), "start": tsl,
+                     "end": tsl + gap_us, "cnt": 1, "sum": vl,
+                     "sumsq": vl * vl, "mn": vl, "mx": vl}
                 )
             )
         allc = pd.concat(contribs, ignore_index=True) if len(contribs) > 1 else acc
         if len(allc):
-            allc = allc.sort_values("start", kind="mergesort", ignore_index=True)
+            allc = allc.sort_values(["k", "start"], kind="mergesort",
+                                    ignore_index=True)
             s = allc["start"].to_numpy(dtype="int64")
-            e = allc["end"].to_numpy(dtype="int64")
-            cummax_e = np.maximum.accumulate(e)
-            # new island iff this interval starts at/after the running max end
-            grp = np.concatenate(([0], (s[1:] >= cummax_e[:-1]).cumsum()))
-            allc["grp"] = grp
+            karr = allc["k"].to_numpy()
+            cme = allc.groupby("k", sort=False)["end"].cummax().to_numpy(dtype="int64")
+            # new island iff new key, or interval starts at/after the running
+            # max end of this key's previous intervals
+            prev_cme = np.concatenate(([0], cme[:-1]))
+            same_k = np.concatenate(([False], karr[1:] == karr[:-1]))
+            new_isl = (~same_k) | (s >= prev_cme)
+            allc["grp"] = np.cumsum(new_isl)
             acc = allc.groupby("grp", as_index=False, sort=True).agg(
-                start=("start", "min"), end=("end", "max"), cnt=("cnt", "sum"),
-                sum=("sum", "sum"), sumsq=("sumsq", "sum"),
+                k=("k", "first"), start=("start", "min"), end=("end", "max"),
+                cnt=("cnt", "sum"), sum=("sum", "sum"), sumsq=("sumsq", "sum"),
                 mn=("mn", "min"), mx=("mx", "max"),
             )[list(_SESS_COLS)]
         else:
             acc = allc
         mature = acc["end"] <= wm
         if mature.any():
-            yield _result_pdf(key, acc[mature], None, label, bug_compatible_stdev,
+            yield _result_pdf(acc[mature], None, label, bug_compatible_stdev,
                               key_col, to_ts=_us_ts)
+            thru = max(thru, wm)
         rest = acc[~mature]
         # timeouts are in ms and must be strictly past the watermark
         if len(rest):
             _acc_to_state(state, max(thru, wm), rest,
                           (int(rest["end"].min()) - shift_us) // 1000 + 1,
-                          _SESS_COLS)
+                          _SESS_COLS, key_pd)
         elif state.hasTimedOut and not folded:
             state.remove()  # tombstone expired
         else:
             thru = max(thru, wm)
             _acc_to_state(state, thru, rest,
                           (thru + retention_us - shift_us) // 1000 + 1,
-                          _SESS_COLS)
+                          _SESS_COLS, key_pd)
 
-    return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_ddl, _SESS_STATE_DDL, "append", GroupStateTimeout.EventTimeTimeout
+    return _grouped(df, key_col, n_buckets).applyInPandasWithState(
+        fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
     )
 
 

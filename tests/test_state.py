@@ -241,3 +241,30 @@ def test_stateful_session_late_drop_matches_builtin(spark, tmp_path_factory):
         spark, session_agg(src2, "event_ts", "speaker_id", "dur_ms", "2 minutes")
     )
     _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_bucketed_window_and_session_match_builtin(spark, clips_dir):
+    """Key-coarsened state layout (n_buckets) must equal the built-ins."""
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got_w = _run_stream(
+        spark,
+        stateful_window_agg(src, "event_ts", "speaker_id", "dur_ms",
+                            "10 minutes", n_buckets=16),
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want_w = _run_stream(
+        spark, tumbling_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    )
+    _cmp(got_w, want_w, ["window_start", "speaker_id"])
+
+    src3 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got_s = _run_stream(
+        spark,
+        stateful_session_agg(src3, "event_ts", "speaker_id", "dur_ms",
+                             "2 minutes", n_buckets=16),
+    )
+    src4 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want_s = _run_stream(
+        spark, session_agg(src4, "event_ts", "speaker_id", "dur_ms", "2 minutes")
+    )
+    _cmp(got_s, want_s, ["window_start", "speaker_id"])
