@@ -210,3 +210,40 @@ def test_streaming_dedup(spark, clips_dir, tmp_path):
     n = spark.read.parquet(clips_dir).count()
     assert got.count() == n
     assert got.select("clip_id").distinct().count() == n
+
+
+def test_serving_over_streamed_output(spark, clips_dir, tmp_path):
+    """North-star loop closed: stream → windowed agg → exactly-once sink →
+    online point lookups (VectorServer) against the committed output."""
+    from engine.serving import VectorServer
+    from engine.streams import run_window_pipeline
+
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    _, sink = run_window_pipeline(spark, clips_dir, out, ckpt,
+                                  max_files_per_trigger=4)
+    online = sink.read_committed(spark)
+    # latest window per speaker = the online feature-group row
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+
+    latest = (
+        online.withColumn(
+            "_rn",
+            F2.row_number().over(
+                W.partitionBy("speaker_id").orderBy(F2.desc("window_start"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    vs = VectorServer([("agg_10m", latest, ["speaker_id"])])
+    some = [r.speaker_id for r in latest.select("speaker_id").limit(3).collect()]
+    for sid in some:
+        vec = vs.get_feature_vector({"speaker_id": sid})
+        assert vec["speaker_id"] == sid
+        assert vec["num_trans_per_10m"] >= 1
+    batch_rows = vs.get_feature_vectors(
+        spark, [{"speaker_id": s} for s in some]
+    )
+    assert batch_rows.count() == len(some)
