@@ -679,6 +679,59 @@ def _q_clip_window_agg(spark, sf_dir):
                          "min_amt_per_10m", "max_amt_per_10m"])
 
 
+def _q_set_ops(spark, sf_dir):
+    """§2.9 set operations + sort/limit (exposed built-ins): customers in the
+    BUILDING segment who have orders, minus those in AUTOMOBILE, ordered."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    out = (
+        building.intersect(with_orders)
+        .exceptAll(auto)
+        .unionByName(auto.limit(0))
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+    return out
+
+
+_SQL_SET_OPS = """
+SELECT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+) EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+ORDER BY c_custkey LIMIT 500
+"""
+
+
+def _q_distinct_counts(spark, sf_dir):
+    """A6 family: exact distinct aggregation per group."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_DISTINCT_COUNTS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def _q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approx distinct (approximate by construction — the
+    sketch differs from DuckDB's, so rows-only)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operators (T5/J6) — run as real streams over the events
 # table, then value-checked against DuckDB. Deterministic because the whole
@@ -873,6 +926,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join": _q_pit_join,
         # skew (T1)
         "salted_agg": _q_salted_agg,
+        # set ops / distinct (§2.9, A6)
+        "set_ops": _q_set_ops,
+        "distinct_counts": _q_distinct_counts,
+        "approx_distinct": _q_approx_distinct,
         # serving (S7)
         "serving_batch": _q_serving_batch,
         # text analysis
@@ -918,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _SQL_PIT_JOIN,
         "salted_agg": _SQL_SALTED_AGG,
         "serving_batch": _SQL_SERVING_BATCH,
+        "set_ops": _SQL_SET_OPS,
+        "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_lang_id": _SQL_DOC_LANG_ID,

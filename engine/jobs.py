@@ -83,19 +83,26 @@ def cmd_pipeline(args) -> dict:
 
         src = read_clip_stream(
             spark, args.clips, max_files_per_trigger=args.max_files_per_trigger,
-            watermark=None if args.decode else args.watermark,
+            watermark=None,
         )
         if args.decode:
             # end-to-end flagship: vectorized PCM decode feeds the aggregate
-            src = extractor(src).withWatermark("event_ts", args.watermark)
+            src = extractor(src)
             args.value = "rms"
+        if not args.stateful:
+            src = src.withWatermark("event_ts", args.watermark)
         if args.stateful:
+            # exact-parity mode: operator owns the (widened) watermark
             if args.window == "session":
-                agg = stateful_session_agg(src, "event_ts", args.key, args.value, args.gap)
+                agg = stateful_session_agg(
+                    src, "event_ts", args.key, args.value, args.gap,
+                    watermark=args.watermark, n_buckets=args.n_buckets,
+                )
             else:
                 slide = args.slide if args.window == "sliding" else None
                 agg = stateful_window_agg(
-                    src, "event_ts", args.key, args.value, args.width, slide=slide
+                    src, "event_ts", args.key, args.value, args.width, slide=slide,
+                    watermark=args.watermark, n_buckets=args.n_buckets,
                 )
         elif args.window == "session":
             agg = session_agg(src, "event_ts", args.key, args.value, args.gap)
@@ -236,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--value", default="dur_ms")
             p.add_argument("--stateful", action="store_true",
                            help="use the custom applyInPandasWithState store")
+            p.add_argument("--n-buckets", type=int, default=None,
+                           help="key-coarsened state layout bucket count "
+                                "(for high-cardinality keys)")
             p.add_argument("--decode", action="store_true",
                            help="decode PCM (vectorized) and aggregate rms "
                                 "instead of the metadata dur_ms column")
