@@ -525,6 +525,14 @@ FROM documents
 # ---------------------------------------------------------------------------
 
 
+def _q_winnow_near_dup(spark, sf_dir):
+    """Rolling-hash winnowing sketch near-dups (hash-seeded → rows-only)."""
+    from engine.text import winnow_near_dups
+
+    return winnow_near_dups(_read(spark, sf_dir, "documents"), k=10, w=24,
+                            min_shared=12)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from engine.dedup import exact_dedup
 
@@ -937,6 +945,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,

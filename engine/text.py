@@ -105,3 +105,84 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (A content-defined rolling hash reduces to this for whole-doc identity.)"""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fp", F.md5(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """Winnowing document sketch (the rolling-hash fingerprint proper):
+    polynomial rolling hash over character ``k``-grams, then the minimum hash
+    of every ``w``-gram window (rightmost-min tie-break) — the standard
+    near-duplicate / plagiarism sketch (Schleimer et al., SIGMOD'03 scheme).
+
+    Vectorized per document with numpy inside ``mapInPandas`` (per-character
+    work is genuinely un-expressible in codegen'd built-ins; array
+    higher-order functions execute interpreted and are far slower).  Output:
+    ``out_col: array<long>`` of distinct selected hashes — two documents
+    sharing a substring of length ≥ ``w + k - 1`` are guaranteed to share a
+    sketch value.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.int64(1_000_003)          # base (wraps mod 2^64 intentionally)
+    BK = B ** np.int64(k - 1)        # B^(k-1) with int64 wraparound
+
+    def sketch_one(text: str) -> list[int]:
+        b = np.frombuffer(text.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        b = b.astype(np.int64)
+        n = b.size
+        if n < k:
+            return [int((b * B).sum())] if n else []
+        with np.errstate(over="ignore"):
+            # rolling polynomial hash of every k-gram, fully vectorized:
+            # h[i] = sum_{j<k} b[i+j] * B^(k-1-j)   (int64 wraparound arithmetic)
+            powers = B ** np.arange(k - 1, -1, -1, dtype=np.int64)
+            grams = np.lib.stride_tricks.sliding_window_view(b, k)
+            h = (grams * powers).sum(axis=1)
+        if h.size <= w:
+            return sorted(set(int(x) for x in [h.min()]))
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        # rightmost minimum per window
+        rev_arg = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+        sel = wins[np.arange(len(wins)), rev_arg]
+        return sorted(set(int(x) for x in sel))
+
+    passthrough = list(df.columns)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} array<long>"
+
+    def op(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [sketch_one(t or "") for t in pdf[text_col]]
+            yield pdf[passthrough + [out_col]]
+
+    return df.mapInPandas(op, schema=schema)
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing sketch hashes: explode the
+    sketch, bucket-join on the hash (never a cross join), keep pairs sharing
+    ≥ ``min_shared`` selected hashes."""
+    sk = winnow_fingerprints(df.select(id_col, text_col), text_col, k, w)
+    ex = sk.select(F.col(id_col).alias("id"), F.explode("sketch").alias("h"))
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_hashes"))
+        .filter(F.col("shared_hashes") >= min_shared)
+    )

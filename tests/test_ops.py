@@ -252,3 +252,34 @@ def test_complex_bytes_roundtrip(spark):
     assert got[2] == ([], {"b": 2})
     # real Avro wire format requires the spark-avro jar — absent here
     assert avro_available(spark) is False
+
+
+def test_winnow_guarantee_and_near_dup(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= w+k-1 share
+    a sketch hash; near-identical docs surface as candidate pairs."""
+    from engine.text import winnow_fingerprints, winnow_near_dups
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "PREFIX one " + shared + " SUFFIX alpha"),
+        (2, "other start " + shared + " different ending here"),
+        (3, "completely unrelated text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = {r.doc_id: set(r.sketch) for r in winnow_fingerprints(df).collect()}
+    assert sk[1] & sk[2]          # shared substring → shared hash (guarantee)
+    assert len(sk[3] & sk[1]) <= 1  # unrelated docs share ~nothing
+
+    pairs = winnow_near_dups(df, min_shared=2).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_winnow_deterministic(spark):
+    from engine.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "some repeated text " * 20)], "doc_id long, text string")
+    a = winnow_fingerprints(df).collect()[0].sketch
+    b = winnow_fingerprints(df).collect()[0].sketch
+    assert a == b and len(a) > 0
