@@ -600,13 +600,15 @@ def _q_simhash_dedup(spark, sf_dir):
 
 
 def _q_knn_bruteforce(spark, sf_dir):
-    from engine.similarity import brute_force_topk
+    from engine.similarity import brute_force_topk_vectorized
 
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return brute_force_topk(emb, queries, k=10).select("query_id", "vec_id", "rank")
+    return brute_force_topk_vectorized(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 _SQL_KNN_BRUTEFORCE = """

@@ -160,3 +160,68 @@ def embedding_near_dup(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy matmul path.
+
+    Same result as :func:`brute_force_topk` but the per-candidate math runs as
+    one `corpus_batch @ Q.T` matrix product inside ``mapInPandas`` instead of
+    interpreted array higher-order functions (measured ~30x slower per
+    element).  Each partition emits only its local top-k per query — the
+    shuffle carries O(partitions x queries x k) rows, then one window ranks
+    globally (exact: global top-k ⊆ union of per-partition top-k).
+    The query set is collected and broadcast via closure (small by contract —
+    it is the serving-side input).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, rank int, cosine double"
+        )
+    qids = np.array([r[query_id_col] for r in qrows])
+    Q = np.asarray([r[query_vec_col] for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+            sims = Xn @ Qn.T  # (batch, queries)
+            ids = pdf[id_col].to_numpy()
+            kk = min(k, sims.shape[0])
+            # local top-k per query (exact superset of global winners)
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            out_q, out_id, out_c = [], [], []
+            for j in range(sims.shape[1]):
+                rows = part[:, j]
+                out_q.extend([qids[j]] * len(rows))
+                out_id.extend(ids[rows])
+                out_c.extend(sims[rows, j])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cosine": out_c}
+            )
+
+    cand_schema = f"{query_id_col} long, {id_col} long, cosine double"
+    cands = corpus.select(id_col, vec_col).mapInPandas(op, cand_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -283,3 +283,19 @@ def test_winnow_deterministic(spark):
     a = winnow_fingerprints(df).collect()[0].sketch
     b = winnow_fingerprints(df).collect()[0].sketch
     assert a == b and len(a) > 0
+
+
+def test_brute_force_vectorized_matches_hof(spark, emb):
+    from engine.similarity import brute_force_topk, brute_force_topk_vectorized
+
+    queries = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    a = brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    b = brute_force_topk_vectorized(emb, queries, k=5).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in a] == [
+        (r.query_id, r.vec_id, r.rank) for r in b
+    ]
+    for x, y in zip(a, b):
+        assert abs(x.cosine - y.cosine) < 1e-9
