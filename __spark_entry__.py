@@ -642,6 +642,19 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def _q_ivf_knn(spark, sf_dir):
+    """IVF partition-pruned ANN (kmeans quantizer — approximate, rows-only)."""
+    from engine.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def _q_lsh_knn(spark, sf_dir):
     """LSH-bucketed ANN (approximate by construction — rows-only check)."""
     from engine.similarity import lsh_topk
@@ -957,6 +970,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_knn": _q_lsh_knn,
+        "ivf_knn": _q_ivf_knn,
         # audio graft
         "audio_features": _q_audio_features,
         "clip_window_agg": _q_clip_window_agg,

@@ -225,3 +225,66 @@ def brute_force_topk_vectorized(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruning ANN path.
+
+    Train ``n_lists`` k-means centroids (coarse quantizer) on a corpus sample,
+    assign every corpus vector to its nearest list, and answer each query by
+    scanning only its ``n_probe`` nearest lists with the exact vectorized
+    scorer.  At 100 TB the assignment is a one-off materialization partitioned
+    by list id; a query then touches ``n_probe/n_lists`` of the data (here:
+    an in-plan filter).  Recall rises with ``n_probe`` (== n_lists → exact).
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centers = np.asarray(model.clusterCenters(), dtype=np.float64)
+
+    assigned = model.transform(
+        corpus.select(
+            id_col, vec_col,
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+        )
+    ).select(id_col, vec_col, F.col("prediction").alias("__list"))
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    out = None
+    for r in qrows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        d = ((centers - qv) ** 2).sum(axis=1)
+        probe = [int(i) for i in np.argsort(d)[:n_probe]]
+        qdf = queries.sparkSession.createDataFrame(
+            [(r[query_id_col], list(map(float, qv)))],
+            f"{query_id_col} long, {query_vec_col} array<double>",
+        )
+        cand = assigned.filter(F.col("__list").isin(probe)).select(id_col, vec_col)
+        top = brute_force_topk_vectorized(
+            cand, qdf, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        out = top if out is None else out.unionByName(top)
+    if out is None:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, rank int, cosine double"
+        )
+    return out

@@ -299,3 +299,21 @@ def test_brute_force_vectorized_matches_hof(spark, emb):
     ]
     for x, y in zip(a, b):
         assert abs(x.cosine - y.cosine) < 1e-9
+
+
+def test_ivf_topk_recall(spark, emb):
+    from engine.similarity import brute_force_topk_vectorized, ivf_topk
+
+    queries = (
+        emb.limit(3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = brute_force_topk_vectorized(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=4).collect()
+    ex = {(r.query_id, r.vec_id) for r in exact}
+    ap = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5  # n_probe=half the lists → decent recall
+    # probing every list == exact
+    full = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8).collect()
+    assert {(r.query_id, r.vec_id) for r in full} == ex
