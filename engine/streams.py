@@ -296,14 +296,14 @@ def run_join_pipeline(
     transcript stats JVM-side. Scale note: the union+groupBy shuffles once on
     clip_id; per-key state is bounded by the join TTL, not stream length.
     """
-    from engine.audio import extract_audio_features
+    from engine.audio import extract_audio_features_direct
     from engine.state import stateful_stream_join
 
     clip_side = read_clip_stream(
         spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=None
     )
     feats = (
-        extract_audio_features(clip_side)
+        extract_audio_features_direct(clip_side)
         .select("clip_id", "event_ts", "rms", "peak", "decoded_dur_ms")
         .withWatermark("event_ts", watermark)
     )
