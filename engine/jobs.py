@@ -169,6 +169,44 @@ def cmd_join(args) -> dict:
     }
 
 
+def cmd_serve(args) -> dict:
+    """Online point-lookup serving (S7, ``VectorServer`` analogue) against a
+    pipeline/backfill output: latest window row per key, looked up by primary
+    key — the CLI twin of ``featureView.getFeatureVector``."""
+    import json as _json
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from engine.serving import VectorServer
+    from engine.session import get_spark
+    from engine.sink import ParquetLedgerSink
+
+    spark = get_spark("serve", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    sink = ParquetLedgerSink(args.table)
+    online = sink.read_committed(spark)
+    latest = (
+        online.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy(args.key).orderBy(F.desc("window_start"))
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    vs = VectorServer([("fg", latest, [args.key])])
+    keys = [int(k) if k.lstrip("-").isdigit() else k for k in args.keys.split(",")]
+    vectors = [vs.get_feature_vector({args.key: k}) for k in keys]
+    spark.stop()
+    for v in vectors:
+        for kk, vv in list(v.items()):
+            if hasattr(vv, "isoformat"):
+                v[kk] = vv.isoformat()
+    return {"job": "serve", "n_keys": len(keys), "vectors": vectors}
+
+
 def cmd_backfill(args) -> dict:
     """Batch backfill of the windowed feature groups from the historical clip
     table (the reference's backfill job, ``README.md:26-28``): same aggregate
@@ -215,6 +253,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jitter-ms", type=int, default=30_000)
     p.add_argument("--max-dur-ms", type=int, default=1000)
     p.set_defaults(fn=cmd_producer)
+
+    p = sub.add_parser("serve", help="point-lookup feature vectors from a sink table")
+    p.add_argument("--table", required=True, help="sink out dir (pipeline/backfill output)")
+    p.add_argument("--key", default="speaker_id")
+    p.add_argument("--keys", required=True, help="comma-separated key values")
+    _add_common(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("backfill", help="batch backfill of windowed feature groups")
     p.add_argument("--clips", required=True)
