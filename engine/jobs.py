@@ -171,40 +171,61 @@ def cmd_join(args) -> dict:
 
 def cmd_serve(args) -> dict:
     """Online point-lookup serving (S7, ``VectorServer`` analogue) against a
-    pipeline/backfill output: latest window row per key, looked up by primary
-    key — the CLI twin of ``featureView.getFeatureVector``."""
-    import json as _json
-
+    pipeline/backfill output: latest window row per key (ties broken on
+    commit order, so re-backfills supersede older rows) — the CLI twin of
+    ``featureView.getFeatureVector``.  One scan serves all keys; misses are
+    reported per key, not fatal."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from engine.serving import VectorServer
     from engine.session import get_spark
     from engine.sink import ParquetLedgerSink
 
     spark = get_spark("serve", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
-    sink = ParquetLedgerSink(args.table)
-    online = sink.read_committed(spark)
-    latest = (
-        online.withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy(args.key).orderBy(F.desc("window_start"))
-            ),
+    try:
+        sink = ParquetLedgerSink(args.table, create=False)
+        online = sink.read_committed(spark, with_batch_id=True)
+
+        # parse key values according to the key column's actual type
+        key_type = dict(online.dtypes).get(args.key)
+        raw = [k for k in args.keys.split(",") if k != ""]
+        if key_type in ("tinyint", "smallint", "int", "bigint"):
+            keys = [int(k) for k in raw]
+        elif key_type in ("float", "double"):
+            keys = [float(k) for k in raw]
+        else:
+            keys = raw
+        keys = list(dict.fromkeys(keys))  # dedupe, keep order
+
+        latest = (
+            online.filter(F.col(args.key).isin(keys))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(args.key).orderBy(
+                        F.desc("window_start"), F.desc("batch_id")
+                    )
+                ),
+            )
+            .filter("_rn = 1")
+            .drop("_rn", "batch_id")
         )
-        .filter("_rn = 1")
-        .drop("_rn")
-    )
-    vs = VectorServer([("fg", latest, [args.key])])
-    keys = [int(k) if k.lstrip("-").isdigit() else k for k in args.keys.split(",")]
-    vectors = [vs.get_feature_vector({args.key: k}) for k in keys]
-    spark.stop()
-    for v in vectors:
-        for kk, vv in list(v.items()):
-            if hasattr(vv, "isoformat"):
-                v[kk] = vv.isoformat()
-    return {"job": "serve", "n_keys": len(keys), "vectors": vectors}
+        rows = {r[args.key]: r.asDict() for r in latest.collect()}
+    finally:
+        spark.stop()
+    vectors, missing = [], []
+    for k in keys:
+        if k in rows:
+            v = rows[k]
+            for kk, vv in list(v.items()):
+                if hasattr(vv, "isoformat"):
+                    v[kk] = vv.isoformat()
+            vectors.append(v)
+        else:
+            missing.append(k)
+    return {"job": "serve", "n_keys": len(keys), "vectors": vectors,
+            "missing_keys": missing}
 
 
 def cmd_backfill(args) -> dict:

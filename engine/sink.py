@@ -69,13 +69,19 @@ class LedgerRecord:
 class ParquetLedgerSink:
     """Idempotent exactly-once parquet sink (Iceberg-commit-shaped protocol)."""
 
-    def __init__(self, out_dir: str, event_ts_col: str | None = None):
+    def __init__(self, out_dir: str, event_ts_col: str | None = None,
+                 create: bool = True):
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.ledger_dir = os.path.join(out_dir, "_ledger")
         self.event_ts_col = event_ts_col
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.ledger_dir, exist_ok=True)
+        if create:
+            os.makedirs(self.data_dir, exist_ok=True)
+            os.makedirs(self.ledger_dir, exist_ok=True)
+        elif not os.path.isdir(self.ledger_dir):
+            raise FileNotFoundError(
+                f"no sink table at {out_dir!r} (missing {self.ledger_dir})"
+            )
 
     # -- commit protocol ----------------------------------------------------
     def _ledger_path(self, batch_id: int) -> str:
@@ -163,13 +169,30 @@ class ParquetLedgerSink:
             recs.append(LedgerRecord(**d))
         return recs
 
-    def read_committed(self, spark: SparkSession) -> DataFrame:
-        """Read exactly the committed rows (ledger-listed batch dirs)."""
-        dirs = [self._batch_dir(r.batch_id) for r in self.committed_batches()]
-        dirs = [d for d in dirs if os.path.exists(d)]
-        if not dirs:
+    def read_committed(
+        self, spark: SparkSession, with_batch_id: bool = False
+    ) -> DataFrame:
+        """Read exactly the committed rows (ledger-listed batch dirs).
+
+        ``with_batch_id=True`` appends the commit's ``batch_id`` column —
+        needed when later commits supersede earlier rows for the same key
+        (latest-row serving must tie-break on commit order)."""
+        from pyspark.sql import functions as F
+
+        pairs = [
+            (r.batch_id, self._batch_dir(r.batch_id))
+            for r in self.committed_batches()
+        ]
+        pairs = [(b, d) for b, d in pairs if os.path.exists(d)]
+        if not pairs:
             return spark.createDataFrame([], "dummy string").limit(0)
-        return spark.read.parquet(*dirs)
+        if not with_batch_id:
+            return spark.read.parquet(*[d for _, d in pairs])
+        out = None
+        for b, d in pairs:
+            part = spark.read.parquet(d).withColumn("batch_id", F.lit(b))
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def audit(self) -> dict:
         """Exactly-once audit: every batch_id committed at most once, ledger
