@@ -115,10 +115,10 @@ def _norm_key_sql(dt) -> str:
 #: "no windows finalized yet" frontier sentinel
 _THRU_NEG = -(1 << 62)
 
-_ACC_COLS = ("k", "start", "cnt", "sum", "sumsq", "mn", "mx")
-_SESS_COLS = ("k", "start", "end", "cnt", "sum", "sumsq", "mn", "mx")
+_ACC_COLS = ("k", "start", "cnt", "nn", "sum", "sumsq", "mn", "mx")
+_SESS_COLS = ("k", "start", "end", "cnt", "nn", "sum", "sumsq", "mn", "mx")
 
-_INT_COLS = {"start", "end", "cnt"}
+_INT_COLS = {"start", "end", "cnt", "nn"}
 
 
 def _acc_dtype(col: str, key_pd: str | None) -> str | None:
@@ -162,10 +162,13 @@ def _acc_to_state(
 def _result_pdf(acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
                 key_name, to_ts=_ms_ts):
     """Accumulators → output rows shaped like engine.windows._agg_exprs."""
-    n = acc["cnt"].to_numpy(dtype="float64")
+    # cnt counts every row (count(*)); avg/stdev use the non-null count,
+    # matching F.avg / F.stddev_samp null semantics.
+    n = acc["nn"].to_numpy(dtype="float64")
     s = acc["sum"].to_numpy()
     ssq = acc["sumsq"].to_numpy()
-    avg = s / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = np.where(n > 0, s / np.where(n > 0, n, 1.0), np.nan)
     if bug_compatible_stdev:
         stdev = np.zeros(len(acc))
     else:
@@ -246,6 +249,11 @@ def stateful_window_agg(
     n_wins = width_ms // slide_ms
     retention_ms = dur_ms(late_retention)
     label = label or width_label(width)
+    # Null keys are excluded (documented): feature-group primary keys are
+    # non-null and the reference's keyBy NPEs on null; Spark's built-in
+    # window() would aggregate a null-key group — pre-map nulls upstream if
+    # that behavior is needed.
+    df = df.where(F.col(key_col).isNotNull())
     shift_ms = 0
     if watermark is not None:
         shift_ms = width_ms
@@ -256,13 +264,15 @@ def stateful_window_agg(
     out_ddl = _out_ddl(key_col, key_sql, label)
     state_ddl = (
         f"thru long, k array<{key_sql}>, start array<long>, cnt array<long>, "
-        "sum array<double>, sumsq array<double>, mn array<double>, mx array<double>"
+        "nn array<long>, sum array<double>, sumsq array<double>, "
+        "mn array<double>, mx array<double>"
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        wm = state.getCurrentWatermarkMs()
-        if wm > 0:
-            wm += shift_ms  # undo the widened-delay shift (docstring)
+        wm_raw = state.getCurrentWatermarkMs()
+        wm = wm_raw + shift_ms if wm_raw > 0 else wm_raw
+        # timeouts must be positive and strictly past the raw watermark
+        clamp = lambda t: max(t, wm_raw + 1, 1)
         thru, acc = _acc_from_state(state, _ACC_COLS, key_pd)
         contribs = [acc]
         folded = False
@@ -284,7 +294,8 @@ def stateful_window_agg(
                 contribs.append(
                     pd.DataFrame(
                         {"k": kv[live].reset_index(drop=True), "start": s,
-                         "cnt": 1, "sum": vv, "sumsq": vv * vv,
+                         "cnt": 1, "nn": (~np.isnan(vv)).astype("int64"),
+                         "sum": vv, "sumsq": vv * vv,
                          "mn": vv, "mx": vv}
                     )
                 )
@@ -292,26 +303,30 @@ def stateful_window_agg(
             allc = pd.concat(contribs, ignore_index=True)
             acc = (
                 allc.groupby(["k", "start"], as_index=False, sort=True)
-                .agg(cnt=("cnt", "sum"), sum=("sum", "sum"), sumsq=("sumsq", "sum"),
-                     mn=("mn", "min"), mx=("mx", "max"))
+                .agg(cnt=("cnt", "sum"), nn=("nn", "sum"), sum=("sum", "sum"),
+                     sumsq=("sumsq", "sum"), mn=("mn", "min"), mx=("mx", "max"))
             )
         mature = acc["start"] + width_ms <= wm
-        if mature.any():
+        emitted = bool(mature.any())
+        if emitted:
             yield _result_pdf(
                 acc[mature], width_ms, label, bug_compatible_stdev, key_col
             )
-            thru = max(thru, wm)
         rest = acc[~mature]
         if len(rest):
             _acc_to_state(state, max(thru, wm), rest,
-                          int(rest["start"].min() + width_ms) - shift_ms,
+                          clamp(int(rest["start"].min() + width_ms) - shift_ms),
                           _ACC_COLS, key_pd)
-        elif state.hasTimedOut and not folded:
-            state.remove()  # tombstone expired
-        else:
+        elif emitted or folded or not state.exists:
+            # fresh activity (or first sight) → (re)store the frontier
+            # tombstone; it guards against stragglers for late_retention
             thru = max(thru, wm)
-            _acc_to_state(state, thru, rest, thru + retention_ms - shift_ms,
+            _acc_to_state(state, thru, rest,
+                          clamp(thru + retention_ms - shift_ms),
                           _ACC_COLS, key_pd)
+        else:
+            # retention timeout fired with no new data and nothing pending
+            state.remove()
 
     return _grouped(df, key_col, n_buckets).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
@@ -339,6 +354,7 @@ def stateful_session_agg(
     extended).  ``watermark`` / ``late_retention`` / ``n_buckets`` as in
     :func:`stateful_window_agg`.
     """
+    df = df.where(F.col(key_col).isNotNull())  # null keys excluded (see above)
     gap_us = dur_ms(gap) * 1000
     retention_us = dur_ms(late_retention) * 1000
     shift_us = 0
@@ -351,14 +367,14 @@ def stateful_session_agg(
     out_ddl = _out_ddl(key_col, key_sql, label)
     state_ddl = (
         f"thru long, k array<{key_sql}>, start array<long>, end array<long>, "
-        "cnt array<long>, sum array<double>, sumsq array<double>, "
-        "mn array<double>, mx array<double>"
+        "cnt array<long>, nn array<long>, sum array<double>, "
+        "sumsq array<double>, mn array<double>, mx array<double>"
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        wm = state.getCurrentWatermarkMs() * 1000  # µs
-        if wm > 0:
-            wm += shift_us  # undo the widened-delay shift
+        wm_raw = state.getCurrentWatermarkMs()
+        wm = wm_raw * 1000 + shift_us if wm_raw > 0 else wm_raw * 1000  # µs
+        clamp = lambda t: max(t, wm_raw + 1, 1)  # timeout args are in ms
         thru, acc = _acc_from_state(state, _SESS_COLS, key_pd)
         contribs = [acc]
         folded = False
@@ -376,12 +392,14 @@ def stateful_session_agg(
             contribs.append(
                 pd.DataFrame(
                     {"k": kv.reset_index(drop=True), "start": tsl,
-                     "end": tsl + gap_us, "cnt": 1, "sum": vl,
+                     "end": tsl + gap_us, "cnt": 1,
+                     "nn": (~np.isnan(vl)).astype("int64"), "sum": vl,
                      "sumsq": vl * vl, "mn": vl, "mx": vl}
                 )
             )
-        allc = pd.concat(contribs, ignore_index=True) if len(contribs) > 1 else acc
-        if len(allc):
+        allc = pd.concat(contribs, ignore_index=True) if folded else acc
+        # state is already merged islands; re-merge only when new rows folded
+        if folded and len(allc):
             allc = allc.sort_values(["k", "start"], kind="mergesort",
                                     ignore_index=True)
             s = allc["start"].to_numpy(dtype="int64")
@@ -395,29 +413,30 @@ def stateful_session_agg(
             allc["grp"] = np.cumsum(new_isl)
             acc = allc.groupby("grp", as_index=False, sort=True).agg(
                 k=("k", "first"), start=("start", "min"), end=("end", "max"),
-                cnt=("cnt", "sum"), sum=("sum", "sum"), sumsq=("sumsq", "sum"),
-                mn=("mn", "min"), mx=("mx", "max"),
+                cnt=("cnt", "sum"), nn=("nn", "sum"), sum=("sum", "sum"),
+                sumsq=("sumsq", "sum"), mn=("mn", "min"), mx=("mx", "max"),
             )[list(_SESS_COLS)]
         else:
             acc = allc
         mature = acc["end"] <= wm
-        if mature.any():
+        emitted = bool(mature.any())
+        if emitted:
             yield _result_pdf(acc[mature], None, label, bug_compatible_stdev,
                               key_col, to_ts=_us_ts)
-            thru = max(thru, wm)
         rest = acc[~mature]
         # timeouts are in ms and must be strictly past the watermark
         if len(rest):
             _acc_to_state(state, max(thru, wm), rest,
-                          (int(rest["end"].min()) - shift_us) // 1000 + 1,
+                          clamp((int(rest["end"].min()) - shift_us) // 1000 + 1),
                           _SESS_COLS, key_pd)
-        elif state.hasTimedOut and not folded:
-            state.remove()  # tombstone expired
-        else:
+        elif emitted or folded or not state.exists:
             thru = max(thru, wm)
             _acc_to_state(state, thru, rest,
-                          (thru + retention_us - shift_us) // 1000 + 1,
+                          clamp((thru + retention_us - shift_us) // 1000 + 1),
                           _SESS_COLS, key_pd)
+        else:
+            # retention timeout fired with no new data and nothing pending
+            state.remove()
 
     return _grouped(df, key_col, n_buckets).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from engine.state import _ts_us, _us_ts, dur_ms
+from engine.state import _norm_key_sql, _ts_us, _us_ts, dur_ms
 
 
 def stateful_stream_join(
@@ -68,28 +68,33 @@ def stateful_stream_join(
     if overlap:
         raise ValueError(f"payload columns must be disjoint, got overlap {overlap}")
 
-    def _norm(dt) -> str:
-        # Normalize narrow numerics so pandas' null-driven float upcasts
-        # round-trip losslessly through the Arrow state arrays.
-        s = dt.simpleString()
-        if s in ("tinyint", "smallint", "int", "bigint"):
-            return "bigint"
-        if s in ("float", "double"):
-            return "double"
-        return s
+    ltypes = {c: _norm_key_sql(left.schema[c].dataType) for c in lcols}
+    rtypes = {c: _norm_key_sql(right.schema[c].dataType) for c in rcols}
+    key_sql = _norm_key_sql(left.schema[key_col].dataType)
 
-    ltypes = {c: _norm(left.schema[c].dataType) for c in lcols}
-    rtypes = {c: _norm(right.schema[c].dataType) for c in rcols}
-    key_sql = _norm(left.schema[key_col].dataType)
+    def _other_side_fill(sql_type: str):
+        # Fill the other side's numeric columns with a sentinel 0 instead of
+        # null: a null-bearing int64 Arrow column materializes in pandas as
+        # float64, which silently rounds values above 2^53. The filled cells
+        # are never read (each side selects only its own columns). Residual
+        # genuine nulls WITHIN a side still upcast — handled with nullable
+        # Int64 in _coerce (exact for all values Arrow delivers as ints).
+        if sql_type in ("bigint", "double"):
+            return F.lit(0).cast(sql_type)
+        return F.lit(None).cast(sql_type)
+
+    # SQL equi-join semantics: null keys never match → inner join drops them
+    left = left.where(F.col(key_col).isNotNull())
+    right = right.where(F.col(key_col).isNotNull())
 
     tagged_l = left.select(
         F.col(key_col).cast(key_sql), F.col(ts_col), F.lit(0).alias("__side"),
         *[F.col(c).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(c) for c in rcols],
+        *[_other_side_fill(rtypes[c]).alias(c) for c in rcols],
     )
     tagged_r = right.select(
         F.col(key_col).cast(key_sql), F.col(ts_col), F.lit(1).alias("__side"),
-        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        *[_other_side_fill(ltypes[c]).alias(c) for c in lcols],
         *[F.col(c).cast(rtypes[c]).alias(c) for c in rcols],
     )
     both = tagged_l.unionByName(tagged_r)
@@ -118,9 +123,11 @@ def stateful_stream_join(
     )
     out_cols = [key_col, left_ts_name, right_ts_name] + lcols + rcols
 
-    _pd_dtype = {"bigint": "int64", "double": "float64"}
+    _pd_dtype = {"bigint": "Int64", "double": "float64"}
 
     def _coerce(frame: pd.DataFrame, cols_types: dict) -> pd.DataFrame:
+        # "Int64" (nullable) keeps genuine nulls as <NA> instead of crashing
+        # astype("int64") and avoids inventing values for them.
         frame = frame.copy()
         for c, t in cols_types.items():
             dt = _pd_dtype.get(t)
@@ -130,6 +137,11 @@ def stateful_stream_join(
 
     l_ct = {"__key": key_sql, **ltypes}
     r_ct = {"__key": key_sql, **rtypes}
+
+    def _to_list(series: pd.Series) -> list:
+        if str(series.dtype) == "Int64":
+            return [None if pd.isna(x) else int(x) for x in series]
+        return series.tolist()
 
     def _buf_from_state(state: GroupState):
         if state.exists:
@@ -197,10 +209,10 @@ def stateful_stream_join(
                 state.remove()
             return
         vals = (
-            [all_l["__key"].tolist(), all_l["__ts"].tolist()]
-            + [all_l[c].tolist() for c in lcols]
-            + [all_r["__key"].tolist(), all_r["__ts"].tolist()]
-            + [all_r[c].tolist() for c in rcols]
+            [_to_list(all_l["__key"]), all_l["__ts"].tolist()]
+            + [_to_list(all_l[c]) for c in lcols]
+            + [_to_list(all_r["__key"]), all_r["__ts"].tolist()]
+            + [_to_list(all_r[c]) for c in rcols]
         )
         state.update(tuple(vals))
         lo = min(

@@ -268,3 +268,145 @@ def test_bucketed_window_and_session_match_builtin(spark, clips_dir):
         spark, session_agg(src4, "event_ts", "speaker_id", "dur_ms", "2 minutes")
     )
     _cmp(got_s, want_s, ["window_start", "speaker_id"])
+
+
+def _mini_stream_dir(tmp, files):
+    """files: list of row-lists [(k, ts_s, v), ...] → one parquet per batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp / "mini")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        t = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema([("k", pa.int64()), ("ts", pa.timestamp("us")),
+                              ("v", pa.float64())]),
+            preserve_index=False,
+        )
+        pq.write_table(t, f"{d}/p{i:03d}.parquet")
+        os.utime(f"{d}/p{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+    return d
+
+
+def _mini_src(spark, d):
+    return (
+        spark.readStream.schema("k long, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    )
+
+
+def test_tombstone_prevents_duplicate_after_timeout_drain(spark, tmp_path):
+    """Key A's window drains via event-time timeout (no A data in later
+    batches); a straggler A row within retention must NOT re-emit the window
+    — the frontier tombstone survives the drain (review regression)."""
+    d = _mini_stream_dir(tmp_path, [
+        [(1, 100, 1.0)],                      # A in window [0,600)
+        [(2, 2000, 1.0)],                     # B advances wm → A window drains
+        [(2, 3000, 1.0)],                     # B again (timeouts fire)
+        [(2, 4000, 1.0), (1, 500, 9.0)],      # straggler A for emitted window
+        [(2, 5000, 1.0)],
+    ])
+    src = _mini_src(spark, d)
+    got = _run_stream(
+        spark,
+        stateful_window_agg(src, "ts", "k", "v", "10 minutes",
+                            watermark="60 seconds", late_retention="2 hours"),
+    )
+    a_rows = got[got["k"] == 1]
+    assert len(a_rows) == 1                      # no duplicate emission
+    assert a_rows["num_trans_per_10m"].iloc[0] == 1  # straggler dropped
+
+
+def test_null_values_match_builtin(spark, tmp_path):
+    """Null measure values: cnt counts all rows, avg/stdev/min/max ignore
+    nulls — identical to the built-in aggregate."""
+    d = _mini_stream_dir(tmp_path, [
+        [(1, 100, 10.0), (1, 200, None), (2, 150, None), (2, 160, None)],
+        [(3, 3000, 5.0)],
+        [(3, 4000, 5.0)],
+    ])
+    got = _run_stream(
+        spark, stateful_window_agg(_mini_src(spark, d), "ts", "k", "v",
+                                   "10 minutes", watermark="60 seconds")
+    )
+    want = _run_stream(
+        spark,
+        tumbling_agg(
+            _mini_src(spark, d).withWatermark("ts", "60 seconds"),
+            "ts", "k", "v", "10 minutes",
+        ),
+    )
+    _cmp(got, want, ["window_start", "k"])
+
+
+def test_join_preserves_large_int_payloads(spark, tmp_path):
+    """Int payloads above 2^53 must survive the state round-trip exactly
+    (no float64 corruption) — review regression."""
+    big = (1 << 53) + 1
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    d = str(tmp_path / "big")
+    os.makedirs(d)
+    pdf = pd.DataFrame({
+        "clip_id": ["a", "b"],
+        "event_ts": pd.to_datetime([1000, 1001], unit="s"),
+        "payload": [big, big + 2],
+    })
+    t = pa.Table.from_pandas(pdf, schema=pa.schema(
+        [("clip_id", pa.string()), ("event_ts", pa.timestamp("us")),
+         ("payload", pa.int64())]), preserve_index=False)
+    pq.write_table(t, f"{d}/p0.parquet")
+
+    left = (spark.readStream.schema("clip_id string, event_ts timestamp, payload long")
+            .parquet(d).withColumnRenamed("payload", "l_pay")
+            .withWatermark("event_ts", "60 seconds"))
+    right = (spark.readStream.schema("clip_id string, event_ts timestamp, payload long")
+             .parquet(d).withColumnRenamed("payload", "r_pay")
+             .withWatermark("event_ts", "60 seconds"))
+    got = _run_stream(
+        spark, stateful_stream_join(left, right, "clip_id", "event_ts",
+                                    ttl="5 minutes", n_buckets=4)
+    )
+    vals = dict(zip(got["clip_id"], got["l_pay"]))
+    assert vals == {"a": big, "b": big + 2}
+    assert (got["l_pay"] == got["r_pay"]).all()
+
+
+def test_null_keys_excluded(spark, tmp_path):
+    """Null keys are excluded by contract (documented): rows with null key
+    vanish from the aggregate; non-null keys unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    d = str(tmp_path / "nk")
+    os.makedirs(d)
+    pdf = pd.DataFrame({
+        "k": pd.array([1, None, 2], dtype="Int64"),
+        "ts": pd.to_datetime([100, 110, 120], unit="s"),
+        "v": [1.0, 2.0, 3.0],
+    })
+    t = pa.Table.from_pandas(pdf, schema=pa.schema(
+        [("k", pa.int64()), ("ts", pa.timestamp("us")), ("v", pa.float64())]),
+        preserve_index=False)
+    pq.write_table(t, f"{d}/p0.parquet")
+    pdf2 = pd.DataFrame({"k": pd.array([1], dtype="Int64"),
+                         "ts": pd.to_datetime([2000], unit="s"), "v": [1.0]})
+    t2 = pa.Table.from_pandas(pdf2, schema=t.schema, preserve_index=False)
+    pq.write_table(t2, f"{d}/p1.parquet")
+    os.utime(f"{d}/p0.parquet", (1_000_000, 1_000_000))
+    os.utime(f"{d}/p1.parquet", (1_000_001, 1_000_001))
+
+    got = _run_stream(
+        spark, stateful_window_agg(_mini_src(spark, d), "ts", "k", "v",
+                                   "10 minutes", watermark="60 seconds")
+    )
+    first = got[got["window_start"] == pd.Timestamp("1970-01-01")]
+    assert set(first["k"]) == {1, 2}
