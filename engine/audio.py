@@ -35,20 +35,22 @@ def encode_wav_pcm16(samples: np.ndarray, sr_hz: int) -> bytes:
     pcm = np.round(x * 32767.0).astype("<i2")
     data = pcm.tobytes()
     n = len(data)
+    u32 = lambda v: np.array(v, dtype="<u4").tobytes()
+    u16 = lambda v: np.array(v, dtype="<u2").tobytes()
     header = (
         b"RIFF"
-        + np.uint32(36 + n).tobytes()
+        + u32(36 + n)
         + b"WAVE"
         + b"fmt "
-        + np.uint32(16).tobytes()
-        + np.uint16(1).tobytes()  # PCM
-        + np.uint16(1).tobytes()  # mono
-        + np.uint32(sr_hz).tobytes()
-        + np.uint32(sr_hz * 2).tobytes()  # byte rate
-        + np.uint16(2).tobytes()  # block align
-        + np.uint16(16).tobytes()  # bits per sample
+        + u32(16)
+        + u16(1)  # PCM
+        + u16(1)  # mono
+        + u32(sr_hz)
+        + u32(sr_hz * 2)  # byte rate
+        + u16(2)  # block align
+        + u16(16)  # bits per sample
         + b"data"
-        + np.uint32(n).tobytes()
+        + u32(n)
     )
     return header + data
 
@@ -114,8 +116,9 @@ AUDIO_FEATURE_FIELDS = (
 )
 
 
-def _features_one(buf: bytes, codec: str, sr_hz: int) -> tuple:
-    x = decode_payload(buf, codec, sr_hz)
+def _basic_feats(x: np.ndarray, sr_hz: int) -> tuple:
+    """(n_samples, rms, peak, zcr, decoded_dur_ms, clipped_frac) — the single
+    definition shared by both extraction paths."""
     n = x.size
     if n == 0:
         return 0, 0.0, 0.0, 0.0, 0.0, 0.0
@@ -195,20 +198,7 @@ def extract_audio_features(
             feats, specs = [], []
             for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"]):
                 x = decode_payload(b, c, s)
-                n = x.size
-                if n == 0:
-                    feats.append((0, 0.0, 0.0, 0.0, 0.0, 0.0))
-                else:
-                    rms = float(np.sqrt(np.mean(x**2)))
-                    peak = float(np.max(np.abs(x)))
-                    zcr = (
-                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                        if n > 1 else 0.0
-                    )
-                    feats.append(
-                        (n, rms, peak, zcr, 1000.0 * n / s,
-                         float(np.mean(np.abs(x) >= (32766.0 / 32767.0))))
-                    )
+                feats.append(_basic_feats(x, int(s)))
                 if spectral:
                     specs.append(_spectral_one(x, int(s)))
             fcols = pd.DataFrame(feats, columns=base_cols, index=pdf.index)
@@ -287,20 +277,7 @@ def extract_audio_features_direct(
             ):
                 b = payloads_for(fp)[cid]
                 x = decode_payload(b, c, s)
-                n = x.size
-                if n == 0:
-                    feats.append((0, 0.0, 0.0, 0.0, 0.0, 0.0))
-                else:
-                    rms = float(np.sqrt(np.mean(x**2)))
-                    peak = float(np.max(np.abs(x)))
-                    zcr = (
-                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                        if n > 1 else 0.0
-                    )
-                    feats.append(
-                        (n, rms, peak, zcr, 1000.0 * n / s,
-                         float(np.mean(np.abs(x) >= (32766.0 / 32767.0))))
-                    )
+                feats.append(_basic_feats(x, int(s)))
                 if spectral:
                     specs.append(_spectral_one(x, int(s)))
             fcols = pd.DataFrame(feats, columns=base_cols, index=pdf.index)

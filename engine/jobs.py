@@ -185,11 +185,16 @@ def cmd_serve(args) -> dict:
                       shuffle_partitions=args.shuffle_partitions)
     try:
         sink = ParquetLedgerSink(args.table, create=False)
-        online = sink.read_committed(spark, with_batch_id=True)
+        raw = [k for k in args.keys.split(",") if k != ""]
+        try:
+            online = sink.read_committed(spark, with_batch_id=True)
+        except ValueError:
+            # table exists but has no committed batches yet
+            return {"job": "serve", "n_keys": len(set(raw)), "vectors": [],
+                    "missing_keys": list(dict.fromkeys(raw))}
 
         # parse key values according to the key column's actual type
         key_type = dict(online.dtypes).get(args.key)
-        raw = [k for k in args.keys.split(",") if k != ""]
         if key_type in ("tinyint", "smallint", "int", "bigint"):
             keys = [int(k) for k in raw]
         elif key_type in ("float", "double"):

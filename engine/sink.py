@@ -95,13 +95,28 @@ class ParquetLedgerSink:
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
         """The foreachBatch body. Returns False when the batch was a replay."""
+        files = sorted(batch_df.inputFiles())
         if self.is_committed(batch_id):
-            return False  # exactly-once short circuit (T7)
+            # Exactly-once short circuit (T7) — but a reused out_dir with a
+            # FRESH checkpoint restarts batch ids at 0 and would silently
+            # no-op every write. A true replay re-reads the same input files;
+            # anything else is an out_dir/checkpoint mismatch → fail loudly.
+            with open(self._ledger_path(batch_id)) as fh:
+                rec = json.load(fh)
+            recorded = rec.get("lineage", {}).get("input_files")
+            if recorded is not None and files and recorded != files:
+                raise RuntimeError(
+                    f"sink {self.out_dir!r} already has batch {batch_id} from "
+                    "different input files — reusing an output dir with a new "
+                    "checkpoint? Point the query at a fresh out_dir or reuse "
+                    "the original checkpoint."
+                )
+            return False
         tmp = os.path.join(self.data_dir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
         final = self._batch_dir(batch_id)
         lineage = {
-            "input_files": sorted(batch_df.inputFiles()),
-            "num_input_files": len(batch_df.inputFiles()),
+            "input_files": files,
+            "num_input_files": len(files),
         }
         batch_df.write.mode("overwrite").parquet(tmp)
         partitions = self._partition_metrics(tmp)
@@ -136,9 +151,10 @@ class ParquetLedgerSink:
         import pyarrow.parquet as pq
 
         out = []
-        for i, name in enumerate(sorted(os.listdir(written_dir))):
-            if not name.endswith(".parquet"):
-                continue
+        parquet_files = sorted(
+            n for n in os.listdir(written_dir) if n.endswith(".parquet")
+        )
+        for i, name in enumerate(parquet_files):
             md = pq.read_metadata(os.path.join(written_dir, name))
             stats = {"partition_id": i, "file": name, "row_count": md.num_rows}
             if self.event_ts_col:
@@ -177,22 +193,21 @@ class ParquetLedgerSink:
         ``with_batch_id=True`` appends the commit's ``batch_id`` column —
         needed when later commits supersede earlier rows for the same key
         (latest-row serving must tie-break on commit order)."""
-        from pyspark.sql import functions as F
-
         pairs = [
             (r.batch_id, self._batch_dir(r.batch_id))
             for r in self.committed_batches()
         ]
         pairs = [(b, d) for b, d in pairs if os.path.exists(d)]
         if not pairs:
-            return spark.createDataFrame([], "dummy string").limit(0)
+            raise ValueError(
+                f"sink table {self.out_dir!r} has no committed batches"
+            )
+        dirs = [d for _, d in pairs]
         if not with_batch_id:
-            return spark.read.parquet(*[d for _, d in pairs])
-        out = None
-        for b, d in pairs:
-            part = spark.read.parquet(d).withColumn("batch_id", F.lit(b))
-            out = part if out is None else out.unionByName(part)
-        return out
+            return spark.read.parquet(*dirs)
+        # the layout is hive-partitioned (data/batch_id=N/); basePath makes
+        # one scan yield the batch_id partition column — no per-dir unions
+        return spark.read.option("basePath", self.data_dir).parquet(*dirs)
 
     def audit(self) -> dict:
         """Exactly-once audit: every batch_id committed at most once, ledger
@@ -201,9 +216,12 @@ class ParquetLedgerSink:
         ids = [r.batch_id for r in recs]
         import pyarrow.parquet as pq
 
-        data_rows = 0
+        data_rows, missing_dirs = 0, 0
         for r in recs:
             d = self._batch_dir(r.batch_id)
+            if not os.path.isdir(d):
+                missing_dirs += 1
+                continue
             for name in os.listdir(d):
                 if name.endswith(".parquet"):
                     data_rows += pq.read_metadata(os.path.join(d, name)).num_rows
@@ -212,5 +230,9 @@ class ParquetLedgerSink:
             "unique_batch_ids": len(set(ids)) == len(ids),
             "ledger_rows": sum(r.row_count for r in recs),
             "data_rows": data_rows,
-            "consistent": data_rows == sum(r.row_count for r in recs),
+            "missing_dirs": missing_dirs,
+            "consistent": (
+                missing_dirs == 0
+                and data_rows == sum(r.row_count for r in recs)
+            ),
         }

@@ -74,6 +74,9 @@ def write_clips_stream_dir(
     ``(seed, start_index)`` (engine.synth.make_clips_pdf), so output is
     deterministic regardless of parallelism."""
     os.makedirs(dir_path, exist_ok=True)
+    for stale in os.listdir(dir_path):  # rewriting the topic: drop old shards
+        if stale.startswith("part-") and stale.endswith(".parquet"):
+            os.remove(os.path.join(dir_path, stale))
     chunk = (n_clips + n_files - 1) // n_files
     tasks = []
     for i in range(n_files):
@@ -328,13 +331,3 @@ def run_join_pipeline(
         q.awaitTermination()
     return q, sink
 
-
-def throughput_rows_per_sec(query) -> float:
-    """Sustained input rows/sec over the life of a finished StreamingQuery,
-    computed from its progress events (the metric BASELINE.json names)."""
-    progs = [p for p in query.recentProgress if p is not None]
-    rows = sum(p["numInputRows"] for p in progs)
-    secs = sum(
-        (p["batchDuration"] if "batchDuration" in p else 0) for p in progs
-    ) / 1000.0
-    return rows / secs if secs > 0 else float("nan")

@@ -247,3 +247,33 @@ def test_serving_over_streamed_output(spark, clips_dir, tmp_path):
         spark, [{"speaker_id": s} for s in some]
     )
     assert batch_rows.count() == len(some)
+
+
+def test_sink_rejects_out_dir_reuse_with_new_checkpoint(spark, clips_dir, tmp_path):
+    """Reusing an out_dir with a fresh checkpoint restarts batch ids — the
+    sink must fail loudly instead of silently no-opping (review regression)."""
+    from engine.streams import run_window_pipeline
+
+    out = str(tmp_path / "reuse_out")
+    _, sink1 = run_window_pipeline(spark, clips_dir, out, str(tmp_path / "ck1"),
+                                   max_files_per_trigger=4)
+    before = [r.lineage for r in sink1.committed_batches()]
+    with pytest.raises(Exception):  # guard surfaces wrapped in StreamingQueryException
+        # new checkpoint, different batching → batch 0 covers different files
+        run_window_pipeline(spark, clips_dir, out, str(tmp_path / "ck2"),
+                            max_files_per_trigger=1)
+    after = [r.lineage for r in sink1.committed_batches()]
+    assert after == before  # nothing overwritten or silently dropped
+
+
+def test_producer_rewrite_clears_stale_shards(tmp_path):
+    import os
+
+    from engine.streams import write_clips_stream_dir
+
+    d = str(tmp_path / "topic")
+    write_clips_stream_dir(d, 400, n_files=8, seed=1)
+    assert len(os.listdir(d)) == 8
+    write_clips_stream_dir(d, 200, n_files=4, seed=1)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 4  # old shards removed
