@@ -273,19 +273,39 @@ class Query:
         return self
 
     # -- time travel ---------------------------------------------------------
-    def as_of(self, wallclock_time, exclude_until=None) -> "Query":
-        """``QueryBase.asOf:186-221`` — bounds propagate into every join leg."""
-        self.as_of_ts = wallclock_time
-        self.as_of_exclude = exclude_until
+    def _clone(self) -> "Query":
+        """Shallow structural copy (shared DataFrames, copied query nodes) so
+        time-travel bounds never mutate a saved query (e.g. a FeatureView's)."""
+        import copy
+
+        c = copy.copy(self)
+        c.appended = list(self.appended)
+        c.joins = []
         for j in self.joins:
-            j.sub_query.as_of(wallclock_time, exclude_until)
-        return self
+            j2 = copy.copy(j)
+            j2.sub_query = j.sub_query._clone()
+            c.joins.append(j2)
+        return c
+
+    def _apply_bounds(self, ts, exclude) -> None:
+        self.as_of_ts = ts
+        self.as_of_exclude = exclude
+        for j in self.joins:
+            j.sub_query._apply_bounds(ts, exclude)
+
+    def as_of(self, wallclock_time, exclude_until=None) -> "Query":
+        """``QueryBase.asOf:186-221`` — bounds propagate into every join leg.
+        Returns a bounded COPY; the receiver is unchanged."""
+        q = self._clone()
+        q._apply_bounds(wallclock_time, exclude_until)
+        return q
 
     def pull_changes(self, start, end) -> "Query":
-        """``QueryBase.pullChanges:235-240`` (deprecated in reference)."""
-        self.as_of_ts = end
-        self.as_of_exclude = start
-        return self
+        """``QueryBase.pullChanges:235-240`` (deprecated in reference).
+        Bounds propagate into join legs; returns a copy."""
+        q = self._clone()
+        q._apply_bounds(end, start)
+        return q
 
     # -- lowering ------------------------------------------------------------
     def _base_df(self, spark) -> DataFrame:
@@ -339,10 +359,10 @@ class Query:
     # ``query.sql()`` in the reference returns the backend-constructed SQL
     # (QueryConstructorApi); our equivalent is the Catalyst plan itself.
     def explain_string(self, spark=None, mode: str = "formatted") -> str:
-        return self.to_df(spark)._jdf.queryExecution().explainString(
-            getattr(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode, "fromString"
-            )(mode)
+        df = self.to_df(spark)
+        jvm = df.sparkSession._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
         )
 
 

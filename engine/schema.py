@@ -234,10 +234,17 @@ class FeatureGroup:
         return self
 
     def read(self, spark=None) -> DataFrame:
-        """Offline read (S8): attached DataFrame, else parquet at ``path``."""
+        """Offline read (S8): attached DataFrame, else the owning store's
+        ledgered table (exactly the committed rows, with ``_commit_ts`` for
+        time travel), else parquet at ``path``."""
         df = getattr(self, "_df", None)
         if df is not None:
             return df
+        store = getattr(self, "_store", None)
+        if store is not None:
+            if spark is None:
+                raise ValueError("spark session required to read from the store")
+            return store.read(spark, self)
         if self.path:
             if spark is None:
                 raise ValueError("spark session required to read from path")

@@ -30,6 +30,12 @@ class VectorServer:
         Order is preserved when stitching vectors, mirroring the TreeMap
         iteration order of ``VectorServer.java:339-366``."""
         self.feature_groups = feature_groups
+        pk_sets = {tuple(pks) for _, _, pks in feature_groups}
+        if len(pk_sets) > 1:
+            raise ValueError(
+                "all feature groups must share the same primary keys for "
+                f"vector stitching; got {sorted(pk_sets)}"
+            )
 
     def _check_keys(self, entry: dict, pks: list[str]) -> None:
         missing = [k for k in pks if k not in entry]
@@ -51,9 +57,19 @@ class VectorServer:
             for k in pks:
                 c = F.col(k) == F.lit(entry[k])
                 cond = c if cond is None else (cond & c)
-            rows = df.filter(cond).limit(2).collect()
+            matched = df.filter(cond)
+            if "batch_id" in df.columns:
+                # multi-version table: newest commit wins
+                matched = matched.orderBy(F.desc("batch_id"))
+            rows = matched.limit(2).collect()
             if not rows:
                 raise LookupError_(f"No feature vector for {entry} in group '{name}'")
+            if len(rows) > 1 and "batch_id" not in df.columns:
+                raise LookupError_(
+                    f"key {entry} has multiple rows in group '{name}' and no "
+                    "batch_id to order by — reduce the online table to one "
+                    "row per key (latest window/commit) before serving"
+                )
             row = rows[0].asDict()
             for k, v in row.items():
                 out.setdefault(k, v)
@@ -75,6 +91,12 @@ class VectorServer:
                 [tuple(e[k] for k in pks) for e in entries], pks
             ).dropDuplicates(pks)
             part = df.join(F.broadcast(keys_df), on=pks, how="inner")
+            if out is not None:
+                # disambiguate non-key columns colliding across groups
+                # (per-group prefix, as the reference's join prefixing does)
+                clash = (set(out.columns) & set(part.columns)) - set(pks)
+                for c in clash:
+                    part = part.withColumnRenamed(c, f"{name}_{c}")
             out = part if out is None else out.join(part, on=pks, how="outer")
         return out
 

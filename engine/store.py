@@ -74,7 +74,7 @@ class FeatureStore:
             event_time=m["event_time"], description=m["description"],
             online_enabled=m["online_enabled"],
         )
-        fg.path = os.path.join(os.path.dirname(p), "data")
+        fg.path = None  # reads route through the store's ledgered table
         fg._store = self
         return fg
 
@@ -100,7 +100,7 @@ class FeatureStore:
             name, df, version=version, primary_key=primary_key,
             partition_key=partition_key, event_time=event_time, **kw
         )
-        fg.path = os.path.join(self.root, fg.table_name, "data")
+        fg.path = None  # reads route through the store's ledgered table
         fg._store = self
         self._save_meta(fg)
         return fg
@@ -112,12 +112,19 @@ class FeatureStore:
             os.path.join(out_dir, "table"), event_ts_col=fg.event_time
         )
 
+    #: batch inserts use their own id namespace, far above any plausible
+    #: streaming micro-batch count, so mixing insert and insert_stream on one
+    #: group can never collide with a checkpoint's restarting batch ids.
+    BATCH_ID_BASE = 1 << 40
+
     def insert(self, fg: FeatureGroup, df: DataFrame) -> int:
         """Batch insert = one exactly-once ledger commit; returns batch id."""
         df = sanitize_feature_names(df)
         fg.verify_schema(df)
         sink = self._sink(fg)
-        batch_id = max((r.batch_id for r in sink.committed_batches()), default=-1) + 1
+        existing = [r.batch_id for r in sink.committed_batches()
+                    if r.batch_id >= self.BATCH_ID_BASE]
+        batch_id = max(existing, default=self.BATCH_ID_BASE - 1) + 1
         sink.write_batch(df, batch_id)
         return batch_id
 
@@ -139,8 +146,26 @@ class FeatureStore:
             q.stop()
         return q
 
-    def read(self, spark: SparkSession, fg: FeatureGroup) -> DataFrame:
-        return self._sink(fg).read_committed(spark)
+    def read(self, spark: SparkSession, fg: FeatureGroup,
+             with_commit_ts: bool = True) -> DataFrame:
+        """Exactly the committed rows; by default each row carries
+        ``_commit_ts`` (from its batch's ledger record) so ``Query.as_of`` /
+        ``pull_changes`` time travel actually bounds store-managed tables."""
+        from pyspark.sql import functions as F
+
+        from engine.query import COMMIT_TS_COL
+
+        sink = self._sink(fg)
+        if not with_commit_ts:
+            return sink.read_committed(spark)
+        df = sink.read_committed(spark, with_batch_id=True)
+        pairs = [(r.batch_id, r.commit_ts_ms) for r in sink.committed_batches()]
+        mapping = F.create_map(
+            *[F.lit(x) for pair in pairs for x in pair]
+        )
+        return df.withColumn(
+            COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
+        ).drop("batch_id")
 
     def commit_details(self, fg: FeatureGroup) -> list[dict]:
         """V3: the commit log (batch id, commit ts, row counts, lineage)."""

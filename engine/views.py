@@ -35,11 +35,16 @@ class FeatureView:
     # -- batch reads -------------------------------------------------------
     def get_batch_query(self, start=None, end=None) -> Query:
         """PIT-bounded batch query (``FeatureViewEngineBase.getBatchQuery``
-        ``:213-235``): event-time range over the view's query."""
-        q = self.query
+        ``:213-235``): commit-time range over the view's query.  A start with
+        no end bounds up to "now" (the reference's default); the saved query
+        is never mutated (``as_of`` returns a copy)."""
+        if end is None and start is not None:
+            from datetime import datetime, timezone
+
+            end = datetime.now(timezone.utc).replace(tzinfo=None)
         if end is not None:
-            q = q.as_of(end, exclude_until=start)
-        return q
+            return self.query.as_of(end, exclude_until=start)
+        return self.query
 
     def to_df(self, spark: SparkSession | None = None) -> DataFrame:
         return self.query.to_df(spark)

@@ -63,10 +63,20 @@ def test_vector_server_point_and_batch(spark, tables):
 
 
 def test_vector_server_multi_group_stitch(spark, tables):
+    from pyspark.sql import Window as W
+
+    # online tables hold ONE row per serving key: take each nation's
+    # lowest-custkey customer as its online row
+    cust = (
+        tables["customer"].withColumnRenamed("c_nationkey", "n_nationkey")
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("n_nationkey").orderBy("c_custkey")))
+        .filter("_rn = 1").drop("_rn")
+    )
     vs = VectorServer(
         [
             ("nation", tables["nation"], ["n_nationkey"]),
-            ("customer", tables["customer"].withColumnRenamed("c_nationkey", "n_nationkey"), ["n_nationkey"]),
+            ("customer", cust, ["n_nationkey"]),
         ]
     )
     v = vs.get_feature_vector({"n_nationkey": 1})

@@ -45,10 +45,11 @@ def test_insert_and_commit_log(spark, tables, store):
     )
     b0 = store.insert(fg, df)
     b1 = store.insert(fg, df.limit(2))
-    assert (b0, b1) == (0, 1)
+    # batch inserts live in their own id namespace (no streaming collision)
+    assert (b0, b1) == (FeatureStore.BATCH_ID_BASE, FeatureStore.BATCH_ID_BASE + 1)
     assert store.read(spark, fg).count() == df.count() + 2
     details = store.commit_details(fg)
-    assert [d["batch_id"] for d in details] == [0, 1]
+    assert [d["batch_id"] for d in details] == [b0, b1]
     assert details[1]["row_count"] == 2
 
 
@@ -160,3 +161,74 @@ def test_feature_view_splits(spark, tables):
     assert tr.filter(F.col("ts") >= "2024-01-05").count() == 0
     assert te.filter(F.col("ts") < "2024-01-05").count() == 0
     assert tr.count() + te.count() == n
+
+
+def test_store_time_travel_roundtrip(spark, tables, store):
+    """as_of over a store-managed group actually bounds by commit time
+    (review regression: _commit_ts now attached by store.read)."""
+    import time
+
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_tt", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df)
+    time.sleep(0.05)
+    t_mid = __import__("datetime").datetime.utcnow()
+    time.sleep(0.05)
+    store.insert(fg, df.limit(2))
+
+    q = fg.select_all()
+    full = q.to_df(spark).count()
+    assert full == df.count() + 2
+    snap = q.as_of(t_mid).to_df(spark).count()
+    assert snap == df.count()  # only the first commit
+    # the saved query is not mutated by as_of
+    assert q.to_df(spark).count() == full
+    # pull_changes isolates the second commit
+    delta = q.pull_changes(t_mid, __import__("datetime").datetime.utcnow())
+    assert delta.to_df(spark).count() == 2
+
+
+def test_mixed_insert_and_stream_ids_do_not_collide(spark, store, clips_dir_small, tmp_path):
+    from engine.streams import CLIP_SCHEMA_DDL
+
+    batch = spark.read.parquet(clips_dir_small).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    fg = store.get_or_create_stream_feature_group(
+        "clips_mixed", df=batch, primary_key=["clip_id"], event_time="event_ts"
+    )
+    store.insert(fg, batch.limit(10))  # batch commit FIRST (id in high namespace)
+    stream = (
+        spark.readStream.schema(CLIP_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 2).parquet(clips_dir_small)
+    )
+    store.insert_stream(fg, stream, str(tmp_path / "mx_ckpt"), await_termination=True)
+    total = store.read(spark, fg).count()
+    assert total == batch.count() + 10  # nothing silently dropped as 'replay'
+
+
+def test_serving_latest_commit_and_stitch_prefix(spark, tables):
+    from engine.serving import LookupError_, VectorServer
+
+    a = tables["region"].select("r_regionkey", "r_name").withColumn("batch_id", F.lit(0))
+    a2 = a.withColumn("batch_id", F.lit(5)).withColumn("r_name", F.upper("r_name"))
+    multi = a.unionByName(a2)
+    vs = VectorServer([("g", multi, ["r_regionkey"])])
+    v = vs.get_feature_vector({"r_regionkey": 0})
+    assert v["r_name"].isupper()  # newest commit wins
+
+    dup = tables["region"].select("r_regionkey", "r_name")
+    vs2 = VectorServer([("g", dup.unionByName(dup), ["r_regionkey"])])
+    import pytest as _pt
+
+    with _pt.raises(LookupError_):
+        vs2.get_feature_vector({"r_regionkey": 0})  # ambiguous, no batch_id
+
+    # heterogeneous pks rejected; shared non-key columns get prefixed
+    with _pt.raises(ValueError):
+        VectorServer([("a", dup, ["r_regionkey"]), ("b", dup, ["r_name"])])
+    both = VectorServer([("a", dup, ["r_regionkey"]), ("b", dup, ["r_regionkey"])])
+    out = both.get_feature_vectors(spark, [{"r_regionkey": 1}])
+    assert "r_name" in out.columns and "b_r_name" in out.columns
