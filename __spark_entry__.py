@@ -394,17 +394,31 @@ FROM labels l ASOF LEFT JOIN feats f
 def _q_salted_agg(spark, sf_dir):
     from engine.skew import salted_agg
 
-    out = salted_agg(_read(spark, sf_dir, "events"), ["user_id"], "value", n_salts=16)
+    # exact=True: decimal accumulators make the salted merge bit-identical to
+    # a sequential aggregation, so the oracle (which mirrors the same decimal
+    # sums) matches at full 6-dp precision with zero boundary risk.
+    out = salted_agg(
+        _read(spark, sf_dir, "events"), ["user_id"], "value", n_salts=16, exact=True
+    )
     return _round6(out, ["avg_val", "min_val", "max_val", "stdev_val"])
 
 
 _SQL_SALTED_AGG = """
-SELECT user_id, count(value) AS cnt,
-       round(avg(value), 6) AS avg_val,
-       round(min(value), 6) AS min_val,
-       round(max(value), 6) AS max_val,
-       round(stddev_samp(value), 6) AS stdev_val
-FROM events GROUP BY 1
+WITH p AS (
+  SELECT user_id, count(value) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1
+)
+SELECT user_id, cnt,
+       round(s / cnt, 6) AS avg_val,
+       round(mn, 6) AS min_val,
+       round(mx, 6) AS max_val,
+       round(CASE WHEN cnt > 1
+                  THEN sqrt(greatest((s2 - s * s / cnt) / (cnt - 1), 0.0))
+             END, 6) AS stdev_val
+FROM p
 """
 
 

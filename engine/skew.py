@@ -36,21 +36,39 @@ def salted_agg(
     min_alias: str = "min_val",
     max_alias: str = "max_val",
     stddev_alias: str | None = "stdev_val",
+    exact: bool = False,
 ) -> DataFrame:
-    """count/avg/min/max (+ sample stddev) per key via salt → merge."""
+    """count/avg/min/max (+ sample stddev) per key via salt → merge.
+
+    ``exact=True`` accumulates Σx and Σx² in ``decimal(38,12)`` instead of
+    double.  Decimal addition is associative, so the salted two-phase merge
+    produces *bit-identical* results to a sequential single-pass aggregation —
+    the reassociation error of float partials (which can flip a rounded digit
+    vs an external oracle) disappears.  Cost: decimal sum is marginally slower
+    than double sum but still whole-stage-codegen JVM-side; at 100 TB the
+    shuffle volume is unchanged (same O(keys × n_salts) partial rows).
+    """
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     key_names = [k if isinstance(k, str) else str(k) for k in keys]
 
-    salt = F.pmod(
-        F.hash(F.monotonically_increasing_id(), F.lit(17)), F.lit(n_salts)
-    ).alias("_salt")
+    # Deterministic under task retry: hash the *value*, never a
+    # partition-layout-dependent id (monotonically_increasing_id changes when
+    # a failed task is rescheduled onto different input splits).
+    salt = F.pmod(F.xxhash64(F.col(value_col), F.lit(17)), F.lit(n_salts)).alias(
+        "_salt"
+    )
+    v = F.col("_v")
+    sq = v * v
+    if exact:
+        v = v.cast("decimal(38,12)")
+        sq = sq.cast("decimal(38,12)")
     partial = (
         df.select(*key_cols, F.col(value_col).alias("_v"), salt)
         .groupBy(*key_names, "_salt")
         .agg(
             F.count("_v").alias("_n"),
-            F.sum("_v").alias("_s"),
-            F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
+            F.sum(v).alias("_s"),
+            F.sum(sq).alias("_s2"),
             F.min("_v").alias("_min"),
             F.max("_v").alias("_max"),
         )
@@ -62,6 +80,10 @@ def salted_agg(
         F.min("_min").alias(min_alias),
         F.max("_max").alias(max_alias),
     )
+    if exact:
+        merged = merged.withColumn("_S", F.col("_S").cast("double")).withColumn(
+            "_S2", F.col("_S2").cast("double")
+        )
     out = merged.select(
         *key_names,
         F.col("_N").alias(count_alias),
@@ -73,8 +95,14 @@ def salted_agg(
                 F.when(
                     F.col("_N") > 1,
                     F.sqrt(
-                        (F.col("_S2") - F.col("_S") * F.col("_S") / F.col("_N"))
-                        / (F.col("_N") - 1)
+                        F.greatest(
+                            (
+                                F.col("_S2")
+                                - F.col("_S") * F.col("_S") / F.col("_N")
+                            )
+                            / (F.col("_N") - 1),
+                            F.lit(0.0),
+                        )
                     ),
                 ).alias(stddev_alias)
             ]
@@ -117,6 +145,10 @@ def salted_window_agg_stream(
                   F.col(value_col).alias("_v"), salt)
         .groupBy("window", key_col, "_salt")
         .agg(
+            # row count (count(*), matches tumbling_agg's F.count(lit(1)))
+            # kept separate from the non-null value count used as the
+            # avg/stdev denominator — they diverge when _v has nulls.
+            F.count(F.lit(1)).alias("_rows"),
             F.count("_v").alias("_n"),
             F.sum("_v").alias("_s"),
             F.sum(F.col("_v") * F.col("_v")).alias("_s2"),
@@ -127,6 +159,7 @@ def salted_window_agg_stream(
     merged = (
         partial.groupBy(F.window(F.window_time("window"), width).alias("window"), key_col)
         .agg(
+            F.sum("_rows").alias("_ROWS"),
             F.sum("_n").alias("_N"),
             F.sum("_s").alias("_S"),
             F.sum("_s2").alias("_S2"),
@@ -138,7 +171,7 @@ def salted_window_agg_stream(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         F.col(key_col),
-        F.col("_N").alias(f"num_trans_per_{label}"),
+        F.col("_ROWS").alias(f"num_trans_per_{label}"),
         (F.col("_S") / F.col("_N")).alias(f"avg_amt_per_{label}"),
         F.when(
             F.col("_N") > 1,
@@ -158,10 +191,12 @@ def salted_window_agg_stream(
 def repartition_salted(df: DataFrame, key: str, n_partitions: int, n_salts: int = 16) -> DataFrame:
     """T2 analogue of ``.rescale().rebalance()`` for skewed keys: spread each
     key across n_salts partitions instead of one."""
+    # Salt from a stable hash of all columns so retried tasks land rows in the
+    # same partitions (monotonically_increasing_id is layout-dependent).
     return df.repartition(
         n_partitions,
         F.col(key),
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
     )
 
 
