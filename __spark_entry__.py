@@ -656,6 +656,39 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def _q_embedding_near_dup_lsh(spark, sf_dir):
+    """Banded sign-LSH near-dup (the 100 TB path; engine/similarity.py).
+
+    Oracle-exact despite LSH being approximate: the input is embeddings
+    augmented with exact duplicates of vec_id < 50 (shifted ids), and an
+    identical vector pair collides in *every* band with probability 1, so
+    recall on the ≥0.95-cosine pairs is deterministic — chance collisions
+    below threshold are removed by the exact re-score.
+    """
+    from engine.similarity import embedding_near_dup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_dup_lsh(
+        emb.unionByName(dups), threshold=0.95, n_bands=8, band_bits=8, dim=64
+    )
+
+
+_SQL_EMBEDDING_NEAR_DUP_LSH = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+"""
+
+
 def _q_ivf_knn(spark, sf_dir):
     """IVF partition-pruned ANN (kmeans quantizer — approximate, rows-only)."""
     from engine.similarity import ivf_topk
@@ -677,7 +710,7 @@ def _q_lsh_knn(spark, sf_dir):
     queries = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_topk(emb, queries, k=10, n_tables=6, n_bits=6)
+    return lsh_topk(emb, queries, k=10, n_tables=6, n_bits=6, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -983,6 +1016,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "lsh_knn": _q_lsh_knn,
         "ivf_knn": _q_ivf_knn,
         # audio graft
@@ -1024,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup_lsh": _SQL_EMBEDDING_NEAR_DUP_LSH,
         "stateful_tumbling_10m": _SQL_STATEFUL_TUMBLING_10M,
         "salted_stream_agg_10m": _SQL_STATEFUL_TUMBLING_10M,
         "stateful_sliding_10m_5m": _SQL_STATEFUL_SLIDING_10M_5M,

@@ -162,6 +162,97 @@ def embedding_near_dup(
     )
 
 
+def _band_sig_udf(n_bands: int, band_bits: int, seed: int, dim: int):
+    """Pandas UDF: one seeded matmul per Arrow batch → array of per-band
+    hashes (sign-LSH bits packed ``band_bits`` at a time)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(vecs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_bands * band_bits))
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes) > 0
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        bands = bits.reshape(len(m), n_bands, band_bits) @ weights
+        return pd.Series(list(bands.astype(np.int64)))
+
+    return sig
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via banded sign-LSH — the
+    100 TB path that replaces :func:`embedding_near_dup`'s all-pairs join.
+
+    Plan (mirrors the MinHash band shape of ``engine.dedup.minhash_dedup``):
+    one Arrow matmul computes ``n_bands × band_bits`` hyperplane sign bits per
+    vector; explode to narrow ``(id, band, hash)`` rows; equi-self-join on
+    ``(band, hash)`` generates candidates only within buckets (never all
+    pairs); exact cosine re-score on the candidate set. Exploding only the
+    narrow bucket rows (id + 2 ints) and joining vectors back by id afterwards
+    keeps the big shuffle free of the embedding payload.
+
+    Recall for a pair at cosine c: with p = 1 - arccos(c)/π,
+    ``1 - (1 - p^band_bits)^n_bands`` — ≥0.98 at c=0.95 for 8×8; exact
+    duplicates always collide (identical signatures). Pairs below threshold
+    that collide by chance are removed by the exact re-score, so the output is
+    deterministic for a fixed seed.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = _band_sig_udf(n_bands, band_bits, seed, dim)
+    buckets = df.select(
+        F.col(id_col), sig(F.col(vec_col).cast("array<double>")).alias("_sig")
+    ).select(id_col, F.posexplode("_sig").alias("_band", "_h"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._h") == F.col("b._h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
+    )
+    return (
+        cand.join(
+            normed.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            normed.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,
@@ -243,17 +334,23 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k — the partition-pruning ANN path.
 
     Train ``n_lists`` k-means centroids (coarse quantizer) on a corpus sample,
-    assign every corpus vector to its nearest list, and answer each query by
-    scanning only its ``n_probe`` nearest lists with the exact vectorized
-    scorer.  At 100 TB the assignment is a one-off materialization partitioned
-    by list id; a query then touches ``n_probe/n_lists`` of the data (here:
-    an in-plan filter).  Recall rises with ``n_probe`` (== n_lists → exact).
+    assign every corpus vector to its nearest list, and answer *all* queries in
+    ONE pass: probe lists are computed driver-side against the (tiny) centroid
+    matrix, broadcast as an exploded ``(query_id, query_vec, __list)`` frame,
+    equi-joined against the assignment on ``__list``, and scored with a local
+    numpy top-k per partition — the shuffle carries only
+    O(partitions × queries × k) rows. At 100 TB the assignment is a one-off
+    materialization partitioned by list id; the probe join then prunes to
+    ``n_probe/n_lists`` of the data. Recall rises with ``n_probe``
+    (== n_lists → exact). No per-query Spark job (the old shape ran one job
+    per collected query row).
     """
     import numpy as np
 
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
+    out_schema = f"{query_id_col} long, {id_col} long, rank int, cosine double"
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
@@ -268,23 +365,49 @@ def ivf_topk(
     ).select(id_col, vec_col, F.col("prediction").alias("__list"))
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
-    out = None
+    if not qrows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    probe_rows = []
     for r in qrows:
         qv = np.asarray(r[query_vec_col], dtype=np.float64)
         d = ((centers - qv) ** 2).sum(axis=1)
-        probe = [int(i) for i in np.argsort(d)[:n_probe]]
-        qdf = queries.sparkSession.createDataFrame(
-            [(r[query_id_col], list(map(float, qv)))],
-            f"{query_id_col} long, {query_vec_col} array<double>",
-        )
-        cand = assigned.filter(F.col("__list").isin(probe)).select(id_col, vec_col)
-        top = brute_force_topk_vectorized(
-            cand, qdf, k=k, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col, query_vec_col=query_vec_col,
-        )
-        out = top if out is None else out.unionByName(top)
-    if out is None:
-        return corpus.sparkSession.createDataFrame(
-            [], f"{query_id_col} long, {id_col} long, rank int, cosine double"
-        )
-    return out
+        for lst in np.argsort(d)[:n_probe]:
+            probe_rows.append((r[query_id_col], [float(x) for x in qv], int(lst)))
+    qdf = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} long, {query_vec_col} array<double>, __list int"
+    )
+    # each corpus vector lives in exactly one list and a query's probe lists
+    # are distinct, so (query, id) candidate pairs are already unique
+    cand = assigned.join(F.broadcast(qdf), "__list").select(
+        id_col, vec_col, query_id_col, query_vec_col
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for qid, g in pdf.groupby(query_id_col):
+                X = np.asarray(list(g[vec_col]), dtype=np.float64)
+                Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+                qv = np.asarray(g[query_vec_col].iloc[0], dtype=np.float64)
+                qn = qv / max(np.linalg.norm(qv), 1e-30)
+                sims = Xn @ qn
+                kk = min(k, len(sims))
+                idx = np.argpartition(-sims, kk - 1)[:kk]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qid] * kk,
+                        id_col: g[id_col].to_numpy()[idx],
+                        "cosine": sims[idx],
+                    }
+                )
+
+    local = cand.mapInPandas(op, f"{query_id_col} long, {id_col} long, cosine double")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -219,6 +219,80 @@ def test_embedding_near_dup_self(spark, emb):
     assert ((dd["id_a"] == 0) & (dd["id_b"] == 100000)).any()
 
 
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    # 40 base vectors + a slightly-perturbed twin of each (cosine ≈ 0.97-0.99)
+    # + 200 unrelated vectors. The twins are the ground-truth near-dup pairs.
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((40, 64))
+    twins = base + 0.12 * rng.standard_normal((40, 64))
+    noise = rng.standard_normal((200, 64))
+    vecs = np.concatenate([base, twins, noise])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.astype(np.float32).tolist() for v in vecs],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_embedding_near_dup_lsh_recall(spark, near_dup_corpus):
+    """The banded-LSH path must recover ≥95% of the pairs the exact all-pairs
+    twin finds (VERDICT r1 item 2), with zero false positives (exact re-score
+    removes chance collisions)."""
+    from engine.similarity import embedding_near_dup_lsh
+
+    exact = embedding_near_dup(near_dup_corpus, threshold=0.95).toPandas()
+    approx = embedding_near_dup_lsh(
+        near_dup_corpus, threshold=0.95, n_bands=8, band_bits=8, dim=64, seed=7
+    ).toPandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    a = set(zip(approx["id_a"], approx["id_b"]))
+    assert len(e) >= 30  # ground truth pairs actually exist in the fixture
+    assert a <= e  # re-score guarantees no pair below threshold survives
+    assert len(e & a) / len(e) >= 0.95
+
+
+def _plan_string(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_embedding_near_dup_lsh_plan_no_cartesian(spark, near_dup_corpus):
+    """The LSH plan must contain no cartesian/broadcast-nested-loop product —
+    candidates come only from the (band, hash) equi-join."""
+    from engine.similarity import embedding_near_dup_lsh
+
+    plan = _plan_string(embedding_near_dup_lsh(near_dup_corpus, threshold=0.95, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_single_pass_recall(spark, near_dup_corpus):
+    """De-looped IVF: one broadcast probe join (no per-query job, no Union in
+    the plan) and recall ≥0.9 vs exact brute force (VERDICT r1 item 3)."""
+    from engine.similarity import brute_force_topk_vectorized, ivf_topk
+
+    queries = near_dup_corpus.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk_vectorized(near_dup_corpus, queries, k=10).toPandas()
+    approx_df = ivf_topk(near_dup_corpus, queries, k=10, n_lists=8, n_probe=6)
+    plan = _plan_string(approx_df)
+    assert "Union" not in plan  # old shape unioned one sub-plan per query
+    approx = approx_df.toPandas()
+    rec = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.9
+
+
 # --------------------------------------------------------------------------- multimodal
 def test_multimodal_plumbing(spark, clips_df):
     from engine.multimodal import (
