@@ -383,11 +383,69 @@ def as_of_join(
     ``feature_ts <= label_ts`` per key (``FeatureViewEngineBase.getBatchQuery``
     → ``pitQuery``, ``base/constructor/FsQueryBase.java:58-70``).
 
-    Implementation: equi-join on keys + range predicate, then keep the max
-    ``feature_ts`` per label row via a window rank. All JVM-side — no Python.
-    At scale, Catalyst plans this as a shuffled join on the keys; for
-    low-cardinality keys with long histories prefer bucketing both sides on
-    the key (no custom code needed here).
+    Plan (the merge/union-sort as-of): tag both sides, union them, and take a
+    running ``last(ignorenulls)`` of each feature column over a per-key window
+    sorted by ``(ts, side)`` — features sort before labels at equal timestamps
+    so the bound is inclusive. One shuffle on the keys + one sort; shuffle
+    volume is O(labels + features), never O(labels × history-per-key) the way
+    a join-then-rank plan explodes for long per-key histories. The window is
+    partitioned by the join keys (bounded partitions), not per label row.
+    All JVM-side — no Python. :func:`as_of_join_rank` keeps the join+rank
+    shape as a small-scale oracle twin.
+    """
+    from pyspark.sql import Window
+
+    fcols = feature_cols or [c for c in features.columns if c not in keys + [feature_ts]]
+    l2 = labels.select(
+        *keys,
+        F.col(label_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[
+            F.col(c).alias(f"_l_{c}")
+            for c in labels.columns
+            if c not in keys
+        ],
+    )
+    f2 = features.select(
+        *keys,
+        F.col(feature_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_f_{c}") for c in fcols],
+    )
+    u = l2.unionByName(f2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(F.col(f"_f_{c}"), ignorenulls=True).over(w).alias(f"_ff_{c}")
+            for c in fcols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[
+            F.col(c) if c in keys else F.col(f"_l_{c}").alias(c)
+            for c in labels.columns
+        ],
+        *[F.col(f"_ff_{c}").alias(c) for c in fcols],
+    )
+
+
+def as_of_join_rank(
+    labels: DataFrame,
+    features: DataFrame,
+    keys: list[str],
+    label_ts: str,
+    feature_ts: str,
+    feature_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join-then-rank as-of twin (the pre-r2 shape): equi-join on keys + keep
+    the newest valid feature row per label via a window rank. Correct but its
+    shuffle is O(labels × history-per-key) — kept only as an oracle twin for
+    :func:`as_of_join`; prefer the union-sort plan at scale.
     """
     from pyspark.sql import Window
 
