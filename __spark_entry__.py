@@ -443,6 +443,77 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 
 
 # ---------------------------------------------------------------------------
+# save modes: UPSERT / OVERWRITE (base/SaveMode.java:20-24)
+# ---------------------------------------------------------------------------
+
+
+def _q_store_upsert(spark, sf_dir):
+    """insert → upsert → read: latest commit per primary key wins
+    (engine/store.py SaveMode.UPSERT; Hudi op base/HudiOperationType.java:22)."""
+    import tempfile
+
+    from engine.store import FeatureStore, SaveMode
+
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 100")
+    )
+    store = FeatureStore(tempfile.mkdtemp(prefix="entry_upsert_"))
+    fg = store.get_or_create_stream_feature_group(
+        "cust", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg, cust)
+    up = cust.filter("c_custkey <= 50").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+    )
+    store.insert(fg, up, mode=SaveMode.UPSERT)
+    out = store.read(spark, fg, with_commit_ts=False)
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 6))
+
+
+_SQL_STORE_UPSERT = """
+WITH all_rows AS (
+  SELECT c_custkey, c_name, c_acctbal, 1 AS b FROM customer WHERE c_custkey <= 100
+  UNION ALL
+  SELECT c_custkey, c_name, c_acctbal + 1000.0, 2 FROM customer WHERE c_custkey <= 50
+)
+SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM all_rows
+QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY b DESC) = 1
+"""
+
+
+def _q_store_overwrite(spark, sf_dir):
+    """insert → overwrite → append: overwrite hides earlier batches, later
+    appends accumulate on the new base (engine/store.py SaveMode.OVERWRITE)."""
+    import tempfile
+
+    from engine.store import FeatureStore, SaveMode
+
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 100")
+    )
+    store = FeatureStore(tempfile.mkdtemp(prefix="entry_overwrite_"))
+    fg = store.get_or_create_stream_feature_group(
+        "cust", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg, cust)
+    store.insert(fg, cust.filter("c_custkey <= 20"), mode=SaveMode.OVERWRITE)
+    store.insert(fg, cust.filter("c_custkey > 20 AND c_custkey <= 30"))
+    out = store.read(spark, fg, with_commit_ts=False)
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 6))
+
+
+_SQL_STORE_OVERWRITE = """
+SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM customer WHERE c_custkey <= 30
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
 
@@ -1002,6 +1073,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         # serving (S7)
         "serving_batch": _q_serving_batch,
+        "store_upsert": _q_store_upsert,
+        "store_overwrite": _q_store_overwrite,
         # text analysis
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -1048,6 +1121,8 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _SQL_PIT_JOIN,
         "salted_agg": _SQL_SALTED_AGG,
         "serving_batch": _SQL_SERVING_BATCH,
+        "store_upsert": _SQL_STORE_UPSERT,
+        "store_overwrite": _SQL_STORE_OVERWRITE,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,

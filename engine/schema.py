@@ -79,6 +79,11 @@ class Feature:
     precombine: bool = False  # hudiPrecombineKey analogue
     default_value: object = None
     description: str | None = None
+    #: True when added after creation via ``append_features``
+    #: (``base/metadata/FeatureGroupBase.java:265-277``): batches committed
+    #: before the append read as null for this column, and inserts may omit it
+    #: (backfilled with null / ``default_value``).
+    appended: bool = False
 
     def __post_init__(self) -> None:
         self.name = self.name.strip().lower()
@@ -202,18 +207,51 @@ class FeatureGroup:
             **kw,
         )
 
+    @property
+    def appended_features(self) -> list[str]:
+        return [f.name for f in self.features if f.appended]
+
+    def append_features(self, feats: list[Feature]) -> None:
+        """Append-only schema evolution
+        (``base/metadata/FeatureGroupBase.java:265-277``; SURVEY §1.2:
+        dropping a feature is a breaking change — appends only).
+
+        New features must not collide with existing names or be declared as
+        keys. They are marked ``appended`` so old committed batches read as
+        null for them and old-shaped inserts keep working (null backfill via
+        :meth:`conform`). Persisting the updated metadata is the owning
+        store's job (``FeatureStore.append_features``).
+        """
+        existing = set(self.feature_names)
+        for f in feats:
+            if f.name in existing:
+                raise SchemaError(
+                    f"Feature '{f.name}' already exists in '{self.table_name}' "
+                    "— schema evolution is append-only"
+                )
+            if f.primary or f.partition:
+                raise SchemaError(
+                    f"appended feature '{f.name}' cannot be a primary/partition "
+                    "key (keys are fixed at creation)"
+                )
+            f.appended = True
+            self.features.append(f)
+            existing.add(f.name)
+
     def verify_schema(self, df: DataFrame) -> None:
         """Check an incoming DataFrame structurally matches this group.
 
         Analogue of the schema verification in
         ``FeatureGroupEngine.insertStream`` → ``verifySchemaCompatibility``.
-        Extra columns are an error; missing columns are an error; type
-        mismatches are an error. Nullability is not checked (everything is
-        nullable, §1.3).
+        Extra columns are an error; missing columns are an error — except
+        features added later via :meth:`append_features`, which may be absent
+        (null-backfilled on insert); type mismatches are an error.
+        Nullability is not checked (everything is nullable, §1.3).
         """
         incoming = {f.name.lower(): f.dataType for f in df.schema.fields}
         declared = {f.name: f.dtype for f in self.features}
-        missing = sorted(set(declared) - set(incoming))
+        optional = set(self.appended_features)
+        missing = sorted(set(declared) - set(incoming) - optional)
         extra = sorted(set(incoming) - set(declared))
         if missing or extra:
             raise SchemaError(
@@ -221,11 +259,26 @@ class FeatureGroup:
                 f"missing={missing} unexpected={extra}"
             )
         for name, dtype in declared.items():
-            if incoming[name].simpleString() != dtype.simpleString():
+            if name in incoming and incoming[name].simpleString() != dtype.simpleString():
                 raise SchemaError(
                     f"Feature '{name}' type mismatch: expected {dtype.simpleString()}, "
                     f"got {incoming[name].simpleString()}"
                 )
+
+    def conform(self, df: DataFrame) -> DataFrame:
+        """Null-backfill absent appended features (or their declared default)
+        and project to declared column order, so every committed batch has the
+        full current schema regardless of which era shaped the input."""
+        from pyspark.sql import functions as F
+
+        have = {c.lower() for c in df.columns}
+        for f in self.features:
+            if f.name not in have:
+                fill = (
+                    F.lit(f.default_value) if f.default_value is not None else F.lit(None)
+                )
+                df = df.withColumn(f.name, fill.cast(f.dtype))
+        return df.select(*self.feature_names)
 
     # -- physical read -----------------------------------------------------
     def attach(self, df: DataFrame) -> "FeatureGroup":

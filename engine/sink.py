@@ -52,6 +52,11 @@ class LedgerRecord:
     row_count: int
     partitions: list[dict]
     lineage: dict
+    #: "append" | "upsert" | "overwrite" (``base/SaveMode.java:20-24``;
+    #: Hudi op mapping ``base/HudiOperationType.java:20-23``). Resolution is
+    #: snapshot-style at read time: an overwrite commit hides earlier batches,
+    #: an upsert commit makes the newest visible row per primary key win.
+    mode: str = "append"
 
     def to_json(self) -> str:
         return json.dumps(
@@ -61,6 +66,7 @@ class LedgerRecord:
                 "row_count": self.row_count,
                 "partitions": self.partitions,
                 "lineage": self.lineage,
+                "mode": self.mode,
             },
             sort_keys=True,
         )
@@ -93,8 +99,12 @@ class ParquetLedgerSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._ledger_path(batch_id))
 
-    def write_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+    def write_batch(
+        self, batch_df: DataFrame, batch_id: int, mode: str = "append"
+    ) -> bool:
         """The foreachBatch body. Returns False when the batch was a replay."""
+        if mode not in ("append", "upsert", "overwrite"):
+            raise ValueError(f"unknown save mode {mode!r}")
         files = sorted(batch_df.inputFiles())
         if self.is_committed(batch_id):
             # Exactly-once short circuit (T7) — but a reused out_dir with a
@@ -130,6 +140,7 @@ class ParquetLedgerSink:
             row_count=row_count,
             partitions=partitions,
             lineage=lineage,
+            mode=mode,
         )
         ltmp = self._ledger_path(batch_id) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(ltmp, "w") as fh:
@@ -137,11 +148,11 @@ class ParquetLedgerSink:
         os.rename(ltmp, self._ledger_path(batch_id))
         return True
 
-    def foreach_batch(self):
+    def foreach_batch(self, mode: str = "append"):
         """Callable for ``writeStream.foreachBatch``."""
 
         def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.write_batch(batch_df, batch_id)
+            self.write_batch(batch_df, batch_id, mode=mode)
 
         return fn
 
@@ -186,16 +197,25 @@ class ParquetLedgerSink:
         return recs
 
     def read_committed(
-        self, spark: SparkSession, with_batch_id: bool = False
+        self,
+        spark: SparkSession,
+        with_batch_id: bool = False,
+        batch_ids: list[int] | None = None,
+        schema=None,
     ) -> DataFrame:
         """Read exactly the committed rows (ledger-listed batch dirs).
 
         ``with_batch_id=True`` appends the commit's ``batch_id`` column —
         needed when later commits supersede earlier rows for the same key
-        (latest-row serving must tie-break on commit order)."""
+        (latest-row serving must tie-break on commit order).
+        ``batch_ids`` restricts the scan to those commits (save-mode
+        visibility / time travel). ``schema`` pins the reader schema — batches
+        written before a schema-evolution append then surface the appended
+        columns as nulls without a mergeSchema scan."""
         pairs = [
             (r.batch_id, self._batch_dir(r.batch_id))
             for r in self.committed_batches()
+            if batch_ids is None or r.batch_id in set(batch_ids)
         ]
         pairs = [(b, d) for b, d in pairs if os.path.exists(d)]
         if not pairs:
@@ -203,11 +223,20 @@ class ParquetLedgerSink:
                 f"sink table {self.out_dir!r} has no committed batches"
             )
         dirs = [d for _, d in pairs]
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
         if not with_batch_id:
-            return spark.read.parquet(*dirs)
+            return reader.parquet(*dirs)
         # the layout is hive-partitioned (data/batch_id=N/); basePath makes
         # one scan yield the batch_id partition column — no per-dir unions
-        return spark.read.option("basePath", self.data_dir).parquet(*dirs)
+        if schema is not None:
+            from pyspark.sql import types as T
+
+            reader = spark.read.schema(
+                T.StructType(list(schema) + [T.StructField("batch_id", T.LongType())])
+            )
+        return reader.option("basePath", self.data_dir).parquet(*dirs)
 
     def audit(self) -> dict:
         """Exactly-once audit: every batch_id committed at most once, ledger

@@ -26,6 +26,19 @@ from engine.schema import Feature, FeatureGroup, SchemaError, sanitize_feature_n
 from engine.sink import ParquetLedgerSink
 
 
+class SaveMode:
+    """``base/SaveMode.java:20-24`` (APPEND/UPSERT/OVERWRITE); UPSERT maps to
+    the Hudi upsert op (``base/HudiOperationType.java:20-23``) in the
+    reference. Here all three share the exactly-once ledger commit protocol —
+    the mode is recorded in the ledger and resolved snapshot-style at read
+    time, so time travel across upserts/overwrites keeps working (an earlier
+    ``as_of_batch_id`` sees the pre-overwrite rows)."""
+
+    APPEND = "append"
+    UPSERT = "upsert"
+    OVERWRITE = "overwrite"
+
+
 class FeatureStore:
     """Directory-backed feature-group registry."""
 
@@ -45,7 +58,7 @@ class FeatureStore:
             "version": fg.version,
             "features": [
                 {"name": f.name, "type": f.dtype.simpleString(), "primary": f.primary,
-                 "partition": f.partition}
+                 "partition": f.partition, "appended": f.appended}
                 for f in fg.features
             ],
             "primary_key": fg.primary_key,
@@ -67,7 +80,7 @@ class FeatureStore:
             name=m["name"], version=m["version"],
             features=[
                 Feature(f["name"], spark_type(f["type"]), primary=f["primary"],
-                        partition=f["partition"])
+                        partition=f["partition"], appended=f.get("appended", False))
                 for f in m["features"]
             ],
             primary_key=m["primary_key"], partition_key=m["partition_key"],
@@ -105,6 +118,15 @@ class FeatureStore:
         self._save_meta(fg)
         return fg
 
+    def append_features(self, fg: FeatureGroup, feats: list[Feature]) -> None:
+        """Append-only schema evolution, persisted
+        (``FeatureGroupBase.appendFeatures``, ``base/metadata/
+        FeatureGroupBase.java:265-277``): old committed batches read with the
+        new columns as null; old-shaped inserts keep working (null backfill);
+        dropping or retyping still raises."""
+        fg.append_features(feats)
+        self._save_meta(fg)
+
     # -- writes (S4/S5) ----------------------------------------------------
     def _sink(self, fg: FeatureGroup) -> ParquetLedgerSink:
         out_dir = os.path.join(self.root, fg.table_name)
@@ -117,28 +139,50 @@ class FeatureStore:
     #: group can never collide with a checkpoint's restarting batch ids.
     BATCH_ID_BASE = 1 << 40
 
-    def insert(self, fg: FeatureGroup, df: DataFrame) -> int:
-        """Batch insert = one exactly-once ledger commit; returns batch id."""
+    def insert(self, fg: FeatureGroup, df: DataFrame,
+               mode: str = SaveMode.APPEND) -> int:
+        """Batch insert = one exactly-once ledger commit; returns batch id.
+
+        ``mode=SaveMode.UPSERT``: rows supersede earlier rows with the same
+        primary key (resolved at read time, newest commit wins).
+        ``mode=SaveMode.OVERWRITE``: this commit hides all earlier batches
+        (``base/SaveMode.java:20-24``); earlier snapshots stay readable via
+        ``read(as_of_batch_id=...)``.
+        """
+        if mode == SaveMode.UPSERT and not fg.primary_key:
+            raise SchemaError(
+                f"UPSERT on {fg.table_name} requires a primary key"
+            )
         df = sanitize_feature_names(df)
         fg.verify_schema(df)
+        df = fg.conform(df)
         sink = self._sink(fg)
         existing = [r.batch_id for r in sink.committed_batches()
                     if r.batch_id >= self.BATCH_ID_BASE]
         batch_id = max(existing, default=self.BATCH_ID_BASE - 1) + 1
-        sink.write_batch(df, batch_id)
+        sink.write_batch(df, batch_id, mode=mode)
         return batch_id
 
     def insert_stream(self, fg: FeatureGroup, df: DataFrame, checkpoint_dir: str,
-                      await_termination: bool = False):
+                      await_termination: bool = False,
+                      mode: str = SaveMode.APPEND):
         """S5: streaming insert → exactly-once ledger sink. Returns the
-        StreamingQuery (caller manages lifecycle, as ``insertStream`` does)."""
+        StreamingQuery (caller manages lifecycle, as ``insertStream`` does).
+        ``mode=SaveMode.UPSERT`` marks every micro-batch commit as an upsert
+        (idempotent under checkpoint replay: a replayed batch id is a ledger
+        no-op, so the same rows never supersede themselves twice)."""
+        if mode == SaveMode.OVERWRITE:
+            raise ValueError("OVERWRITE is batch-only; streams append or upsert")
+        if mode == SaveMode.UPSERT and not fg.primary_key:
+            raise SchemaError(f"UPSERT on {fg.table_name} requires a primary key")
         df = sanitize_feature_names(df)
         fg.verify_schema(df)
+        df = fg.conform(df)
         sink = self._sink(fg)
         q = (
             df.writeStream.outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
-            .foreachBatch(sink.foreach_batch())
+            .foreachBatch(sink.foreach_batch(mode=mode))
             .start()
         )
         if await_termination:
@@ -147,19 +191,73 @@ class FeatureStore:
         return q
 
     def read(self, spark: SparkSession, fg: FeatureGroup,
-             with_commit_ts: bool = True) -> DataFrame:
-        """Exactly the committed rows; by default each row carries
-        ``_commit_ts`` (from its batch's ledger record) so ``Query.as_of`` /
-        ``pull_changes`` time travel actually bounds store-managed tables."""
+             with_commit_ts: bool = True, resolve: bool = True,
+             as_of_batch_id: int | None = None) -> DataFrame:
+        """Committed rows with save-mode resolution; by default each row
+        carries ``_commit_ts`` (from its batch's ledger record) so
+        ``Query.as_of`` / ``pull_changes`` time travel actually bounds
+        store-managed tables.
+
+        Resolution (``resolve=True``): only batches since the latest OVERWRITE
+        commit are visible; if any visible commit is an UPSERT, the newest
+        visible row per primary key wins (tie-break inside a batch: event time
+        descending when the group declares one). ``as_of_batch_id`` resolves
+        against the ledger as it stood at that commit — snapshot time travel
+        across overwrites. One scan + (only when upserts exist) one shuffle on
+        the primary key; the window is keyed, never per-row.
+        """
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from engine.query import COMMIT_TS_COL
 
         sink = self._sink(fg)
+        recs = sink.committed_batches()
+        if as_of_batch_id is not None:
+            recs = [r for r in recs if r.batch_id <= as_of_batch_id]
+            if not recs:
+                raise ValueError(
+                    f"{fg.table_name}: no commits at or before batch "
+                    f"{as_of_batch_id}"
+                )
+        visible = recs
+        if resolve:
+            overwrites = [r.batch_id for r in recs if r.mode == SaveMode.OVERWRITE]
+            if overwrites:
+                visible = [r for r in recs if r.batch_id >= max(overwrites)]
+        if not visible:
+            # a fresh group with no commits is an empty table, not an error
+            schema = fg.spark_schema()
+            if with_commit_ts:
+                from pyspark.sql import types as T
+
+                from engine.query import COMMIT_TS_COL as _CTS
+
+                schema = T.StructType(
+                    list(schema) + [T.StructField(_CTS, T.TimestampType())]
+                )
+            return spark.createDataFrame([], schema)
+        has_upsert = resolve and any(r.mode == SaveMode.UPSERT for r in visible)
+        need_batch_id = with_commit_ts or has_upsert
+        df = sink.read_committed(
+            spark,
+            with_batch_id=need_batch_id,
+            batch_ids=[r.batch_id for r in visible],
+            schema=fg.spark_schema() if fg.appended_features else None,
+        )
+        if has_upsert:
+            order = [F.desc("batch_id")]
+            if fg.event_time and fg.event_time in df.columns:
+                order.append(F.desc_nulls_last(fg.event_time))
+            w = Window.partitionBy(*fg.primary_key).orderBy(*order)
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if not with_commit_ts:
-            return sink.read_committed(spark)
-        df = sink.read_committed(spark, with_batch_id=True)
-        pairs = [(r.batch_id, r.commit_ts_ms) for r in sink.committed_batches()]
+            return df.drop("batch_id") if need_batch_id else df
+        pairs = [(r.batch_id, r.commit_ts_ms) for r in visible]
         mapping = F.create_map(
             *[F.lit(x) for pair in pairs for x in pair]
         )

