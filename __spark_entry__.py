@@ -442,6 +442,44 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_serving_transformed(spark, sf_dir):
+    """Vector serving with attached transformation functions
+    (base/TransformationFunction.java:32; the Python-side application that
+    VectorServer.java:293-315 defers to): min-max scaling fit on the full
+    table + label encoding, applied JVM-side in the batch lookup."""
+    from engine.serving import VectorServer
+    from engine.transform import fit_label_encoder, fit_min_max
+
+    cust = _read(spark, sf_dir, "customer")
+    tfs = {
+        "c_acctbal": fit_min_max(cust, "c_acctbal"),
+        "c_mktsegment": fit_label_encoder(cust, "c_mktsegment"),
+    }
+    vs = VectorServer([("customer", cust, ["c_custkey"])], transformations=tfs)
+    out = vs.get_feature_vectors(spark, [{"c_custkey": i} for i in range(1, 51)])
+    return out.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("c_acctbal_scaled"),
+        F.col("c_mktsegment").cast("long").alias("c_mktsegment_code"),
+    )
+
+
+_SQL_SERVING_TRANSFORMED = """
+WITH s AS (
+  SELECT min(c_acctbal) AS mn, max(c_acctbal) AS mx FROM customer
+), v AS (
+  SELECT c_mktsegment AS seg,
+         row_number() OVER (ORDER BY c_mktsegment) - 1 AS code
+  FROM (SELECT DISTINCT c_mktsegment FROM customer)
+)
+SELECT c.c_custkey,
+       round((c.c_acctbal - s.mn) / (s.mx - s.mn), 6) AS c_acctbal_scaled,
+       v.code AS c_mktsegment_code
+FROM customer c CROSS JOIN s JOIN v ON c.c_mktsegment = v.seg
+WHERE c.c_custkey BETWEEN 1 AND 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # save modes: UPSERT / OVERWRITE (base/SaveMode.java:20-24)
 # ---------------------------------------------------------------------------
@@ -1073,6 +1111,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": _q_approx_distinct,
         # serving (S7)
         "serving_batch": _q_serving_batch,
+        "serving_transformed": _q_serving_transformed,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
         # text analysis
@@ -1121,6 +1160,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _SQL_PIT_JOIN,
         "salted_agg": _SQL_SALTED_AGG,
         "serving_batch": _SQL_SERVING_BATCH,
+        "serving_transformed": _SQL_SERVING_TRANSFORMED,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,
         "set_ops": _SQL_SET_OPS,

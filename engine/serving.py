@@ -25,17 +25,65 @@ class LookupError_(KeyError):
 
 
 class VectorServer:
-    def __init__(self, feature_groups: list[tuple[str, DataFrame, list[str]]]):
+    def __init__(
+        self,
+        feature_groups: list[tuple[str, DataFrame, list[str]]],
+        transformations: dict | None = None,
+        ts_col: str | None = None,
+    ):
         """``feature_groups``: ordered [(name, online_df, primary_key_cols)].
         Order is preserved when stitching vectors, mirroring the TreeMap
-        iteration order of ``VectorServer.java:339-366``."""
+        iteration order of ``VectorServer.java:339-366``.
+
+        ``transformations``: feature name → ``TransformationFunction``
+        (``base/TransformationFunctionAttached.java``) applied to served
+        columns — this is the Python serving path the reference's Java client
+        refuses to handle itself (``VectorServer.java:293-315``).
+
+        ``ts_col``: event/window timestamp used to order rows *within* the
+        newest commit when a backfill batch carries several rows per key
+        (latest timestamp wins before the ``batch_id`` tie-break).
+        """
         self.feature_groups = feature_groups
+        self.transformations = {
+            k.lower(): v for k, v in (transformations or {}).items()
+        }
+        self.ts_col = ts_col
         pk_sets = {tuple(pks) for _, _, pks in feature_groups}
         if len(pk_sets) > 1:
             raise ValueError(
                 "all feature groups must share the same primary keys for "
                 f"vector stitching; got {sorted(pk_sets)}"
             )
+
+    def _latest_order(self, df: DataFrame) -> list:
+        """Newest-row ordering: event/window ts first (when present), then
+        commit order — mirrors jobs.cmd_serve's tie-break."""
+        order = []
+        if self.ts_col and self.ts_col in df.columns:
+            order.append(F.desc_nulls_last(self.ts_col))
+        if "batch_id" in df.columns:
+            order.append(F.desc("batch_id"))
+        return order
+
+    def _transform_row(self, out: dict) -> dict:
+        """Apply attached transformations to a single looked-up vector via a
+        one-row local relation — the same Column expressions the batch path
+        uses, so point and batch serving can never drift apart. A point
+        lookup is already one Spark job; the extra one-row eval is local."""
+        if not self.transformations:
+            return out
+        from pyspark.sql import Row, SparkSession
+
+        cols = [k for k in self.transformations if k in out]
+        if not cols:
+            return out
+        spark = SparkSession.getActiveSession()
+        row_df = spark.createDataFrame([Row(**{c: out[c] for c in cols})])
+        for c in cols:
+            row_df = row_df.withColumn(c, self.transformations[c](F.col(c)))
+        out.update(row_df.first().asDict())
+        return out
 
     def _check_keys(self, entry: dict, pks: list[str]) -> None:
         missing = [k for k in pks if k not in entry]
@@ -58,22 +106,24 @@ class VectorServer:
                 c = F.col(k) == F.lit(entry[k])
                 cond = c if cond is None else (cond & c)
             matched = df.filter(cond)
-            if "batch_id" in df.columns:
-                # multi-version table: newest commit wins
-                matched = matched.orderBy(F.desc("batch_id"))
+            order = self._latest_order(df)
+            if order:
+                # multi-version table: newest event/window row of the newest
+                # commit wins (not an arbitrary row within the newest batch)
+                matched = matched.orderBy(*order)
             rows = matched.limit(2).collect()
             if not rows:
                 raise LookupError_(f"No feature vector for {entry} in group '{name}'")
-            if len(rows) > 1 and "batch_id" not in df.columns:
+            if len(rows) > 1 and not order:
                 raise LookupError_(
                     f"key {entry} has multiple rows in group '{name}' and no "
-                    "batch_id to order by — reduce the online table to one "
-                    "row per key (latest window/commit) before serving"
+                    "batch_id/ts_col to order by — reduce the online table to "
+                    "one row per key (latest window/commit) before serving"
                 )
             row = rows[0].asDict()
             for k, v in row.items():
                 out.setdefault(k, v)
-        return out
+        return self._transform_row(out)
 
     def get_feature_vectors(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
         """Batch lookup: the ``IN``-tuple path (:201-268) as a broadcast join.
@@ -91,6 +141,7 @@ class VectorServer:
                 [tuple(e[k] for k in pks) for e in entries], pks
             ).dropDuplicates(pks)
             part = df.join(F.broadcast(keys_df), on=pks, how="inner")
+            part = self._apply_transforms_df(part)
             if out is not None:
                 # disambiguate non-key columns colliding across groups
                 # (per-group prefix, as the reference's join prefixing does)
@@ -99,6 +150,12 @@ class VectorServer:
                     part = part.withColumnRenamed(c, f"{name}_{c}")
             out = part if out is None else out.join(part, on=pks, how="outer")
         return out
+
+    def _apply_transforms_df(self, df: DataFrame) -> DataFrame:
+        for c, tf in self.transformations.items():
+            if c in df.columns:
+                df = df.withColumn(c, tf(F.col(c)))
+        return df
 
     def check_complete(self, spark: SparkSession, entries: list[dict]) -> None:
         """Raise when any requested key is missing from any group (batch

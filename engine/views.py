@@ -21,16 +21,31 @@ from engine.timeutil import parse_wallclock
 
 @dataclass
 class FeatureView:
-    """Named, versioned saved Query over ≥1 feature groups with labels."""
+    """Named, versioned saved Query over ≥1 feature groups with labels.
+
+    ``transformation_functions`` maps feature name → TransformationFunction
+    (``base/metadata/TransformationFunctionAttached.java``); they are applied
+    in :meth:`training_data` and by :class:`engine.serving.VectorServer` —
+    the Python serving path the reference's Java client defers to
+    (``VectorServer.java:293-315``).
+    """
 
     name: str
     version: int
     query: Query
     labels: list[str] = field(default_factory=list)
+    transformation_functions: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         self.name = self.name.strip().lower()
         self.labels = [l.strip().lower() for l in self.labels]
+        self.transformation_functions = {
+            k.strip().lower(): v for k, v in self.transformation_functions.items()
+        }
+
+    def attach_transformation(self, feature: str, tf) -> "FeatureView":
+        self.transformation_functions[feature.strip().lower()] = tf
+        return self
 
     # -- batch reads -------------------------------------------------------
     def get_batch_query(self, start=None, end=None) -> Query:
@@ -51,10 +66,15 @@ class FeatureView:
 
     # -- training data -----------------------------------------------------
     def training_data(
-        self, spark: SparkSession | None = None
+        self, spark: SparkSession | None = None, transform: bool = True
     ) -> tuple[DataFrame, DataFrame | None]:
-        """(features, labels) — labels split out by column name."""
+        """(features, labels) — labels split out by column name; attached
+        transformation functions applied to feature columns (JVM-side)."""
         df = self.to_df(spark)
+        if transform and self.transformation_functions:
+            from engine.transform import apply_transformations
+
+            df = apply_transformations(df, self.transformation_functions)
         if not self.labels:
             return df, None
         return df.drop(*self.labels), df.select(*self.labels)

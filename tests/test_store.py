@@ -374,3 +374,87 @@ def test_read_empty_group_returns_typed_empty(spark, tables, store):
     out = store.read(spark, fg)
     assert out.count() == 0
     assert "_commit_ts" in out.columns
+
+
+# --------------------------------------------------------------------------- transformation functions (§2.10)
+def test_transformation_builtins_and_fit(spark, tables):
+    from engine.transform import (
+        apply_transformations,
+        fit_label_encoder,
+        fit_min_max,
+        fit_robust,
+        fit_standard,
+    )
+
+    cust = tables["customer"]
+    pdf = cust.select("c_acctbal", "c_mktsegment").toPandas()
+    tf = fit_min_max(cust, "c_acctbal")
+    out = apply_transformations(cust, {"c_acctbal": tf}).select("c_acctbal").toPandas()
+    lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+    import numpy as np
+
+    assert np.allclose(out["c_acctbal"], (pdf["c_acctbal"] - lo) / (hi - lo))
+    assert out["c_acctbal"].between(0, 1).all()
+
+    std = fit_standard(cust, "c_acctbal")
+    got = apply_transformations(cust, {"c_acctbal": std}).select("c_acctbal").toPandas()
+    assert abs(got["c_acctbal"].mean()) < 1e-6 and abs(got["c_acctbal"].std() - 1) < 1e-2
+
+    rob = fit_robust(cust, "c_acctbal", relative_error=1e-6)
+    got = apply_transformations(cust, {"c_acctbal": rob}).select("c_acctbal").toPandas()
+    assert np.isfinite(got["c_acctbal"]).all()
+
+    enc = fit_label_encoder(cust, "c_mktsegment")
+    got = apply_transformations(cust, {"c_mktsegment": enc}).select("c_mktsegment").toPandas()
+    vocab = sorted(pdf["c_mktsegment"].unique())
+    want = pdf["c_mktsegment"].map({v: i for i, v in enumerate(vocab)})
+    assert (got["c_mktsegment"] == want).all()
+
+
+def test_serving_point_and_batch_transform_agree(spark, tables):
+    from engine.serving import VectorServer
+    from engine.transform import fit_min_max
+
+    cust = tables["customer"]
+    tfs = {"c_acctbal": fit_min_max(cust, "c_acctbal")}
+    vs = VectorServer([("customer", cust, ["c_custkey"])], transformations=tfs)
+    point = vs.get_feature_vector({"c_custkey": 5})
+    batch = (
+        vs.get_feature_vectors(spark, [{"c_custkey": 5}])
+        .toPandas()
+        .iloc[0]
+    )
+    assert abs(point["c_acctbal"] - batch["c_acctbal"]) < 1e-12
+    assert 0.0 <= point["c_acctbal"] <= 1.0
+
+
+def test_feature_view_transformed_training_data(spark, tables, store):
+    from engine.transform import fit_standard
+    from engine.views import FeatureView
+
+    df = tables["customer"].select("c_custkey", "c_acctbal", "c_nationkey")
+    fg = store.get_or_create_stream_feature_group(
+        "cust_tfv", df=df, primary_key=["c_custkey"]
+    )
+    fg.attach(df)
+    fv = FeatureView("v", 1, fg.select_all(), labels=["c_nationkey"])
+    fv.attach_transformation("c_acctbal", fit_standard(df, "c_acctbal"))
+    X, y = fv.training_data(spark)
+    assert "c_nationkey" not in X.columns and y is not None
+    got = X.select("c_acctbal").toPandas()["c_acctbal"]
+    assert abs(got.mean()) < 1e-6
+
+
+def test_serving_ts_col_tie_break(spark, tables):
+    """ADVICE fix: within the newest commit, the newest event/window row is
+    served, not an arbitrary one."""
+    from engine.serving import VectorServer
+
+    df = spark.createDataFrame(
+        [(1, "older_window", 10, 100), (1, "corrected", 20, 100), (1, "orig", 20, 99)],
+        "k int, val string, ts int, batch_id int",
+    )
+    vs = VectorServer([("g", df, ["k"])], ts_col="ts")
+    # newest window (ts=20) wins over an older window in the same commit;
+    # within that window the newest commit (the correction) wins
+    assert vs.get_feature_vector({"k": 1})["val"] == "corrected"
