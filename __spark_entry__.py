@@ -442,6 +442,45 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_training_split(spark, sf_dir):
+    """3-way TIME_SERIES training split with the reference's boundary
+    fallbacks (base/TrainingDatasetBase.java:128-146): train_end falls
+    forward to val_start, test_start falls back to val_end. Per-split row
+    counts + ts ranges are the oracle-checked signature."""
+    from engine.query import Query
+    from engine.views import FeatureView
+
+    ev = _read(spark, sf_dir, "events")
+    fv = FeatureView("ev", 1, Query.from_dataframe(ev))
+    sp = fv.time_series_splits(
+        "ts", val_start="20240110", val_end="20240115", spark=spark
+    )
+    parts = [
+        df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        ).select(F.lit(name).alias("split"), "*")
+        for name, df in sp.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_SQL_TRAINING_SPLIT = """
+WITH tagged AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN 'train'
+              WHEN ts < TIMESTAMP '2024-01-15' THEN 'validation'
+              ELSE 'test' END AS split, ts
+  FROM events
+)
+SELECT split, count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+FROM tagged GROUP BY 1
+"""
+
+
 def _q_serving_transformed(spark, sf_dir):
     """Vector serving with attached transformation functions
     (base/TransformationFunction.java:32; the Python-side application that
@@ -1112,6 +1151,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving (S7)
         "serving_batch": _q_serving_batch,
         "serving_transformed": _q_serving_transformed,
+        "training_split": _q_training_split,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
         # text analysis
@@ -1161,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": _SQL_SALTED_AGG,
         "serving_batch": _SQL_SERVING_BATCH,
         "serving_transformed": _SQL_SERVING_TRANSFORMED,
+        "training_split": _SQL_TRAINING_SPLIT,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,
         "set_ops": _SQL_SET_OPS,

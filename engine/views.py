@@ -109,3 +109,126 @@ class FeatureView:
         if test_end is not None:
             test = test.filter(F.col(ts_col) < F.lit(parse_wallclock(test_end)))
         return train, test
+
+    def train_validation_test_split(
+        self,
+        validation_fraction: float,
+        test_fraction: float,
+        seed: int = 42,
+        spark: SparkSession | None = None,
+    ) -> dict[str, DataFrame]:
+        """3-way RANDOM split (``TrainingDatasetBase.setValTestSplit``,
+        ``base/TrainingDatasetBase.java:147-160``): TRAIN gets
+        1 - val - test."""
+        if validation_fraction <= 0 or test_fraction <= 0:
+            raise ValueError("validation/test fractions must be > 0")
+        train_fraction = 1.0 - validation_fraction - test_fraction
+        if train_fraction <= 0:
+            raise ValueError("val + test fractions must sum below 1")
+        tr, va, te = self.to_df(spark).randomSplit(
+            [train_fraction, validation_fraction, test_fraction], seed=seed
+        )
+        return {"train": tr, "validation": va, "test": te}
+
+    def time_series_splits(
+        self,
+        ts_col: str,
+        train_start=None,
+        train_end=None,
+        val_start=None,
+        val_end=None,
+        test_start=None,
+        test_end=None,
+        spark: SparkSession | None = None,
+    ) -> dict[str, DataFrame]:
+        """3-way (or 2-way) TIME_SERIES split with the reference's boundary
+        fallbacks (``TrainingDatasetBase.setTimeSeriesSplits``,
+        ``base/TrainingDatasetBase.java:128-146``): a split's missing end
+        falls forward to the next split's start; a missing start falls back
+        to the previous split's end. Each split is ``[start, end)`` on
+        ``ts_col``; an open bound is unbounded.
+        """
+        have_val = val_start is not None or val_end is not None
+        t_end = train_end if train_end is not None else (
+            val_start if val_start is not None else test_start
+        )
+        v_start = val_start if val_start is not None else train_end
+        v_end = val_end if val_end is not None else test_start
+        te_start = test_start if test_start is not None else (
+            val_end if val_end is not None else train_end
+        )
+        df = self.to_df(spark)
+
+        def rng(start, end) -> DataFrame:
+            out = df
+            if start is not None:
+                out = out.filter(F.col(ts_col) >= F.lit(parse_wallclock(start)))
+            if end is not None:
+                out = out.filter(F.col(ts_col) < F.lit(parse_wallclock(end)))
+            return out
+
+        splits = {"train": rng(train_start, t_end)}
+        if have_val:
+            splits["validation"] = rng(v_start, v_end)
+        splits["test"] = rng(te_start, test_end)
+        return splits
+
+
+#: DataFormat enum analogue (``base/DataFormat.java:5-22``); tfrecords needs
+#: the spark-tensorflow-connector jar — gated like avro.
+DATA_FORMATS = ("csv", "tsv", "parquet", "avro", "orc", "json", "tfrecord", "tfrecords")
+
+
+def write_training_dataset(
+    splits: dict[str, DataFrame],
+    out_dir: str,
+    data_format: str = "parquet",
+    coalesce: bool = False,
+    overwrite: bool = True,
+    options: dict | None = None,
+) -> dict[str, str]:
+    """Materialize split DataFrames to ``<out_dir>/<split>/`` in the requested
+    format (``TrainingDatasetBase.java:63-166``: coalesce flag, data formats
+    ``base/DataFormat.java:5-22``). Returns split → path.
+
+    ``coalesce=True`` mirrors the reference's single-file option
+    (``coalesce``) — one output file per split; leave False at scale.
+    Formats needing absent runtime jars (avro, tfrecord) raise a clear error
+    when unavailable instead of failing mid-write.
+    """
+    import os
+
+    fmt = data_format.strip().lower()
+    if fmt not in DATA_FORMATS:
+        raise ValueError(f"unsupported data format {fmt!r}; one of {DATA_FORMATS}")
+    paths: dict[str, str] = {}
+    for split, df in splits.items():
+        path = os.path.join(out_dir, split)
+        if coalesce:
+            df = df.coalesce(1)
+        writer = df.write.mode("overwrite" if overwrite else "error")
+        opts = dict(options or {})
+        if fmt in ("csv", "tsv"):
+            opts.setdefault("header", "true")
+            if fmt == "tsv":
+                opts["sep"] = "\t"
+            writer.options(**opts).csv(path)
+        elif fmt == "json":
+            writer.options(**opts).json(path)
+        elif fmt == "orc":
+            writer.options(**opts).orc(path)
+        elif fmt == "parquet":
+            writer.options(**opts).parquet(path)
+        else:  # avro / tfrecord need runtime jars not present in the sandbox
+            try:
+                writer.options(**opts).format(
+                    "avro" if fmt == "avro" else "tfrecord"
+                ).save(path)
+            except Exception as e:  # pragma: no cover - jar-dependent
+                raise NotImplementedError(
+                    f"data format {fmt!r} requires the "
+                    f"{'spark-avro' if fmt == 'avro' else 'spark-tensorflow-connector'} "
+                    f"jar on the classpath: {e}"
+                ) from e
+        paths[split] = path
+    return paths

@@ -71,7 +71,10 @@ def test_tumbling_merge_associative(rows, cut):
     chk = full.merge(merged, left_on=["window_start_ms", "k"], right_on=["w", "k"])
     assert len(chk) == len(full) == len(merged)
     assert (chk["num_trans_per_x"] == chk["n"]).all()
-    np.testing.assert_allclose(chk["avg_amt_per_x"] * chk["n"], chk["s"], rtol=1e-9)
+    # atol floors out subnormal underflow (avg of 5e-324 halves to zero)
+    np.testing.assert_allclose(
+        chk["avg_amt_per_x"] * chk["n"], chk["s"], rtol=1e-9, atol=1e-300
+    )
     np.testing.assert_allclose(chk["min_amt_per_x"], chk["mn"], rtol=1e-12)
     np.testing.assert_allclose(chk["max_amt_per_x"], chk["mx"], rtol=1e-12)
 

@@ -458,3 +458,66 @@ def test_serving_ts_col_tie_break(spark, tables):
     # newest window (ts=20) wins over an older window in the same commit;
     # within that window the newest commit (the correction) wins
     assert vs.get_feature_vector({"k": 1})["val"] == "corrected"
+
+
+# --------------------------------------------------------------------------- training datasets (TrainingDatasetBase.java:63-166)
+def test_three_way_splits_random_and_time(spark, tables):
+    from engine.query import Query
+    from engine.views import FeatureView
+
+    df = tables["events"].select("event_id", "ts", "user_id", "value")
+    fv = FeatureView("ev3", 1, Query.from_dataframe(df))
+    n = df.count()
+
+    sp = fv.train_validation_test_split(0.2, 0.2, seed=5, spark=spark)
+    counts = {k: v.count() for k, v in sp.items()}
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts["validation"] > 0 and counts["test"] > 0
+    # seeded determinism
+    again = fv.train_validation_test_split(0.2, 0.2, seed=5, spark=spark)
+    assert again["train"].count() == counts["train"]
+    with pytest.raises(ValueError):
+        fv.train_validation_test_split(0.6, 0.5, spark=spark)
+
+    # 3-way time series with boundary fallbacks: train_end <- val_start,
+    # test_start <- val_end (TrainingDatasetBase.java:128-146)
+    sp = fv.time_series_splits(
+        "ts", val_start="20240110", val_end="20240115", spark=spark
+    )
+    assert set(sp) == {"train", "validation", "test"}
+    assert sp["train"].filter(F.col("ts") >= "2024-01-10").count() == 0
+    assert sp["validation"].filter(
+        (F.col("ts") < "2024-01-10") | (F.col("ts") >= "2024-01-15")
+    ).count() == 0
+    assert sp["test"].filter(F.col("ts") < "2024-01-15").count() == 0
+    assert sum(v.count() for v in sp.values()) == n
+    # 2-way when no validation bounds given
+    sp2 = fv.time_series_splits("ts", train_end="20240115", spark=spark)
+    assert set(sp2) == {"train", "test"}
+    assert sp2["train"].count() + sp2["test"].count() == n
+
+
+def test_write_training_dataset_formats(spark, tables, tmp_path):
+    from engine.query import Query
+    from engine.views import FeatureView, write_training_dataset
+
+    df = tables["region"]
+    fv = FeatureView("regw", 1, Query.from_dataframe(df))
+    sp = {"train": df.limit(3), "test": df}
+    for fmt in ("parquet", "csv", "json", "orc", "tsv"):
+        paths = write_training_dataset(
+            sp, str(tmp_path / fmt), data_format=fmt, coalesce=True
+        )
+        assert set(paths) == {"train", "test"}
+        reader = {"csv": lambda p: spark.read.option("header", True).csv(p),
+                  "tsv": lambda p: spark.read.options(header=True, sep="\t").csv(p),
+                  "json": spark.read.json, "orc": spark.read.orc,
+                  "parquet": spark.read.parquet}[fmt]
+        assert reader(paths["train"]).count() == 3
+        # coalesce=True → single data file per split
+        import glob
+
+        files = [f for f in glob.glob(paths["train"] + "/*") if not f.split("/")[-1].startswith("_")]
+        assert len(files) == 1
+    with pytest.raises(ValueError):
+        write_training_dataset(sp, str(tmp_path / "bad"), data_format="xml")
