@@ -442,6 +442,84 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_external_fg(spark, sf_dir):
+    """External (on-demand) feature group: a CSV copy of nation registered as
+    a read-only group, queried through the same DSL as managed groups
+    (base/ExternalFeatureGroupAlias.java; formats ExternalDataFormat.java:
+    20-27)."""
+    import tempfile
+
+    from engine.store import FeatureStore
+
+    nat = _read(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="entry_ext_")
+    csv_dir = tmp + "/nation_csv"
+    nat.write.option("header", True).csv(csv_dir)
+    store = FeatureStore(tmp + "/fs")
+    fg = store.create_external_feature_group(
+        "nation_ext", spark, "csv", path=csv_dir,
+        options={"header": "true", "inferSchema": "true"},
+        primary_key=["n_nationkey"],
+    )
+    return fg.select(["n_nationkey", "n_name", "n_regionkey"]).to_df(spark)
+
+
+_SQL_EXTERNAL_FG = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+def _q_fg_statistics(spark, sf_dir):
+    """computeStatistics with exact uniqueness over orders — the one-pass
+    aggregate snapshot (base/StatisticsConfigBase.java; engine/stats.py)."""
+    from engine.stats import StatisticsConfig, compute_statistics
+
+    orders = _read(spark, sf_dir, "orders")
+    cfg = StatisticsConfig(
+        exact_uniqueness=True, columns=["o_totalprice", "o_custkey"]
+    )
+    s = compute_statistics(orders, cfg)
+    rows = [
+        (
+            c,
+            s["row_count"],
+            st["num_nulls"],
+            st["distinct"],
+            float(st["min"]),
+            float(st["max"]),
+            round(st["mean"], 6),
+            round(st["stddev"], 6),
+        )
+        for c, st in s["columns"].items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, cnt long, num_nulls long, n_distinct long, "
+        "min_val double, max_val double, mean_val double, stdev_val double",
+    )
+
+
+_SQL_FG_STATISTICS = """
+SELECT 'o_totalprice' AS column, count(*) AS cnt,
+       count(*) - count(o_totalprice) AS num_nulls,
+       count(DISTINCT o_totalprice) AS n_distinct,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_val,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_val,
+       round(avg(o_totalprice), 6) AS mean_val,
+       round(stddev_samp(o_totalprice), 6) AS stdev_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS DOUBLE),
+       CAST(max(o_custkey) AS DOUBLE),
+       round(avg(o_custkey), 6),
+       round(stddev_samp(o_custkey), 6)
+FROM orders
+"""
+
+
 def _q_training_split(spark, sf_dir):
     """3-way TIME_SERIES training split with the reference's boundary
     fallbacks (base/TrainingDatasetBase.java:128-146): train_end falls
@@ -1152,6 +1230,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_batch": _q_serving_batch,
         "serving_transformed": _q_serving_transformed,
         "training_split": _q_training_split,
+        "external_fg": _q_external_fg,
+        "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
         # text analysis
@@ -1202,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "serving_batch": _SQL_SERVING_BATCH,
         "serving_transformed": _SQL_SERVING_TRANSFORMED,
         "training_split": _SQL_TRAINING_SPLIT,
+        "external_fg": _SQL_EXTERNAL_FG,
+        "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,
         "set_ops": _SQL_SET_OPS,

@@ -39,6 +39,13 @@ class SaveMode:
     OVERWRITE = "overwrite"
 
 
+def _read_external(spark: SparkSession, source: dict) -> DataFrame:
+    """Reader for an external feature group's source descriptor."""
+    reader = spark.read.format(source["format"]).options(**source.get("options", {}))
+    path = source.get("path")
+    return reader.load(path) if path else reader.load()
+
+
 class FeatureStore:
     """Directory-backed feature-group registry."""
 
@@ -56,6 +63,8 @@ class FeatureStore:
         meta = {
             "name": fg.name,
             "version": fg.version,
+            "tags": getattr(fg, "tags", {}) or {},
+            "external": getattr(fg, "external_source", None),
             "features": [
                 {"name": f.name, "type": f.dtype.simpleString(), "primary": f.primary,
                  "partition": f.partition, "appended": f.appended}
@@ -89,6 +98,8 @@ class FeatureStore:
         )
         fg.path = None  # reads route through the store's ledgered table
         fg._store = self
+        fg.tags = m.get("tags", {})
+        fg.external_source = m.get("external")
         return fg
 
     def get_or_create_stream_feature_group(
@@ -117,6 +128,70 @@ class FeatureStore:
         fg._store = self
         self._save_meta(fg)
         return fg
+
+    #: ``base/ExternalDataFormat.java:20-27`` (+ json/jdbc for practicality;
+    #: hudi/delta/avro need runtime jars and fail with a clear reader error)
+    EXTERNAL_FORMATS = ("orc", "parquet", "avro", "csv", "hudi", "delta",
+                        "json", "jdbc")
+
+    def create_external_feature_group(
+        self,
+        name: str,
+        spark: SparkSession,
+        data_format: str,
+        path: str | None = None,
+        options: dict | None = None,
+        version: int = 1,
+        primary_key: list[str] | None = None,
+        event_time: str | None = None,
+        description: str | None = None,
+    ) -> FeatureGroup:
+        """Register an external (on-demand) table as a queryable feature group
+        (``base/constructor/ExternalFeatureGroupAlias.java``; formats
+        ``base/ExternalDataFormat.java:20-27``). The data stays where it is —
+        reads go straight through ``spark.read.format(...)`` so Catalyst
+        pushdown/pruning applies to the external source; inserts are refused
+        (the group is read-only by construction). Schema is inferred once at
+        registration and persisted."""
+        fmt = data_format.strip().lower()
+        if fmt not in self.EXTERNAL_FORMATS:
+            raise ValueError(
+                f"unsupported external format {fmt!r}; one of {self.EXTERNAL_FORMATS}"
+            )
+        existing = self.get_feature_group(name, version)
+        if existing is not None:
+            if not existing.external_source:
+                raise SchemaError(
+                    f"{name}_{version} already exists as a managed group"
+                )
+            return existing
+        source = {"format": fmt, "path": path, "options": options or {}}
+        df = sanitize_feature_names(_read_external(spark, source))
+        fg = FeatureGroup.from_dataframe(
+            name, df, version=version, primary_key=primary_key,
+            event_time=event_time, description=description,
+        )
+        fg.path = None
+        fg._store = self
+        fg.external_source = source
+        self._save_meta(fg)
+        return fg
+
+    # -- tags (FeatureGroupBase.java:167-180) -------------------------------
+    def add_tag(self, fg: FeatureGroup, name: str, value) -> None:
+        fg.tags = {**(getattr(fg, "tags", {}) or {}), name: value}
+        self._save_meta(fg)
+
+    def get_tags(self, fg: FeatureGroup) -> dict:
+        return dict(getattr(fg, "tags", {}) or {})
+
+    def delete_tag(self, fg: FeatureGroup, name: str) -> None:
+        tags = dict(getattr(fg, "tags", {}) or {})
+        if name not in tags:
+            raise KeyError(f"tag {name!r} not set on {fg.table_name}")
+        del tags[name]
+        fg.tags = tags
+        self._save_meta(fg)
 
     def append_features(self, fg: FeatureGroup, feats: list[Feature]) -> None:
         """Append-only schema evolution, persisted
@@ -149,6 +224,10 @@ class FeatureStore:
         (``base/SaveMode.java:20-24``); earlier snapshots stay readable via
         ``read(as_of_batch_id=...)``.
         """
+        if getattr(fg, "external_source", None):
+            raise SchemaError(
+                f"{fg.table_name} is an external feature group — read-only"
+            )
         if mode == SaveMode.UPSERT and not fg.primary_key:
             raise SchemaError(
                 f"UPSERT on {fg.table_name} requires a primary key"
@@ -171,6 +250,10 @@ class FeatureStore:
         ``mode=SaveMode.UPSERT`` marks every micro-batch commit as an upsert
         (idempotent under checkpoint replay: a replayed batch id is a ledger
         no-op, so the same rows never supersede themselves twice)."""
+        if getattr(fg, "external_source", None):
+            raise SchemaError(
+                f"{fg.table_name} is an external feature group — read-only"
+            )
         if mode == SaveMode.OVERWRITE:
             raise ValueError("OVERWRITE is batch-only; streams append or upsert")
         if mode == SaveMode.UPSERT and not fg.primary_key:
@@ -211,6 +294,10 @@ class FeatureStore:
 
         from engine.query import COMMIT_TS_COL
 
+        if getattr(fg, "external_source", None):
+            # on-demand group: no ledger, no commit metadata — the external
+            # source is the table (predicate/column pushdown applies there)
+            return sanitize_feature_names(_read_external(spark, fg.external_source))
         sink = self._sink(fg)
         recs = sink.committed_batches()
         if as_of_batch_id is not None:
@@ -264,6 +351,29 @@ class FeatureStore:
         return df.withColumn(
             COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
         ).drop("batch_id")
+
+    # -- statistics (StatisticsConfigBase.java; FeatureGroupBase.java:97,300)
+    def compute_statistics(self, fg: FeatureGroup, spark: SparkSession,
+                           config=None) -> dict:
+        """Compute + persist a statistics snapshot over the group's resolved
+        table (one aggregate pass; see :mod:`engine.stats`)."""
+        from engine.stats import StatisticsConfig, compute_statistics, save_statistics
+
+        cfg = config or getattr(fg, "statistics_config", None) or StatisticsConfig()
+        df = self.read(spark, fg, with_commit_ts=False)
+        stats = compute_statistics(df, cfg)
+        recs = None
+        if not getattr(fg, "external_source", None):
+            batches = self._sink(fg).committed_batches()
+            recs = batches[-1].batch_id if batches else None
+        stats["config"] = cfg.to_dict()
+        save_statistics(os.path.join(self.root, fg.table_name), stats, recs)
+        return stats
+
+    def get_statistics(self, fg: FeatureGroup) -> dict | None:
+        from engine.stats import load_latest_statistics
+
+        return load_latest_statistics(os.path.join(self.root, fg.table_name))
 
     def commit_details(self, fg: FeatureGroup) -> list[dict]:
         """V3: the commit log (batch id, commit ts, row counts, lineage)."""

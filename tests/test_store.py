@@ -521,3 +521,92 @@ def test_write_training_dataset_formats(spark, tables, tmp_path):
         assert len(files) == 1
     with pytest.raises(ValueError):
         write_training_dataset(sp, str(tmp_path / "bad"), data_format="xml")
+
+
+# --------------------------------------------------------------------------- external feature groups (ExternalDataFormat.java:20-27)
+def test_external_feature_group_roundtrip(spark, tables, store, tmp_path):
+    csv_dir = str(tmp_path / "nation_csv")
+    tables["nation"].write.option("header", True).csv(csv_dir)
+    fg = store.create_external_feature_group(
+        "nation_ext", spark, "csv", path=csv_dir,
+        options={"header": "true", "inferSchema": "true"},
+        primary_key=["n_nationkey"],
+    )
+    assert fg.external_source["format"] == "csv"
+    # reads route through the external source (store.read and fg.read)
+    assert store.read(spark, fg).count() == tables["nation"].count()
+    assert fg.read(spark).count() == tables["nation"].count()
+    # queryable through the DSL like any group
+    q = fg.select(["n_nationkey", "n_name"]).to_df(spark)
+    assert q.columns == ["n_nationkey", "n_name"]
+    # metadata persists across a fresh store handle
+    fg2 = store.get_feature_group("nation_ext")
+    assert fg2.external_source == fg.external_source
+    # read-only
+    with pytest.raises(SchemaError):
+        store.insert(fg, tables["nation"])
+    # a name already registered as a managed group cannot be re-registered
+    store.get_or_create_stream_feature_group(
+        "managed_one", df=tables["region"], primary_key=["r_regionkey"]
+    )
+    with pytest.raises(SchemaError):
+        store.create_external_feature_group("managed_one", spark, "csv", path=csv_dir)
+    # unsupported format
+    with pytest.raises(ValueError):
+        store.create_external_feature_group("x", spark, "xml", path=csv_dir)
+
+
+def test_tags_crud(spark, tables, store):
+    fg = store.get_or_create_stream_feature_group(
+        "region_tagged", df=tables["region"], primary_key=["r_regionkey"]
+    )
+    store.add_tag(fg, "owner", "data-team")
+    store.add_tag(fg, "pii", False)
+    assert store.get_tags(fg) == {"owner": "data-team", "pii": False}
+    # persisted across reload
+    again = store.get_feature_group("region_tagged")
+    assert store.get_tags(again)["owner"] == "data-team"
+    store.delete_tag(fg, "pii")
+    assert "pii" not in store.get_tags(fg)
+    with pytest.raises(KeyError):
+        store.delete_tag(fg, "nope")
+
+
+# --------------------------------------------------------------------------- statistics (StatisticsConfigBase.java)
+def test_compute_statistics_single_pass_and_persist(spark, tables, store):
+    import numpy as np
+
+    from engine.stats import StatisticsConfig, compute_statistics
+
+    cust = tables["customer"]
+    cfg = StatisticsConfig(exact_uniqueness=True,
+                           columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    stats = compute_statistics(cust, cfg)
+    pdf = cust.select("c_custkey", "c_acctbal", "c_mktsegment").toPandas()
+    sc = stats["columns"]
+    assert stats["row_count"] == len(pdf)
+    assert sc["c_acctbal"]["num_nulls"] == int(pdf["c_acctbal"].isna().sum())
+    assert sc["c_mktsegment"]["distinct"] == pdf["c_mktsegment"].nunique()
+    assert np.isclose(sc["c_acctbal"]["mean"], pdf["c_acctbal"].mean())
+    assert np.isclose(sc["c_acctbal"]["stddev"], pdf["c_acctbal"].std(ddof=1))
+    assert "min" not in sc["c_mktsegment"]  # non-numeric: no numeric stats
+
+    # correlations + histograms opt-in
+    cfg2 = StatisticsConfig(correlations=True, histograms=True,
+                            columns=["c_custkey", "c_acctbal"])
+    s2 = compute_statistics(cust, cfg2)
+    assert "c_custkey,c_acctbal" in s2["correlations"]
+    assert len(s2["histograms"]["c_acctbal"]) == 10
+
+    # disabled config short-circuits
+    assert compute_statistics(cust, StatisticsConfig(enabled=False))["columns"] == {}
+    with pytest.raises(ValueError):
+        compute_statistics(cust, StatisticsConfig(columns=["nope"]))
+
+    # store-level persist + reload
+    fg = store.get_or_create_stream_feature_group(
+        "cust_stats", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg, cust)
+    got = store.compute_statistics(fg, spark, cfg)
+    assert store.get_statistics(fg)["row_count"] == got["row_count"]
