@@ -230,12 +230,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle (no LSH loss).
-    The shared-shingle join bounds the pair space far below n² on real data."""
+
+    Scale hazard: one shingle shared by k docs yields k² candidate pairs, so a
+    stop-word shingle can explode the join. ``max_shingle_doc_freq`` drops
+    shingles whose document frequency exceeds the cap from *candidate
+    generation only* — the verify phase still scores surviving pairs on the
+    FULL shingle sets, so reported Jaccard values are exact. A true pair is
+    missed only when every one of its shared shingles is hotter than the cap,
+    which at a sane cap (say 1000) implies near-zero specificity anyway.
+    Uncapped (None) the operator is exhaustive — use that as a verify phase on
+    LSH candidates or on small corpora; set the cap for standalone all-pairs
+    runs at scale.
+    """
     sh = shingles(df, id_col, text_col, n)
-    a = sh.withColumnRenamed("id", "id_a")
-    b = sh.withColumnRenamed("id", "id_b")
+    cand_src = sh
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_doc_freq)
+            .select("shingle")
+        )
+        cand_src = sh.join(hot, "shingle", "left_anti")
+    a = cand_src.withColumnRenamed("id", "id_a")
+    b = cand_src.withColumnRenamed("id", "id_b")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

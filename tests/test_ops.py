@@ -155,6 +155,84 @@ def test_simhash_dedup(spark, dup_docs):
     assert (near["hamming"] <= 16).all()
 
 
+@pytest.fixture(scope="module")
+def perturbed_docs(spark):
+    """60 docs: 30 bases of 30 random words + a twin of each with 2 words
+    swapped (word-shingle Jaccard ≈ 0.8) — ground truth for recall tests."""
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(30):
+        words = list(rng.choice(vocab, 30, replace=False))
+        rows.append((i, " ".join(words)))
+        twin = words.copy()
+        for j in rng.choice(30, 2, replace=False):
+            twin[j] = f"x{i}_{j}"
+        rows.append((i + 1000, " ".join(twin)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, perturbed_docs):
+    """Rows-only entry hardening (VERDICT r1 item 7): MinHash-LSH must
+    recover ≥90% of the exact-Jaccard pairs at the banding's theoretical
+    recall ≥0.95 operating point, with exact jaccard values on what it
+    reports (verify phase)."""
+    exact = ngram_jaccard_pairs(perturbed_docs, n=2, threshold=0.5).toPandas()
+    approx = minhash_dedup(
+        perturbed_docs, n=2, num_perm=64, bands=16, threshold=0.5
+    ).toPandas()
+    e = set(map(tuple, exact[["id_a", "id_b"]].values))
+    a = set(map(tuple, approx[["id_a", "id_b"]].values))
+    assert len(e) >= 25  # the twins are really above threshold
+    assert len(e & a) / len(e) >= 0.9
+    # verify phase makes reported values exact → subset relation holds
+    assert a <= e
+    merged = exact.merge(approx, on=["id_a", "id_b"], suffixes=("_e", "_a"))
+    assert (merged["jaccard_e"] == merged["jaccard_a"]).all()
+
+
+def test_simhash_hamming3_recall_guarantee(spark):
+    """4 bands × 16 bits guarantee: any pair with Hamming distance ≤3 shares
+    at least one full band (pigeonhole) → recall 1.0 on such pairs."""
+    from engine.dedup import simhash_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        words = [f"t{i}_{j}" for j in range(40)]
+        rows.append((i, " ".join(words)))
+        # flipping one rare word flips few signature bits
+        words[0] = f"flip{i}"
+        rows.append((i + 500, " ".join(words)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = simhash_dedup(df).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    # every Hamming<=3 true pair must be found; check against exact signatures
+    from engine.dedup import simhash64
+
+    sp = df.select("doc_id", simhash64(F.col("text")).alias("sig")).toPandas()
+    svals = dict(zip(sp["doc_id"], sp["sig"]))
+    for i in range(20):
+        h = bin(int(svals[i]) ^ int(svals[i + 500])).count("1")
+        if h <= 3:
+            assert (i, i + 500) in got, f"missed guaranteed pair ({i},{i+500}) h={h}"
+
+
+def test_ngram_jaccard_doc_freq_cap(spark, perturbed_docs):
+    """The frequent-shingle cap prunes candidate generation without touching
+    reported jaccard values; a generous cap loses nothing."""
+    full = ngram_jaccard_pairs(perturbed_docs, n=2, threshold=0.5).toPandas()
+    capped = ngram_jaccard_pairs(
+        perturbed_docs, n=2, threshold=0.5, max_shingle_doc_freq=50
+    ).toPandas()
+    assert len(capped) == len(full)  # no shingle is shared by >50 docs here
+    # cap of 1 drops every shared shingle → no candidates at all
+    none = ngram_jaccard_pairs(
+        perturbed_docs, n=2, threshold=0.5, max_shingle_doc_freq=0
+    )
+    assert none.count() == 0
+
+
 # --------------------------------------------------------------------------- similarity
 @pytest.fixture(scope="module")
 def emb(spark, tables):
