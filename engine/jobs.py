@@ -130,7 +130,10 @@ def cmd_pipeline(args) -> dict:
     elapsed = time.time() - t0
     n_in = spark.read.parquet(args.clips).count()
     audit = sink.audit()
-    out_rows = sink.read_committed(spark).count()
+    try:
+        out_rows = sink.read_committed(spark).count()
+    except ValueError:  # legitimately empty input → zero committed batches
+        out_rows = 0
     spark.stop()
     return {
         "job": "pipeline", "window": args.window, "stateful": args.stateful,
@@ -158,7 +161,10 @@ def cmd_join(args) -> dict:
     elapsed = time.time() - t0
     n_in = spark.read.parquet(args.clips).count()
     audit = sink.audit()
-    out_rows = sink.read_committed(spark).count()
+    try:
+        out_rows = sink.read_committed(spark).count()
+    except ValueError:  # legitimately empty input → zero committed batches
+        out_rows = 0
     spark.stop()
     return {
         "job": "join", "input_clips": n_in, "joined_rows": out_rows,
@@ -203,15 +209,24 @@ def cmd_serve(args) -> dict:
             keys = raw
         keys = list(dict.fromkeys(keys))  # dedupe, keep order
 
+        # newest-row order: event/window ts when the table has one (pipeline
+        # outputs), else commit order alone (e.g. the join pipeline's output)
+        ts_col = getattr(args, "ts_col", None) or (
+            "window_start" if "window_start" in online.columns else None
+        )
+        order = []
+        if ts_col is not None:
+            if ts_col not in online.columns:
+                raise SystemExit(
+                    f"--ts-col {ts_col!r} not in table columns {online.columns}"
+                )
+            order.append(F.desc(ts_col))
+        order.append(F.desc("batch_id"))
         latest = (
             online.filter(F.col(args.key).isin(keys))
             .withColumn(
                 "_rn",
-                F.row_number().over(
-                    W.partitionBy(args.key).orderBy(
-                        F.desc("window_start"), F.desc("batch_id")
-                    )
-                ),
+                F.row_number().over(W.partitionBy(args.key).orderBy(*order)),
             )
             .filter("_rn = 1")
             .drop("_rn", "batch_id")
@@ -284,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table", required=True, help="sink out dir (pipeline/backfill output)")
     p.add_argument("--key", default="speaker_id")
     p.add_argument("--keys", required=True, help="comma-separated key values")
+    p.add_argument("--ts-col", default=None, dest="ts_col",
+                   help="event/window ts column for newest-row ordering "
+                        "(default: window_start when present, else commit order)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

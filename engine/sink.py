@@ -76,11 +76,17 @@ class ParquetLedgerSink:
     """Idempotent exactly-once parquet sink (Iceberg-commit-shaped protocol)."""
 
     def __init__(self, out_dir: str, event_ts_col: str | None = None,
-                 create: bool = True):
+                 create: bool = True, strict_replay: bool = False):
         self.out_dir = out_dir
         self.data_dir = os.path.join(out_dir, "data")
         self.ledger_dir = os.path.join(out_dir, "_ledger")
         self.event_ts_col = event_ts_col
+        #: strict: ANY input-file difference on replay raises. Default False:
+        #: only a fully-disjoint file set raises (the out_dir/checkpoint-
+        #: mismatch case); partial differences (source compaction/renames
+        #: between the original run and recovery) warn loudly and no-op,
+        #: which is the correct exactly-once behavior.
+        self.strict_replay = strict_replay
         if create:
             os.makedirs(self.data_dir, exist_ok=True)
             os.makedirs(self.ledger_dir, exist_ok=True)
@@ -115,12 +121,26 @@ class ParquetLedgerSink:
                 rec = json.load(fh)
             recorded = rec.get("lineage", {}).get("input_files")
             if recorded is not None and files and recorded != files:
-                raise RuntimeError(
+                disjoint = not (set(recorded) & set(files))
+                msg = (
                     f"sink {self.out_dir!r} already has batch {batch_id} from "
-                    "different input files — reusing an output dir with a new "
-                    "checkpoint? Point the query at a fresh out_dir or reuse "
-                    "the original checkpoint."
+                    f"different input files (recorded {len(recorded)}, replay "
+                    f"{len(files)}, shared {len(set(recorded) & set(files))})"
                 )
+                if self.strict_replay or (disjoint and recorded):
+                    # zero overlap = a reused out_dir with a fresh checkpoint
+                    # restarting ids at 0 — skipping would silently drop data
+                    raise RuntimeError(
+                        msg + " — reusing an output dir with a new checkpoint? "
+                        "Point the query at a fresh out_dir or reuse the "
+                        "original checkpoint."
+                    )
+                # benign drift (compaction/renames between run and recovery):
+                # skipping the replay is the correct exactly-once behavior
+                import warnings
+
+                warnings.warn(msg + "; treating as a benign replay and "
+                              "skipping the batch", RuntimeWarning)
             return False
         tmp = os.path.join(self.data_dir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
         final = self._batch_dir(batch_id)

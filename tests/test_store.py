@@ -610,3 +610,33 @@ def test_compute_statistics_single_pass_and_persist(spark, tables, store):
     store.insert(fg, cust)
     got = store.compute_statistics(fg, spark, cfg)
     assert store.get_statistics(fg)["row_count"] == got["row_count"]
+
+
+# --------------------------------------------------------------------------- sink replay guard (ADVICE fix)
+def test_replay_guard_disjoint_raises_overlap_warns(spark, tables, tmp_path):
+    import warnings
+
+    from engine.sink import ParquetLedgerSink
+
+    src_a = str(tmp_path / "a.parquet")
+    src_b = str(tmp_path / "b.parquet")
+    tables["region"].write.parquet(src_a)
+    tables["region"].write.parquet(src_b)
+    dfa, dfb = spark.read.parquet(src_a), spark.read.parquet(src_b)
+    both = spark.read.parquet(src_a, src_b)
+
+    sink = ParquetLedgerSink(str(tmp_path / "sink"))
+    assert sink.write_batch(dfa, 0) is True
+    # fully disjoint input files on the same batch id → out_dir mismatch
+    with pytest.raises(RuntimeError):
+        sink.write_batch(dfb, 0)
+    # partial overlap (compaction-style drift) → warn + skip, data unchanged
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert sink.write_batch(both, 0) is False
+    assert any("benign replay" in str(x.message) for x in w)
+    assert sink.audit()["consistent"]
+    # strict mode restores raise-on-any-difference
+    strict = ParquetLedgerSink(str(tmp_path / "sink"), strict_replay=True)
+    with pytest.raises(RuntimeError):
+        strict.write_batch(both, 0)
