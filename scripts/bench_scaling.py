@@ -77,13 +77,15 @@ def main() -> None:
     ap.add_argument("--n-files", type=int, default=64)
     ap.add_argument("--max-dur-ms", type=int, default=2000)
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
-    # N vs 4N cores. local[2]→local[8] sits inside this VM's linear CPU
-    # region; a pure-numpy multiprocessing probe shows the hardware itself
-    # caps 8→32 procs at ~0.57 efficiency (SMT/memory-bandwidth ceiling),
-    # so 8→32 cannot evidence engine scaling here.
-    ap.add_argument("--lo", type=int, default=2)
-    ap.add_argument("--hi", type=int, default=8)
+    # N → 4N core pairs, ALL published. local[2]→local[8] sits inside this
+    # VM's linear CPU region and is the headline engine-scaling number;
+    # 8→32 is published alongside the measured hardware ceiling
+    # (scripts/hw_ceiling_probe.py) so the reader can see the engine tracks
+    # the hardware, not that the engine stops scaling.
+    ap.add_argument("--pairs", default="2:8,8:32")
+    ap.add_argument("--headline-pair", default="2:8")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--probe-secs", type=float, default=4.0)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -102,31 +104,66 @@ def main() -> None:
     )
     gen_sec = time.time() - t0
 
+    pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")]
+    headline = tuple(int(x) for x in args.headline_pair.split(":"))
+    if headline not in pairs:
+        pairs.append(headline)
+    counts = sorted({c for p in pairs for c in p})
+
+    # hardware ceiling probe first (no Spark running — contention-free)
+    probe_proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "hw_ceiling_probe.py"),
+         "--pairs", ",".join(f"{lo}:{hi}" for lo, hi in pairs),
+         "--secs", str(args.probe_secs)],
+        check=True, capture_output=True, text=True, timeout=600,
+    )
+    probe = json.loads(probe_proc.stdout.strip().splitlines()[-1])
+
     try:
-        lo = run_once(args.lo, clips_dir, workdir, zip_path,
-                      args.max_files_per_trigger, args.repeat)
-        hi = run_once(args.hi, clips_dir, workdir, zip_path,
-                      args.max_files_per_trigger, args.repeat)
+        runs = {
+            c: run_once(c, clips_dir, workdir, zip_path,
+                        args.max_files_per_trigger, args.repeat)
+            for c in counts
+        }
     finally:
         if not args.keep:
             shutil.rmtree(workdir, ignore_errors=True)
 
-    eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / (args.hi / args.lo)
+    pair_results = {}
+    for lo_c, hi_c in pairs:
+        eff = (runs[hi_c]["clips_per_sec"] / runs[lo_c]["clips_per_sec"]) / (
+            hi_c / lo_c
+        )
+        pair_results[f"{lo_c}->{hi_c}"] = round(eff, 3)
+    head_eff = pair_results[f"{headline[0]}->{headline[1]}"]
     result = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": head_eff,
         "unit": "ratio",
         "n_clips": args.n_clips,
-        "lo": {"cores": args.lo, "clips_per_sec": lo["clips_per_sec"],
-               "elapsed_sec": lo["elapsed_sec"]},
-        "hi": {"cores": args.hi, "clips_per_sec": hi["clips_per_sec"],
-               "elapsed_sec": hi["elapsed_sec"]},
+        "runs": {
+            str(c): {"cores": c, "clips_per_sec": runs[c]["clips_per_sec"],
+                     "elapsed_sec": runs[c]["elapsed_sec"]}
+            for c in counts
+        },
+        "pairs": pair_results,
+        "headline_pair": f"{headline[0]}->{headline[1]}",
+        "hw_ceiling": probe,
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": head_eff >= 0.8,
         "gen_sec": round(gen_sec, 1),
     }
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    rows = "\n".join(
+        f"| local[{c}] | {c} | {runs[c]['clips_per_sec']} | {runs[c]['elapsed_sec']} |"
+        for c in counts
+    )
+    pair_rows = "\n".join(
+        f"| {k.replace('->', ' → ')} | {v} | {probe['pairs'].get(k, '—')} | "
+        f"{round(v / probe['pairs'][k], 3) if probe['pairs'].get(k) else '—'} |"
+        for k, v in pair_results.items()
+    )
     md = f"""# BENCH/BASELINE — throughput + scaling efficiency
 
 Flagship job (`spark-submit --master local[N] --py-files dist/engine.zip
@@ -135,26 +172,32 @@ clip stream → vectorized PCM decode + STFT spectral features (`mapInPandas`,
 Arrow batches) → 60 s watermark → per-speaker 10-minute tumbling window
 aggregate → exactly-once parquet ledger sink. Same input ({args.n_clips}
 clips, {args.n_files} files, maxFilesPerTrigger={args.max_files_per_trigger}),
-identical code at both parallelism levels; each run its own spark-submit
+identical code at every parallelism level; each run its own spark-submit
 process; best of {args.repeat} runs.
-
-Why local[{args.lo}] → local[{args.hi}] as the N → 4N pair: a pure-numpy
-multiprocessing probe on this VM measures the hardware parallel-scaling
-ceiling at 8→32 processes as ~0.57 (SMT / memory-bandwidth limit — even
-perfectly parallel numpy work cannot exceed it), while 2→8 sits in the linear
-region. The engine's own scaling is what this benchmark isolates.
 
 | master | shuffle partitions | clips/sec | elapsed (s) |
 |---|---|---|---|
-| local[{args.lo}] | {args.lo} | {lo['clips_per_sec']} | {lo['elapsed_sec']} |
-| local[{args.hi}] | {args.hi} | {hi['clips_per_sec']} | {hi['elapsed_sec']} |
+{rows}
 
-**Scaling efficiency ({args.lo} → {args.hi} cores, the sandbox stand-in for N → 4N
-executors): `({hi['clips_per_sec']} / {lo['clips_per_sec']}) / {args.hi // args.lo}
-= {eff:.3f}`** — target ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**.
+Every N → 4N pair is published together with this VM's measured hardware
+parallel-scaling ceiling (`scripts/hw_ceiling_probe.py`: a pure-numpy
+process-parallel STFT kernel — perfectly parallel work cannot exceed it, so
+it bounds what ANY engine can show at that pair on this box):
+
+| pair | engine efficiency | hw ceiling (probe) | engine / ceiling |
+|---|---|---|---|
+{pair_rows}
+
+**Headline scaling efficiency ({headline[0]} → {headline[1]} cores, the
+sandbox stand-in for N → 4N executors): `{head_eff:.3f}`** — target ≥ 0.8:
+**{"PASS" if head_eff >= 0.8 else "FAIL"}**. The {headline[0]}→{headline[1]}
+pair is the headline because it sits in the probe's linear region; the wider
+pair shows the engine tracking the hardware ceiling, not saturating early.
 
 Exactly-once audit passed in every run (unique batch ids, ledger row counts
 consistent with data files).
+
+Probe raw: `{json.dumps(probe)}`
 
 Raw: `{json.dumps(result)}`
 """
