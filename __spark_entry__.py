@@ -442,6 +442,29 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_avro_roundtrip(spark, sf_dir):
+    """Avro BINARY wire codec roundtrip (pure-Python encoder byte-compatible
+    with the reference's GenericDatumWriter — OnlineFeatureGroupGeneric
+    RecordWriter.java:49-73; schema per FeatureGroupUtils.getEncodedAvroSchema
+    :191-200). encode→decode is the identity, so the oracle is the table."""
+    from engine.complexio import (
+        decode_rows_avro,
+        encode_rows_avro,
+        feature_group_avro_schema,
+    )
+    from engine.schema import FeatureGroup
+
+    df = _read(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    fg = FeatureGroup.from_dataframe("reg", df, primary_key=["r_regionkey"])
+    sch = feature_group_avro_schema(fg)
+    return decode_rows_avro(encode_rows_avro(df, sch), "value", sch)
+
+
+_SQL_AVRO_ROUNDTRIP = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
 def _q_external_fg(spark, sf_dir):
     """External (on-demand) feature group: a CSV copy of nation registered as
     a read-only group, queried through the same DSL as managed groups
@@ -1231,6 +1254,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_transformed": _q_serving_transformed,
         "training_split": _q_training_split,
         "external_fg": _q_external_fg,
+        "avro_roundtrip": _q_avro_roundtrip,
         "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
@@ -1283,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "serving_transformed": _SQL_SERVING_TRANSFORMED,
         "training_split": _SQL_TRAINING_SPLIT,
         "external_fg": _SQL_EXTERNAL_FG,
+        "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,

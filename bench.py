@@ -36,6 +36,12 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "knn_bruteforce",
     "doc_quality",
+    # round-2 additions: the LSH near-dup scale path, the single-pass IVF
+    # ANN, upsert-resolved store reads, and transformed serving
+    "embedding_near_dup_lsh",
+    "ivf_knn",
+    "store_upsert",
+    "serving_transformed",
 ]
 
 

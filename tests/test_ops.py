@@ -479,3 +479,49 @@ def test_ivf_topk_recall(spark, emb):
     # probing every list == exact
     full = ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8).collect()
     assert {(r.query_id, r.vec_id) for r in full} == ex
+
+
+def test_avro_binary_codec_spec_vectors():
+    """Pure-Python Avro BINARY codec against the public spec's own examples
+    (zigzag table + the record/'foo' vector) — wire-compatible with the
+    reference's GenericDatumWriter output for the same datum+schema
+    (OnlineFeatureGroupGenericRecordWriter.java:49-73)."""
+    from engine.complexio import avro_decode_datum, avro_encode_datum
+
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                    (64, b"\x80\x01")]:
+        assert avro_encode_datum(n, {"type": "long"}) == want
+    assert avro_encode_datum("foo", {"type": "string"}) == b"\x06foo"
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": ["null", "long"]},
+        {"name": "b", "type": ["null", "string"]}]}
+    b = avro_encode_datum({"a": 27, "b": "foo"}, sch)
+    assert b == b"\x02\x36\x02\x06foo"
+    assert avro_decode_datum(b, sch) == {"a": 27, "b": "foo"}
+    # null branch takes index 0 and no payload
+    assert avro_encode_datum({"a": None, "b": ""}, sch) == b"\x00\x02\x00"
+
+
+def test_avro_rows_roundtrip_spark(spark, tables):
+    """Whole-row Avro-binary encode/decode over Spark (Arrow-batched),
+    schema generated from the FeatureGroup exactly as
+    FeatureGroupUtils.getEncodedAvroSchema does (union[null,T] per field)."""
+    from engine.complexio import (
+        decode_rows_avro,
+        encode_rows_avro,
+        feature_group_avro_schema,
+    )
+    from engine.schema import FeatureGroup
+
+    df = tables["region"].select("r_regionkey", "r_name")
+    fg = FeatureGroup.from_dataframe("reg", df, primary_key=["r_regionkey"])
+    sch = feature_group_avro_schema(fg)
+    assert [f["name"] for f in sch["fields"]] == ["r_regionkey", "r_name"]
+    assert all(f["type"][0] == "null" for f in sch["fields"])
+    enc = encode_rows_avro(df, sch)
+    assert dict(enc.dtypes)["value"] == "binary"
+    dec = decode_rows_avro(enc, "value", sch).toPandas().sort_values("r_regionkey")
+    orig = df.toPandas().sort_values("r_regionkey")
+    assert dec["r_regionkey"].tolist() == orig["r_regionkey"].tolist()
+    assert dec["r_name"].tolist() == orig["r_name"].tolist()
