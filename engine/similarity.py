@@ -330,6 +330,7 @@ def ivf_topk(
     query_vec_col: str = "query_vec",
     seed: int = 42,
     sample_fraction: float = 1.0,
+    kmeans_iters: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the partition-pruning ANN path.
 
@@ -354,7 +355,9 @@ def ivf_topk(
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     if sample_fraction < 1.0:
         train = train.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    # a coarse quantizer doesn't need converged centroids — recall is
+    # governed by n_probe; each extra iteration is a full Spark job
+    model = KMeans(k=n_lists, seed=seed, maxIter=kmeans_iters).fit(train)
     centers = np.asarray(model.clusterCenters(), dtype=np.float64)
 
     assigned = model.transform(
