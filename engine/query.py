@@ -406,7 +406,10 @@ def as_of_join(
             if c not in keys
         ],
     )
-    f2 = features.select(
+    # a feature row with a null timestamp can never satisfy ts <= label_ts
+    # (matches the rank twin's isNotNull guard); without this filter it would
+    # sort to the partition head and leak into every label
+    f2 = features.filter(F.col(feature_ts).isNotNull()).select(
         *keys,
         F.col(feature_ts).alias("_ts"),
         F.lit(0).alias("_side"),

@@ -332,22 +332,25 @@ class FeatureStore:
             batch_ids=[r.batch_id for r in visible],
             schema=fg.spark_schema() if fg.appended_features else None,
         )
+        pairs = [(r.batch_id, r.commit_ts_ms) for r in visible]
+        mapping = F.create_map(*[F.lit(x) for pair in pairs for x in pair])
         if has_upsert:
-            order = [F.desc("batch_id")]
+            # "newest commit wins" must hold across the two batch-id
+            # namespaces (stream micro-batches from 0, batch inserts from
+            # 2^40), so order by actual commit time first; batch_id only
+            # breaks same-millisecond ties within one namespace.
+            order = [F.desc("_commit_ms"), F.desc("batch_id")]
             if fg.event_time and fg.event_time in df.columns:
                 order.append(F.desc_nulls_last(fg.event_time))
+            df = df.withColumn("_commit_ms", mapping[F.col("batch_id")])
             w = Window.partitionBy(*fg.primary_key).orderBy(*order)
             df = (
                 df.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .drop("_rn")
+                .drop("_rn", "_commit_ms")
             )
         if not with_commit_ts:
             return df.drop("batch_id") if need_batch_id else df
-        pairs = [(r.batch_id, r.commit_ts_ms) for r in visible]
-        mapping = F.create_map(
-            *[F.lit(x) for pair in pairs for x in pair]
-        )
         return df.withColumn(
             COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
         ).drop("batch_id")

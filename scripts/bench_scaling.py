@@ -110,15 +110,6 @@ def main() -> None:
         pairs.append(headline)
     counts = sorted({c for p in pairs for c in p})
 
-    # hardware ceiling probe first (no Spark running — contention-free)
-    probe_proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "scripts", "hw_ceiling_probe.py"),
-         "--pairs", ",".join(f"{lo}:{hi}" for lo, hi in pairs),
-         "--secs", str(args.probe_secs)],
-        check=True, capture_output=True, text=True, timeout=600,
-    )
-    probe = json.loads(probe_proc.stdout.strip().splitlines()[-1])
-
     try:
         runs = {
             c: run_once(c, clips_dir, workdir, zip_path,
@@ -128,6 +119,18 @@ def main() -> None:
     finally:
         if not args.keep:
             shutil.rmtree(workdir, ignore_errors=True)
+
+    # hardware ceiling probe AFTER the Spark runs, with a settle pause —
+    # measuring it adjacent to producer/JVM teardown depressed the low-proc
+    # legs and produced nonsense (superlinear) pair ratios
+    time.sleep(5)
+    probe_proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "hw_ceiling_probe.py"),
+         "--pairs", ",".join(f"{lo}:{hi}" for lo, hi in pairs),
+         "--secs", str(args.probe_secs), "--repeat", "3"],
+        check=True, capture_output=True, text=True, timeout=600,
+    )
+    probe = json.loads(probe_proc.stdout.strip().splitlines()[-1])
 
     pair_results = {}
     for lo_c, hi_c in pairs:

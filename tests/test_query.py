@@ -232,3 +232,22 @@ def test_as_of_join_long_history_parity_and_plan(spark):
     )
     assert "monotonically_increasing_id" not in plan
     assert "Join" not in plan  # union + window, no join-then-filter explosion
+
+
+def test_as_of_join_null_feature_ts_never_matches(spark):
+    """A feature row with a null timestamp must not leak into labels
+    (parity with the rank twin's isNotNull guard)."""
+    from pyspark.sql import functions as F
+
+    from engine.query import as_of_join_rank
+
+    labels = spark.createDataFrame(
+        [(1, 100, 1.0)], "key int, label_ts int, y double"
+    ).withColumn("label_ts", F.col("label_ts").cast("timestamp"))
+    feats = spark.createDataFrame(
+        [(1, None, 9.0), (1, 50, 5.0)], "key int, feat_ts int, x double"
+    ).withColumn("feat_ts", F.col("feat_ts").cast("timestamp"))
+    kw = dict(keys=["key"], label_ts="label_ts", feature_ts="feat_ts")
+    got = as_of_join(labels, feats, **kw).toPandas()
+    want = as_of_join_rank(labels, feats, **kw).toPandas()
+    assert got["x"].tolist() == [5.0] == want["x"].tolist()

@@ -640,3 +640,32 @@ def test_replay_guard_disjoint_raises_overlap_warns(spark, tables, tmp_path):
     strict = ParquetLedgerSink(str(tmp_path / "sink"), strict_replay=True)
     with pytest.raises(RuntimeError):
         strict.write_batch(both, 0)
+
+
+def test_upsert_resolution_crosses_batch_id_namespaces(spark, tables, store, tmp_path):
+    """'Newest commit wins' must follow commit TIME, not raw batch id:
+    stream micro-batch ids (from 0) and batch-insert ids (from 2^40) are
+    different namespaces, and a stream upsert committed AFTER a batch insert
+    must supersede it."""
+    import time as _time
+
+    from engine.store import SaveMode
+
+    df = tables["region"].select("r_regionkey", "r_name")
+    fg = store.get_or_create_stream_feature_group(
+        "region_ns", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df, mode=SaveMode.UPSERT)  # batch namespace (2^40)
+    _time.sleep(0.01)
+    # later stream upsert with LOWER raw batch ids but newer commit time
+    newer = df.withColumn("r_name", F.upper("r_name"))
+    src_dir = str(tmp_path / "ns_src")
+    newer.write.parquet(src_dir)
+    stream = spark.readStream.schema(newer.schema).parquet(src_dir)
+    store.insert_stream(
+        fg, stream, str(tmp_path / "ns_ckpt"), await_termination=True,
+        mode=SaveMode.UPSERT,
+    )
+    got = store.read(spark, fg).toPandas()
+    assert len(got) == df.count()
+    assert got["r_name"].str.isupper().all()  # the newer stream commit won
