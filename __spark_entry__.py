@@ -442,6 +442,49 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_feature_view_query(spark, sf_dir):
+    """Persisted feature view: save (name, version, labels, query DTO) to the
+    store, reload through a FRESH store handle, run the reconstructed query
+    (flink/FeatureView.java:44-155; DTO shape flink/constructor/Query.java:
+    79-94). Covers select + equi-join + filter-tree serialization."""
+    import tempfile
+
+    from engine.query import FeatureRef
+    from engine.store import FeatureStore
+
+    root = tempfile.mkdtemp(prefix="entry_fv_")
+    store = FeatureStore(root)
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    fg_o = store.get_or_create_stream_feature_group(
+        "orders_fv", df=orders, primary_key=["o_orderkey"]
+    )
+    fg_c = store.get_or_create_stream_feature_group(
+        "cust_fv", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg_o, orders)
+    store.insert(fg_c, cust)
+    q = (
+        fg_o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(
+            fg_c.select(["c_custkey", "c_mktsegment"]),
+            left_on=["o_custkey"], right_on=["c_custkey"], join_type="INNER",
+        )
+        .filter(FeatureRef("o_totalprice").gt(100000.0))
+    )
+    store.get_or_create_feature_view("sales", 1, query=q)
+    fv = FeatureStore(root).get_feature_view("sales")  # fresh handle
+    return fv.to_df(spark).withColumn("o_totalprice", F.round("o_totalprice", 6))
+
+
+_SQL_FEATURE_VIEW_QUERY = """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice,
+       c.c_custkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000.0
+"""
+
+
 def _q_avro_roundtrip(spark, sf_dir):
     """Avro BINARY wire codec roundtrip (pure-Python encoder byte-compatible
     with the reference's GenericDatumWriter — OnlineFeatureGroupGeneric
@@ -1255,6 +1298,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_split": _q_training_split,
         "external_fg": _q_external_fg,
         "avro_roundtrip": _q_avro_roundtrip,
+        "feature_view_query": _q_feature_view_query,
         "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
@@ -1308,6 +1352,7 @@ def oracle_sql() -> dict[str, str]:
         "training_split": _SQL_TRAINING_SPLIT,
         "external_fg": _SQL_EXTERNAL_FG,
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
+        "feature_view_query": _SQL_FEATURE_VIEW_QUERY,
         "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,

@@ -356,6 +356,96 @@ class Query:
             df = df.filter(self.filter_tree.to_column())
         return df
 
+    # -- (de)serialization --------------------------------------------------
+    # The reference ships the query client→server as a JSON DTO
+    # (``flink/constructor/Query.java:79-94`` → ``QueryConstructorApi.java:
+    # 39-60``); the same shape here makes feature views persistable.
+    def to_dict(self) -> dict:
+        """JSON-able DTO of this query. Only feature-group-backed sources
+        serialize (an attached in-memory DataFrame or appended Column
+        expressions have no durable representation — mirror of the DTO's
+        limits)."""
+        if self.feature_group is None:
+            raise ValueError(
+                "only feature-group-backed queries serialize (this one wraps "
+                "a raw DataFrame)"
+            )
+        if self.appended:
+            raise ValueError(
+                "appended Column expressions are not serializable — apply "
+                "them after deserialization"
+            )
+
+        def ftree(t):
+            if t is None:
+                return None
+            if isinstance(t, Filter):
+                return {"kind": "filter", "feature": t.feature,
+                        "condition": t.condition, "value": t.value}
+            return {"kind": "logic", "type": t.type,
+                    "left": ftree(t.left), "right": ftree(t.right)}
+
+        return {
+            "feature_group": {
+                "name": self.feature_group.name,
+                "version": self.feature_group.version,
+            },
+            "selected": self.selected,
+            "filter": ftree(self.filter_tree),
+            "as_of_ts": str(self.as_of_ts) if self.as_of_ts is not None else None,
+            "as_of_exclude": (
+                str(self.as_of_exclude) if self.as_of_exclude is not None else None
+            ),
+            "joins": [
+                {
+                    "sub_query": j.sub_query.to_dict(),
+                    "on": j.on,
+                    "left_on": j.left_on,
+                    "right_on": j.right_on,
+                    "join_type": j.join_type,
+                    "prefix": j.prefix,
+                    "broadcast_right": j.broadcast_right,
+                }
+                for j in self.joins
+            ],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, store) -> "Query":
+        """Rebuild a query DTO against a FeatureStore (group lookups by
+        name+version, exactly as the backend constructor resolves aliases)."""
+
+        def ftree(t):
+            if t is None:
+                return None
+            if t["kind"] == "filter":
+                return Filter(t["feature"], t["condition"], t["value"])
+            return FilterLogic(t["type"], ftree(t["left"]), ftree(t["right"]))
+
+        ref = d["feature_group"]
+        fg = store.get_feature_group(ref["name"], ref["version"])
+        if fg is None:
+            raise ValueError(
+                f"feature group {ref['name']}_{ref['version']} not in store"
+            )
+        q = cls.from_feature_group(fg, d.get("selected"))
+        q.filter_tree = ftree(d.get("filter"))
+        q.as_of_ts = d.get("as_of_ts")
+        q.as_of_exclude = d.get("as_of_exclude")
+        for j in d.get("joins", []):
+            q.joins.append(
+                _Join(
+                    sub_query=cls.from_dict(j["sub_query"], store),
+                    on=j["on"],
+                    left_on=j["left_on"],
+                    right_on=j["right_on"],
+                    join_type=j["join_type"],
+                    prefix=j["prefix"],
+                    broadcast_right=j.get("broadcast_right", False),
+                )
+            )
+        return q
+
     # ``query.sql()`` in the reference returns the backend-constructed SQL
     # (QueryConstructorApi); our equivalent is the Catalyst plan itself.
     def explain_string(self, spark=None, mode: str = "formatted") -> str:

@@ -355,6 +355,63 @@ class FeatureStore:
             COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
         ).drop("batch_id")
 
+    # -- feature views (flink/FeatureView.java:44-155; saved queryDTO) ------
+    def _view_path(self, name: str, version: int) -> str:
+        return os.path.join(
+            self.root, "_feature_views", f"{name.lower()}_{version}.json"
+        )
+
+    def create_feature_view(self, fv) -> None:
+        """Persist a FeatureView (name, version, labels + the query DTO the
+        reference ships to its query constructor — ``flink/constructor/
+        Query.java:79-94``). Transformation functions are Python callables
+        and are re-attached at runtime (the reference likewise stores only a
+        reference to them, ``base/TransformationFunction.java:32``)."""
+        p = self._view_path(fv.name, fv.version)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        doc = {
+            "name": fv.name,
+            "version": fv.version,
+            "labels": fv.labels,
+            "query": fv.query.to_dict(),
+            "transformation_features": sorted(fv.transformation_functions),
+        }
+        with open(p, "w") as fh:
+            json.dump(doc, fh, sort_keys=True, indent=1)
+
+    def get_feature_view(self, name: str, version: int = 1):
+        from engine.query import Query
+        from engine.views import FeatureView
+
+        p = self._view_path(name, version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            doc = json.load(fh)
+        return FeatureView(
+            doc["name"], doc["version"],
+            Query.from_dict(doc["query"], self),
+            labels=doc.get("labels", []),
+        )
+
+    def get_or_create_feature_view(self, name: str, version: int = 1,
+                                   query=None, labels=None):
+        """GET else create-and-persist (``FeatureViewEngineBase`` get-or-save
+        flow) — the entry point a reference user calls as
+        ``fs.getOrCreateFeatureView(name, version, query, labels)``."""
+        from engine.views import FeatureView
+
+        fv = self.get_feature_view(name, version)
+        if fv is not None:
+            return fv
+        if query is None:
+            raise ValueError(
+                f"feature view {name}_{version} not found and no query given"
+            )
+        fv = FeatureView(name, version, query, labels=labels or [])
+        self.create_feature_view(fv)
+        return fv
+
     # -- statistics (StatisticsConfigBase.java; FeatureGroupBase.java:97,300)
     def compute_statistics(self, fg: FeatureGroup, spark: SparkSession,
                            config=None) -> dict:

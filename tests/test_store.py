@@ -669,3 +669,59 @@ def test_upsert_resolution_crosses_batch_id_namespaces(spark, tables, store, tmp
     got = store.read(spark, fg).toPandas()
     assert len(got) == df.count()
     assert got["r_name"].str.isupper().all()  # the newer stream commit won
+
+
+# --------------------------------------------------------------------------- persisted feature views (FeatureView.java:44-155)
+def test_feature_view_persist_roundtrip(spark, tables, store, tmp_path):
+    from engine.query import FeatureRef
+    from engine.views import FeatureView
+
+    orders = tables["orders"]
+    cust = tables["customer"]
+    fg_o = store.get_or_create_stream_feature_group(
+        "orders_v", df=orders, primary_key=["o_orderkey"]
+    )
+    fg_c = store.get_or_create_stream_feature_group(
+        "cust_v", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg_o, orders)
+    store.insert(fg_c, cust)
+    q = (
+        fg_o.select(["o_orderkey", "o_custkey", "o_totalprice"])
+        .join(
+            fg_c.select(["c_custkey", "c_mktsegment"]),
+            left_on=["o_custkey"], right_on=["c_custkey"],
+            join_type="INNER", prefix="c_",
+        )
+        .filter(FeatureRef("o_totalprice").gt(1000.0))
+    )
+    fv = store.get_or_create_feature_view("sales", 1, query=q, labels=["o_totalprice"])
+    want = fv.to_df(spark).count()
+    assert want > 0
+
+    # a FRESH store handle reloads the view and produces the same frame
+    from engine.store import FeatureStore
+
+    store2 = FeatureStore(store.root)
+    fv2 = store2.get_feature_view("sales")
+    assert fv2 is not None and fv2.labels == ["o_totalprice"]
+    got = fv2.to_df(spark)
+    assert got.count() == want
+    # join prefix and filter survived serialization
+    assert "c_c_mktsegment" in [c for c in got.columns] or "c_mktsegment" in got.columns
+    X, y = fv2.training_data(spark)
+    assert "o_totalprice" not in X.columns and y is not None
+
+    # get-or-create returns the saved one without a query
+    again = store2.get_or_create_feature_view("sales")
+    assert again.version == 1
+    with pytest.raises(ValueError):
+        store2.get_or_create_feature_view("missing_view")
+
+    # raw-DataFrame-backed queries refuse to serialize, loudly
+    from engine.query import Query
+
+    with pytest.raises(ValueError):
+        store2.create_feature_view(
+            FeatureView("bad", 1, Query.from_dataframe(orders))
+        )
