@@ -442,6 +442,42 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_store_sql(spark, sf_dir):
+    """FeatureStore.sql (flink/FeatureStore.java:191): free-form SQL over
+    registered groups as temp views, with save-mode resolution applied —
+    an upsert made before the query is visible to it."""
+    import tempfile
+
+    from engine.store import FeatureStore, SaveMode
+
+    store = FeatureStore(tempfile.mkdtemp(prefix="entry_sql_"))
+    nat = _read(spark, sf_dir, "nation")
+    reg = _read(spark, sf_dir, "region")
+    fg_n = store.get_or_create_stream_feature_group(
+        "nat_q", df=nat, primary_key=["n_nationkey"]
+    )
+    fg_r = store.get_or_create_stream_feature_group(
+        "reg_q", df=reg, primary_key=["r_regionkey"]
+    )
+    store.insert(fg_n, nat)
+    store.insert(fg_r, reg)
+    store.insert(
+        fg_r, reg.withColumn("r_name", F.upper("r_name")), mode=SaveMode.UPSERT
+    )
+    return store.sql(
+        spark,
+        "SELECT r.r_name, count(*) AS n_nations FROM nat_q n "
+        "JOIN reg_q r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+    )
+
+
+_SQL_STORE_SQL = """
+SELECT upper(r.r_name) AS r_name, count(*) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
+
 def _q_feature_view_query(spark, sf_dir):
     """Persisted feature view: save (name, version, labels, query DTO) to the
     store, reload through a FRESH store handle, run the reconstructed query
@@ -1299,6 +1335,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "external_fg": _q_external_fg,
         "avro_roundtrip": _q_avro_roundtrip,
         "feature_view_query": _q_feature_view_query,
+        "store_sql": _q_store_sql,
         "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
@@ -1353,6 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "external_fg": _SQL_EXTERNAL_FG,
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "feature_view_query": _SQL_FEATURE_VIEW_QUERY,
+        "store_sql": _SQL_STORE_SQL,
         "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,

@@ -355,6 +355,34 @@ class FeatureStore:
             COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
         ).drop("batch_id")
 
+    # -- registry scan + SQL entry point ------------------------------------
+    def list_feature_groups(self) -> list[tuple[str, int]]:
+        """(name, version) of every registered group."""
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if os.path.exists(os.path.join(self.root, d, "_meta.json")):
+                name, _, ver = d.rpartition("_")
+                if name and ver.isdigit():
+                    out.append((name, int(ver)))
+        return out
+
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """``FeatureStore.sql`` (``flink/FeatureStore.java:191``): free-form
+        SQL over the store's groups. Every registered group is exposed as a
+        temp view under both ``name`` (latest version) and ``name_version``,
+        with save-mode resolution applied — Catalyst plans the query itself.
+        """
+        latest: dict[str, int] = {}
+        for name, ver in self.list_feature_groups():
+            latest[name] = max(ver, latest.get(name, 0))
+        for name, ver in self.list_feature_groups():
+            fg = self.get_feature_group(name, ver)
+            df = self.read(spark, fg, with_commit_ts=False)
+            df.createOrReplaceTempView(f"{name}_{ver}")
+            if latest[name] == ver:
+                df.createOrReplaceTempView(name)
+        return spark.sql(query)
+
     # -- feature views (flink/FeatureView.java:44-155; saved queryDTO) ------
     def _view_path(self, name: str, version: int) -> str:
         return os.path.join(
@@ -393,6 +421,19 @@ class FeatureStore:
             Query.from_dict(doc["query"], self),
             labels=doc.get("labels", []),
         )
+
+    def delete_feature_view(self, name: str, version: int = 1) -> None:
+        """``FeatureView.delete`` (``flink/FeatureView.java:157-166``)."""
+        p = self._view_path(name, version)
+        if not os.path.exists(p):
+            raise ValueError(f"feature view {name}_{version} not found")
+        os.remove(p)
+
+    def update_feature_view(self, fv) -> None:
+        """``FeatureView.update`` (:168): overwrite the saved DTO."""
+        if not os.path.exists(self._view_path(fv.name, fv.version)):
+            raise ValueError(f"feature view {fv.name}_{fv.version} not found")
+        self.create_feature_view(fv)
 
     def get_or_create_feature_view(self, name: str, version: int = 1,
                                    query=None, labels=None):

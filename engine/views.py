@@ -64,6 +64,60 @@ class FeatureView:
     def to_df(self, spark: SparkSession | None = None) -> DataFrame:
         return self.query.to_df(spark)
 
+    def get_batch_data(self, spark: SparkSession | None = None,
+                       start=None, end=None) -> DataFrame:
+        """``FeatureView.getBatchData`` (``flink/FeatureView.java:227-239``):
+        the PIT-bounded batch query, lowered."""
+        return self.get_batch_query(start, end).to_df(spark)
+
+    # -- serving (FeatureView.java:172-208 → engine.serving.VectorServer) --
+    def _query_leaves(self, q=None):
+        q = q or self.query
+        yield q
+        for j in q.joins:
+            yield from self._query_leaves(j.sub_query)
+
+    def init_serving(self, spark: SparkSession, store=None):
+        """``initServing`` (:172-178): build a VectorServer over the view's
+        source feature groups (resolved online tables, primary keys from
+        group metadata), with the view's transformation functions attached —
+        the Python serving path ``VectorServer.java:293-315`` defers to.
+        Returns the server; also cached on the view."""
+        from engine.serving import VectorServer
+
+        groups = []
+        for leaf in self._query_leaves():
+            fg = leaf.feature_group
+            if fg is None:
+                raise ValueError(
+                    "init_serving needs feature-group-backed query legs"
+                )
+            owner = store or getattr(fg, "_store", None)
+            df = owner.read(spark, fg, with_commit_ts=False) if owner else fg.read(spark)
+            if not fg.primary_key:
+                raise ValueError(
+                    f"group '{fg.name}' has no primary key to serve on"
+                )
+            groups.append((fg.name, df, fg.primary_key))
+        self._server = VectorServer(
+            groups, transformations=self.transformation_functions or None
+        )
+        return self._server
+
+    def get_feature_vector(self, entry: dict) -> dict:
+        """``getFeatureVector`` (:186-196); requires :meth:`init_serving`."""
+        server = getattr(self, "_server", None)
+        if server is None:
+            raise RuntimeError("call init_serving(spark[, store]) first")
+        return server.get_feature_vector(entry)
+
+    def get_feature_vectors(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
+        """``getFeatureVectors`` (:198-208); requires :meth:`init_serving`."""
+        server = getattr(self, "_server", None)
+        if server is None:
+            raise RuntimeError("call init_serving(spark[, store]) first")
+        return server.get_feature_vectors(spark, entries)
+
     # -- training data -----------------------------------------------------
     def training_data(
         self, spark: SparkSession | None = None, transform: bool = True

@@ -725,3 +725,63 @@ def test_feature_view_persist_roundtrip(spark, tables, store, tmp_path):
         store2.create_feature_view(
             FeatureView("bad", 1, Query.from_dataframe(orders))
         )
+
+
+def test_store_sql_and_view_lifecycle(spark, tables, store):
+    from engine.store import SaveMode
+
+    reg = tables["region"]
+    nat = tables["nation"]
+    fg_r = store.get_or_create_stream_feature_group(
+        "reg_sql", df=reg, primary_key=["r_regionkey"]
+    )
+    fg_n = store.get_or_create_stream_feature_group(
+        "nat_sql", df=nat, primary_key=["n_nationkey"]
+    )
+    store.insert(fg_r, reg)
+    store.insert(fg_n, nat)
+    got = store.sql(
+        spark,
+        "SELECT r.r_name, count(*) AS n FROM nat_sql n "
+        "JOIN reg_sql r ON n.n_regionkey = r.r_regionkey GROUP BY 1",
+    ).toPandas()
+    assert got["n"].sum() == nat.count()
+    # save-mode resolution applies inside sql(): upsert then re-query
+    store.insert(
+        fg_r, reg.withColumn("r_name", F.upper("r_name")), mode=SaveMode.UPSERT
+    )
+    names = store.sql(spark, "SELECT r_name FROM reg_sql").toPandas()["r_name"]
+    assert names.str.isupper().all() and len(names) == reg.count()
+
+    # view delete / update lifecycle
+    fv = store.get_or_create_feature_view(
+        "regv", 1, query=fg_r.select(["r_regionkey", "r_name"])
+    )
+    fv.labels = ["r_name"]
+    store.update_feature_view(fv)
+    assert store.get_feature_view("regv").labels == ["r_name"]
+    store.delete_feature_view("regv", 1)
+    assert store.get_feature_view("regv") is None
+    with pytest.raises(ValueError):
+        store.delete_feature_view("regv", 1)
+
+
+def test_feature_view_serving(spark, tables, store):
+    """initServing/getFeatureVector(s) on a view: resolved online tables,
+    pk from group metadata, transformations applied."""
+    from engine.transform import fit_min_max
+
+    cust = tables["customer"].select("c_custkey", "c_name", "c_acctbal")
+    fg = store.get_or_create_stream_feature_group(
+        "cust_serve", df=cust, primary_key=["c_custkey"]
+    )
+    store.insert(fg, cust)
+    fv = store.get_or_create_feature_view(
+        "custv", 1, query=fg.select(["c_custkey", "c_name", "c_acctbal"])
+    )
+    fv.attach_transformation("c_acctbal", fit_min_max(cust, "c_acctbal"))
+    fv.init_serving(spark, store)
+    v = fv.get_feature_vector({"c_custkey": 3})
+    assert v["c_custkey"] == 3 and 0.0 <= v["c_acctbal"] <= 1.0
+    batch = fv.get_feature_vectors(spark, [{"c_custkey": 3}, {"c_custkey": 4}])
+    assert batch.count() == 2
