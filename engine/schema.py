@@ -322,6 +322,65 @@ class FeatureGroup:
         keep = [f for f in self.feature_names if f not in drop]
         return Query.from_feature_group(self, keep)
 
+    def as_of(self, wallclock_time, exclude_until=None):
+        """``StreamFeatureGroup.asOf`` (``flink/StreamFeatureGroup.java:
+        153-172``): time-travel query directly off the group."""
+        return self.select_all().as_of(wallclock_time, exclude_until)
+
+    # -- avro schema surface (StreamFeatureGroup.java:186-213) -------------
+    def complex_features(self) -> list[str]:
+        """Features whose type is complex (serialized as bytes online —
+        ``getComplexFeatures``, :192-196)."""
+        return [
+            f.name
+            for f in self.features
+            if isinstance(f.dtype, (T.ArrayType, T.MapType, T.StructType))
+        ]
+
+    def avro_schema(self) -> str:
+        """``getAvroSchema`` (:186-190): the group's Avro record schema as a
+        JSON string (union[null, T] per feature, §1.3)."""
+        import json
+
+        from engine.complexio import feature_group_avro_schema
+
+        return json.dumps(feature_group_avro_schema(self), sort_keys=True)
+
+    def encoded_avro_schema(self) -> str:
+        """``getEncodedAvroSchema`` (:204-208): like :meth:`avro_schema` but
+        complex features are wire-encoded as bytes
+        (``FeatureGroupUtils.getEncodedAvroSchema``, :191-200)."""
+        import json
+
+        from engine.complexio import feature_group_avro_schema
+
+        complex_names = set(self.complex_features())
+        doc = feature_group_avro_schema(
+            FeatureGroup(
+                name=self.name, version=self.version,
+                features=[
+                    Feature(f.name, "binary" if f.name in complex_names else f.type,
+                            primary=f.primary, partition=f.partition)
+                    for f in self.features
+                ],
+                primary_key=self.primary_key, partition_key=self.partition_key,
+                event_time=self.event_time,
+            )
+        )
+        return json.dumps(doc, sort_keys=True)
+
+    def feature_avro_schema(self, name: str) -> str:
+        """``getFeatureAvroSchema`` (:198-202): one feature's union schema."""
+        import json
+
+        from engine.complexio import feature_group_avro_schema
+
+        f = self.get_feature(name)
+        doc = feature_group_avro_schema(
+            FeatureGroup(name=self.name, version=self.version, features=[f])
+        )
+        return json.dumps(doc["fields"][0]["type"], sort_keys=True)
+
     def get_feature(self, name: str) -> Feature:
         name = name.lower()
         for f in self.features:

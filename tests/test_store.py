@@ -785,3 +785,32 @@ def test_feature_view_serving(spark, tables, store):
     assert v["c_custkey"] == 3 and 0.0 <= v["c_acctbal"] <= 1.0
     batch = fv.get_feature_vectors(spark, [{"c_custkey": 3}, {"c_custkey": 4}])
     assert batch.count() == 2
+
+
+def test_fg_avro_schema_surface_and_as_of(spark, tables, store):
+    """StreamFeatureGroup.java:153-213: asOf off the group, avro schema
+    accessors, complex-feature detection."""
+    import json as _json
+    import time as _time
+
+    df = tables["embeddings"]  # vec_id bigint, embedding array<float>, label
+    fg = store.get_or_create_stream_feature_group(
+        "emb_avro", df=df, primary_key=["vec_id"]
+    )
+    assert fg.complex_features() == ["embedding"]
+    sch = _json.loads(fg.avro_schema())
+    by_name = {f["name"]: f["type"] for f in sch["fields"]}
+    assert by_name["vec_id"] == ["null", "long"]
+    assert by_name["embedding"][1]["type"] == "array"
+    enc = _json.loads(fg.encoded_avro_schema())
+    enc_by = {f["name"]: f["type"] for f in enc["fields"]}
+    assert enc_by["embedding"] == ["null", "bytes"]  # complex → wire bytes
+    assert _json.loads(fg.feature_avro_schema("vec_id")) == ["null", "long"]
+
+    # asOf directly on the group
+    store.insert(fg, df)
+    _time.sleep(0.05)
+    mid = __import__("datetime").datetime.utcnow()
+    _time.sleep(0.05)
+    store.insert(fg, df.limit(3))
+    assert fg.as_of(mid).to_df(spark).count() == df.count()
