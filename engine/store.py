@@ -476,6 +476,25 @@ class FeatureStore:
 
         return load_latest_statistics(os.path.join(self.root, fg.table_name))
 
+    # -- incremental / CDC read (pullChanges as a continuous stream) --------
+    def stream_changes(self, spark: SparkSession, fg: FeatureGroup,
+                       checkpoint_dir: str, process_fn,
+                       await_termination: bool = False):
+        """Continuous ``pullChanges``: invoke ``process_fn(batch_df,
+        ledger_record)`` exactly once per committed batch of the group —
+        including commits made before the stream started (first run) and
+        only unseen ones after a checkpoint resume. The exactly-once
+        guarantee rides on the ledger's atomic-rename publication (see
+        ``ParquetLedgerSink.stream_committed``)."""
+        if getattr(fg, "external_source", None):
+            raise SchemaError(
+                f"{fg.table_name} is external — no commit ledger to stream"
+            )
+        return self._sink(fg).process_commits(
+            spark, checkpoint_dir, process_fn,
+            await_termination=await_termination,
+        )
+
     def commit_details(self, fg: FeatureGroup) -> list[dict]:
         """V3: the commit log (batch id, commit ts, row counts, lineage)."""
         return [

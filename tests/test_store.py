@@ -814,3 +814,30 @@ def test_fg_avro_schema_surface_and_as_of(spark, tables, store):
     _time.sleep(0.05)
     store.insert(fg, df.limit(3))
     assert fg.as_of(mid).to_df(spark).count() == df.count()
+
+
+# --------------------------------------------------------------------------- CDC stream over the commit ledger
+def test_stream_changes_exactly_once_and_resume(spark, tables, store, tmp_path):
+    """Continuous pullChanges: every committed batch delivered exactly once,
+    across a stop/restart, including commits made while the stream was down."""
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_cdc", df=df, primary_key=["r_regionkey"]
+    )
+    b0 = store.insert(fg, df)
+    b1 = store.insert(fg, df.limit(2))
+
+    seen: list[tuple[int, int]] = []
+
+    def on_batch(batch_df, rec):
+        seen.append((rec.batch_id, batch_df.count()))
+
+    ckpt = str(tmp_path / "cdc_ckpt")
+    store.stream_changes(spark, fg, ckpt, on_batch, await_termination=True)
+    assert sorted(seen) == [(b0, df.count()), (b1, 2)]
+
+    # commits made while the stream is down are picked up on resume — and
+    # previously-seen commits are NOT redelivered
+    b2 = store.insert(fg, df.limit(1))
+    store.stream_changes(spark, fg, ckpt, on_batch, await_termination=True)
+    assert sorted(seen) == [(b0, df.count()), (b1, 2), (b2, 1)]
