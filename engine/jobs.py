@@ -282,6 +282,36 @@ def cmd_backfill(args) -> dict:
     }
 
 
+def cmd_changes(args) -> dict:
+    """CDC tail of a sink table's commit ledger: print one JSON line per
+    committed batch (exactly-once across restarts via the checkpoint —
+    ``ParquetLedgerSink.stream_committed``); the CLI twin of
+    ``FeatureStore.stream_changes``."""
+    from engine.session import get_spark
+    from engine.sink import ParquetLedgerSink
+
+    spark = get_spark("changes", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    sink = ParquetLedgerSink(args.table, create=False)
+    ckpt = getattr(args, "checkpoint", None) or os.path.join(
+        args.table, "_changes_checkpoint"
+    )
+    delivered = []
+
+    def on_batch(batch_df, rec):
+        row = {"batch_id": rec.batch_id, "commit_ts_ms": rec.commit_ts_ms,
+               "row_count": rec.row_count, "mode": rec.mode,
+               "read_rows": batch_df.count()}
+        delivered.append(row)
+        print(json.dumps({"change": row}), flush=True)
+
+    sink.process_commits(spark, ckpt, on_batch, await_termination=True)
+    spark.stop()
+    return {"job": "changes", "table": args.table,
+            "n_new_commits": len(delivered),
+            "rows": sum(d["read_rows"] for d in delivered)}
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="engine.jobs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -304,6 +334,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: window_start when present, else commit order)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("changes", help="CDC tail of a sink table's commit ledger")
+    p.add_argument("--table", required=True, help="sink out dir to tail")
+    _add_common(p)
+    p.set_defaults(fn=cmd_changes)
 
     p = sub.add_parser("backfill", help="batch backfill of windowed feature groups")
     p.add_argument("--clips", required=True)
