@@ -286,20 +286,33 @@ def feature_group_avro_schema(fg) -> dict:
 def encode_rows_avro(df: DataFrame, schema: dict | str, out_col: str = "value") -> DataFrame:
     """Encode each row as one Avro-binary record (Arrow-batched pandas UDF;
     the Python-side twin of the reference's per-row GenericDatumWriter, but
-    batched). Columns must match the record schema's field names."""
+    batched). Columns must match the record schema's field names. Timestamps
+    encode as epoch MICROseconds (Avro ``timestamp-micros`` convention),
+    dates as epoch days."""
+    import numpy as np
     import pandas as pd
-    from pyspark.sql import types as T
 
     schema_obj = _json.loads(schema) if isinstance(schema, str) else schema
     names = [f["name"] for f in schema_obj["fields"]]
+
+    def _scalarize(v):
+        if isinstance(v, (list, dict, bytes, bytearray, np.ndarray)):
+            return list(v) if isinstance(v, np.ndarray) else v
+        if pd.isna(v):
+            return None
+        if isinstance(v, pd.Timestamp):
+            return v.value // 1000  # ns → µs (timestamp-micros)
+        import datetime as _dt
+
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
 
     def op(batches):
         for pdf in batches:
             vals = [
                 avro_encode_datum(
-                    {k: (None if pd.isna(v) else v) if not isinstance(v, (list, dict, bytes, bytearray)) else v
-                     for k, v in row.items()},
-                    schema_obj,
+                    {k: _scalarize(v) for k, v in row.items()}, schema_obj
                 )
                 for row in pdf[names].to_dict("records")
             ]

@@ -525,3 +525,43 @@ def test_avro_rows_roundtrip_spark(spark, tables):
     orig = df.toPandas().sort_values("r_regionkey")
     assert dec["r_regionkey"].tolist() == orig["r_regionkey"].tolist()
     assert dec["r_name"].tolist() == orig["r_name"].tolist()
+
+
+def test_avro_rows_timestamps_arrays_nulls(spark, tables):
+    """Avro row codec handles the hard cells: timestamps (epoch-µs wire
+    convention), float arrays, and nulls."""
+    from engine.complexio import (
+        decode_rows_avro,
+        encode_rows_avro,
+        feature_group_avro_schema,
+    )
+    from engine.schema import FeatureGroup
+
+    ev = tables["events"].select("event_id", "ts", "value").limit(50)
+    emb = tables["embeddings"].select("vec_id", "embedding").limit(20)
+
+    fg = FeatureGroup.from_dataframe("ev", ev, primary_key=["event_id"])
+    sch = feature_group_avro_schema(fg)
+    dec = decode_rows_avro(encode_rows_avro(ev, sch), "value", sch).toPandas()
+    orig = ev.toPandas()
+    got_us = sorted(dec["ts"])
+    want_us = sorted(orig["ts"].astype("datetime64[us]").astype("int64"))
+    assert got_us == want_us  # epoch micros on the wire
+    assert sorted(dec["event_id"]) == sorted(orig["event_id"])
+
+    fg2 = FeatureGroup.from_dataframe("em", emb, primary_key=["vec_id"])
+    sch2 = feature_group_avro_schema(fg2)
+    dec2 = decode_rows_avro(encode_rows_avro(emb, sch2), "value", sch2).toPandas()
+    a = {r["vec_id"]: list(r["embedding"]) for _, r in dec2.iterrows()}
+    b = {r["vec_id"]: [float(x) for x in r["embedding"]] for _, r in emb.toPandas().iterrows()}
+    assert set(a) == set(b)
+    for k in a:
+        assert np.allclose(a[k], b[k], rtol=1e-6)
+
+    # null cells survive the union[null, T] roundtrip
+    pdf = pd.DataFrame({"k": [1, 2], "s": ["x", None]})
+    df = spark.createDataFrame(pdf)
+    fg3 = FeatureGroup.from_dataframe("n", df, primary_key=["k"])
+    sch3 = feature_group_avro_schema(fg3)
+    dec3 = decode_rows_avro(encode_rows_avro(df, sch3), "value", sch3).toPandas()
+    assert dec3.sort_values("k")["s"].tolist()[1] is None
