@@ -442,6 +442,36 @@ FROM customer WHERE c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_ledger_changes(spark, sf_dir):
+    """Commit-ledger contents after insert + upsert (the CDC stream's source
+    of truth — engine/sink.py stream_committed): batch ids are deterministic
+    (batch namespace starts at 2^40), row counts and modes recorded per
+    commit."""
+    import tempfile
+
+    from engine.store import FeatureStore, SaveMode
+
+    store = FeatureStore(tempfile.mkdtemp(prefix="entry_cdc_"))
+    reg = _read(spark, sf_dir, "region")
+    fg = store.get_or_create_stream_feature_group(
+        "reg_cdc", df=reg, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, reg)
+    store.insert(fg, reg.limit(2), mode=SaveMode.UPSERT)
+    sink = store._sink(fg)
+    return spark.read.schema(sink.LEDGER_STREAM_DDL).json(sink.ledger_dir).select(
+        "batch_id", "row_count", "mode"
+    )
+
+
+_SQL_LEDGER_CHANGES = """
+SELECT CAST(1099511627776 AS BIGINT) AS batch_id,
+       (SELECT count(*) FROM region) AS row_count, 'append' AS mode
+UNION ALL
+SELECT CAST(1099511627777 AS BIGINT), 2, 'upsert'
+"""
+
+
 def _q_store_sql(spark, sf_dir):
     """FeatureStore.sql (flink/FeatureStore.java:191): free-form SQL over
     registered groups as temp views, with save-mode resolution applied —
@@ -1336,6 +1366,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "feature_view_query": _q_feature_view_query,
         "store_sql": _q_store_sql,
+        "ledger_changes": _q_ledger_changes,
         "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
@@ -1391,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,
         "feature_view_query": _SQL_FEATURE_VIEW_QUERY,
         "store_sql": _SQL_STORE_SQL,
+        "ledger_changes": _SQL_LEDGER_CHANGES,
         "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,

@@ -135,11 +135,14 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (near-duplicate embeddings).
+    """All pairs with cosine ≥ threshold (near-duplicate embeddings) — the
+    EXACT small-scale twin.
 
-    Plan: pre-normalize once, self-join (AQE/broadcast decides strategy for
-    small sides; at 100 TB swap the join for the LSH bucket shape above —
-    the scoring expression is shared)."""
+    Plan: pre-normalize once, inequality self-join — an O(n²) scan that is
+    only acceptable as the correctness oracle at sf0.01-ish sizes. The scale
+    path is :func:`embedding_near_dup_lsh` (banded sign-LSH bucket join +
+    exact re-score, recall ≥0.95 vs this twin asserted in tests); use that at
+    any real corpus size."""
     normed = df.select(
         F.col(id_col),
         F.col(vec_col),
