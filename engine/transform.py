@@ -95,9 +95,10 @@ def robust_scaler(p25: float, p50: float, p75: float) -> TransformationFunction:
 
 
 def label_encoder(vocabulary: list) -> TransformationFunction:
-    """Value → its index in the sorted vocabulary; unseen values → -1.
-    JVM-side via a literal map (vocabularies are small by construction)."""
-    vocab = sorted(set(vocabulary))
+    """Value → its index in the sorted vocabulary; unseen values (and nulls)
+    → -1. JVM-side via a literal map (vocabularies are small by
+    construction)."""
+    vocab = sorted(v for v in set(vocabulary) if v is not None)
     mapping = F.create_map(
         *[F.lit(x) for v, i in ((v, i) for i, v in enumerate(vocab)) for x in (v, i)]
     )
