@@ -1097,6 +1097,22 @@ def _q_audio_features(spark, sf_dir):
     )
 
 
+def _q_speech_features(spark, sf_dir):
+    """Log-mel / MFCC / autocorrelation-pitch featurization (engine/audio.py
+    extract_speech_features; pure-numpy DSP inside mapInPandas, physics
+    verified against known sine tones in tests). Synthetic binary input →
+    rows-only."""
+    from engine.audio import extract_speech_features
+
+    feats = extract_speech_features(_clips_df(spark))
+    return feats.groupBy("speaker_id").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("f0_hz"), 3).alias("avg_f0_hz"),
+        F.round(F.avg("voiced_frac"), 6).alias("avg_voiced"),
+        F.round(F.avg(F.element_at("mfcc_mean", 1)), 6).alias("avg_mfcc0"),
+    )
+
+
 def _q_clip_window_agg(spark, sf_dir):
     """The graft flagship shape: tumbling window stats per speaker over the
     audio clip stream's event time (batch twin of the streaming pipeline)."""
@@ -1389,6 +1405,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": _q_ivf_knn,
         # audio graft
         "audio_features": _q_audio_features,
+        "speech_features": _q_speech_features,
         "clip_window_agg": _q_clip_window_agg,
         # custom stateful operators (T5/J6) — executed as real streams
         "stateful_tumbling_10m": _q_stateful_tumbling_10m,

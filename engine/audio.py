@@ -292,3 +292,143 @@ def extract_audio_features_direct(
 def with_payload_size(df: DataFrame, payload_col: str = "bytes") -> DataFrame:
     """Cheap JVM-side metadata: payload byte length without any Python."""
     return df.withColumn("payload_bytes", F.length(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# Speech features: log-mel filterbank, MFCC, f0 — pure numpy, Arrow-batched
+# ---------------------------------------------------------------------------
+
+SPEECH_FEATURE_FIELDS = (
+    "logmel_mean array<double>, mfcc_mean array<double>, "
+    "mfcc_std array<double>, f0_hz double, voiced_frac double, "
+    "silence_frac double"
+)
+
+_MEL_CACHE: dict = {}
+_DCT_CACHE: dict = {}
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filterbank, HTK mel scale."""
+    key = (sr, n_fft, n_mels)
+    fb = _MEL_CACHE.get(key)
+    if fb is not None:
+        return fb
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    pts = _mel_to_hz(np.linspace(_hz_to_mel(0.0), _hz_to_mel(sr / 2.0), n_mels + 2))
+    fb = np.zeros((n_mels, freqs.size))
+    for i in range(n_mels):
+        lo, mid, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-9)
+        down = (hi - freqs) / max(hi - mid, 1e-9)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    _MEL_CACHE[key] = fb
+    return fb
+
+
+def _dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the MFCC projection)."""
+    key = (n_mfcc, n_mels)
+    m = _DCT_CACHE.get(key)
+    if m is None:
+        k = np.arange(n_mfcc)[:, None]
+        n = np.arange(n_mels)[None, :]
+        m = np.cos(np.pi * k * (2 * n + 1) / (2.0 * n_mels)) * np.sqrt(2.0 / n_mels)
+        m[0] /= np.sqrt(2.0)
+        _DCT_CACHE[key] = m
+    return m
+
+
+def _speech_one(
+    x: np.ndarray, sr: int, n_mels: int = 26, n_mfcc: int = 13,
+    fmin: float = 50.0, fmax: float = 500.0,
+) -> tuple:
+    """Per-clip speech descriptors: mean log-mel energies, MFCC mean/std
+    across frames, autocorrelation pitch (median over voiced frames),
+    voiced/silence fractions. 25 ms window / 10 ms hop like _spectral_one."""
+    win = max(64, int(0.025 * sr))
+    hop = max(32, int(0.010 * sr))
+    if x.size < win:
+        x = np.pad(x, (0, win - x.size))
+    w = _HANN_CACHE.get(win)
+    if w is None:
+        w = _HANN_CACHE[win] = np.hanning(win)
+    frames = np.lib.stride_tricks.sliding_window_view(x, win)[::hop]
+    spec = np.abs(np.fft.rfft(frames * w, axis=1)) ** 2
+    fb = _mel_filterbank(sr, win, n_mels)
+    logmel = np.log10(spec @ fb.T + 1e-10)          # (frames, n_mels)
+    mfcc = logmel @ _dct_matrix(n_mfcc, n_mels).T   # (frames, n_mfcc)
+
+    # frame-energy silence gate at -40 dB relative to the clip's peak frame
+    energy = frames.std(axis=1) + 1e-12
+    silence = energy < energy.max() * 10 ** (-40 / 20)
+
+    # pitch: frame autocorrelation peak within [fmin, fmax] lags
+    lag_lo = max(2, int(sr / fmax))
+    lag_hi = min(win - 2, int(sr / fmin))
+    f0s = []
+    step = max(1, frames.shape[0] // 50)  # cap pitch work at ~50 frames/clip
+    for i in range(0, frames.shape[0], step):
+        if silence[i]:
+            continue
+        fr = frames[i] - frames[i].mean()
+        ac = np.correlate(fr, fr, mode="full")[fr.size - 1:]
+        if ac[0] <= 0:
+            continue
+        seg = ac[lag_lo:lag_hi]
+        if not seg.size:
+            continue
+        lag = lag_lo + int(np.argmax(seg))
+        # voiced when the autocorrelation peak is strong
+        if ac[lag] / ac[0] > 0.5:
+            f0s.append(sr / lag)
+    n_checked = max(1, len(range(0, frames.shape[0], step)))
+    return (
+        [float(v) for v in logmel.mean(axis=0)],
+        [float(v) for v in mfcc.mean(axis=0)],
+        [float(v) for v in mfcc.std(axis=0)],
+        float(np.median(f0s)) if f0s else 0.0,
+        float(len(f0s) / n_checked),
+        float(np.mean(silence)),
+    )
+
+
+def extract_speech_features(
+    df: DataFrame, payload_col: str = "bytes", n_mels: int = 26, n_mfcc: int = 13
+) -> DataFrame:
+    """Log-mel / MFCC / pitch features per clip — the training-data
+    featurization a speech pipeline runs at 100 TB. Same Arrow-batched
+    ``mapInPandas`` shape as :func:`extract_audio_features`: payload bytes
+    decode inside the Python stage, passthrough columns stay JVM-side, and
+    the parquet scan projects only what is used."""
+    passthrough = [c for c in df.columns if c != payload_col]
+    out_schema = (
+        ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name != payload_col
+        )
+        + ", "
+        + SPEECH_FEATURE_FIELDS
+    )
+    cols = ["logmel_mean", "mfcc_mean", "mfcc_std", "f0_hz", "voiced_frac",
+            "silence_frac"]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _speech_one(decode_payload(b, c, s), int(s), n_mels, n_mfcc)
+                for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"])
+            ]
+            fcols = pd.DataFrame(feats, columns=cols, index=pdf.index)
+            yield pd.concat([pdf[passthrough], fcols], axis=1)
+
+    return df.mapInPandas(op, schema=out_schema)
