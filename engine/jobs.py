@@ -64,8 +64,15 @@ def cmd_pipeline(args) -> dict:
     ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
 
     def extractor(sdf):
-        from engine.audio import extract_audio_features, extract_audio_features_direct
+        from engine.audio import (
+            extract_audio_features,
+            extract_audio_features_direct,
+            extract_speech_features,
+        )
 
+        if args.features == "speech":
+            # mel/MFCC/pitch featurization (bytes ride the stream frame)
+            return extract_speech_features(sdf)
         fe = extract_audio_features_direct if args.payload_direct else extract_audio_features
         return fe(sdf, spectral=(args.features == "spectral"))
 
@@ -88,7 +95,7 @@ def cmd_pipeline(args) -> dict:
         if args.decode:
             # end-to-end flagship: vectorized PCM decode feeds the aggregate
             src = extractor(src)
-            args.value = "rms"
+            args.value = "f0_hz" if args.features == "speech" else "rms"
         if not args.stateful:
             src = src.withWatermark("event_ts", args.watermark)
         if args.stateful:
@@ -373,7 +380,7 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--decode", action="store_true",
                            help="decode PCM (vectorized) and aggregate rms "
                                 "instead of the metadata dur_ms column")
-            p.add_argument("--features", choices=("basic", "spectral"),
+            p.add_argument("--features", choices=("basic", "spectral", "speech"),
                            default="basic",
                            help="acoustic feature set computed after decode")
             p.add_argument("--payload-direct", action="store_true",
