@@ -1113,6 +1113,64 @@ def _q_speech_features(spark, sf_dir):
     )
 
 
+def _q_image_features(spark, sf_dir):
+    """REAL lib-free image decode (BMP byte layout, engine/multimodal.py
+    decode_bmp) through the mapInPandas feature path; deterministic synthetic
+    input → rows-only."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.multimodal import decode_image, encode_bmp, extract_image_features
+
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {
+            "img_id": range(64),
+            "group_id": [i % 8 for i in range(64)],
+            "bytes": [
+                encode_bmp(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8))
+                for _ in range(64)
+            ],
+        }
+    )
+    feats = extract_image_features(spark.createDataFrame(pdf), decoder=decode_image)
+    return feats.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_lum"), 6).alias("avg_lum"),
+        F.max("width").alias("width"),
+        F.max("height").alias("height"),
+    )
+
+
+def _q_video_features(spark, sf_dir):
+    """REAL lib-free video decode (YUV4MPEG2, engine/multimodal.py decode_y4m)
+    with frame sampling + motion proxy; deterministic synthetic input →
+    rows-only."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.multimodal import encode_y4m, extract_video_features
+
+    rng = np.random.default_rng(19)
+    pdf = pd.DataFrame(
+        {
+            "vid_id": range(24),
+            "group_id": [i % 4 for i in range(24)],
+            "bytes": [
+                encode_y4m(rng.integers(0, 256, (12, 16, 16), dtype=np.uint8), 6, 1)
+                for _ in range(24)
+            ],
+        }
+    )
+    feats = extract_video_features(spark.createDataFrame(pdf), every_ms=500)
+    return feats.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.round(F.avg("motion"), 6).alias("avg_motion"),
+        F.max("n_frames").alias("n_frames"),
+        F.max("fps").alias("fps"),
+    )
+
+
 def _q_clip_window_agg(spark, sf_dir):
     """The graft flagship shape: tumbling window stats per speaker over the
     audio clip stream's event time (batch twin of the streaming pipeline)."""
@@ -1406,6 +1464,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio graft
         "audio_features": _q_audio_features,
         "speech_features": _q_speech_features,
+        "image_features": _q_image_features,
+        "video_features": _q_video_features,
         "clip_window_agg": _q_clip_window_agg,
         # custom stateful operators (T5/J6) — executed as real streams
         "stateful_tumbling_10m": _q_stateful_tumbling_10m,
