@@ -122,3 +122,84 @@ def test_session_equals_interval_union(rows):
         cummax = np.maximum.accumulate(e)
         islands = 1 + int((s[1:] >= cummax[:-1]).sum())
         assert islands == (out["k"] == k).sum()
+
+
+# --------------------------------------------------------------------------- Avro binary codec properties (engine/complexio.py)
+_avro_primitive = st.sampled_from(["long", "int", "double", "float", "boolean",
+                                   "string", "bytes"])
+
+
+def _value_for(t):
+    return {
+        "long": st.integers(min_value=-(2**62), max_value=2**62),
+        "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "double": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        "float": st.floats(allow_nan=False, allow_infinity=False, width=32),
+        "boolean": st.booleans(),
+        "string": st.text(max_size=40),
+        "bytes": st.binary(max_size=40),
+    }[t]
+
+
+@st.composite
+def _record_and_schema(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    fields, rec = [], {}
+    for i in range(n):
+        t = draw(_avro_primitive)
+        shape = draw(st.sampled_from(["plain", "nullable", "array", "map"]))
+        if shape == "plain":
+            ftype = t
+            val = draw(_value_for(t))
+        elif shape == "nullable":
+            ftype = ["null", t]
+            val = draw(st.none() | _value_for(t))
+        elif shape == "array":
+            ftype = {"type": "array", "items": t}
+            val = draw(st.lists(_value_for(t), max_size=8))
+        else:
+            ftype = {"type": "map", "values": t}
+            val = draw(st.dictionaries(st.text(max_size=10), _value_for(t),
+                                       max_size=6))
+        fields.append({"name": f"f{i}", "type": ftype})
+        rec[f"f{i}"] = val
+    return rec, {"type": "record", "name": "r", "fields": fields}
+
+
+@settings(max_examples=300, deadline=None)
+@given(_record_and_schema())
+def test_avro_roundtrip_property(rs):
+    """encode∘decode = id for any record over primitives, nullable unions,
+    arrays, and maps — and float32 fields round through IEEE-754 single."""
+    rec, schema = rs
+    from engine.complexio import avro_decode_datum, avro_encode_datum
+
+    got = avro_decode_datum(avro_encode_datum(rec, schema), schema)
+    for f in schema["fields"]:
+        want, have = rec[f["name"]], got[f["name"]]
+        t = f["type"]
+        base = t[1] if isinstance(t, list) else (
+            t.get("items") or t.get("values") if isinstance(t, dict) else t
+        )
+        if base == "float":
+            if isinstance(have, list):
+                assert np.allclose(have, np.asarray(want, np.float32))
+            elif isinstance(have, dict):
+                assert set(have) == set(want)
+                for k in have:
+                    assert np.float32(want[k]) == np.float32(have[k])
+            elif want is None:
+                assert have is None
+            else:
+                assert np.float32(want) == np.float32(have)
+        else:
+            assert have == want, (f, want, have)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_avro_zigzag_roundtrip_full_range(n):
+    from engine.complexio import avro_decode_datum, avro_encode_datum
+
+    assert avro_decode_datum(avro_encode_datum(n, {"type": "long"}),
+                             {"type": "long"}) == n
