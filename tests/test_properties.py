@@ -203,3 +203,43 @@ def test_avro_zigzag_roundtrip_full_range(n):
 
     assert avro_decode_datum(avro_encode_datum(n, {"type": "long"}),
                              {"type": "long"}) == n
+
+
+# --------------------------------------------------------------------------- BMP / Y4M codec properties (engine/multimodal.py)
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_bmp_roundtrip_property(h, w, gray, seed):
+    """decode∘encode = id for any image shape, both 8-bit gray and 24-bit
+    RGB, including widths that need row padding."""
+    from engine.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w) if gray else (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=12),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_y4m_roundtrip_property(n, h2, w2, fps, seed):
+    """decode∘encode = id for any frame stack (even dims) and fps."""
+    from engine.multimodal import decode_y4m, encode_y4m
+
+    h, w = h2 * 2, w2 * 2  # C420 needs even dimensions
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    dec, got_fps = decode_y4m(encode_y4m(frames, fps, 1))
+    assert got_fps == float(fps)
+    assert dec.shape == (n, h, w)
+    if n:
+        assert np.array_equal(dec, frames)
