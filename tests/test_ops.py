@@ -615,3 +615,26 @@ def test_bmp_y4m_real_decode_over_spark(spark):
         decode_image_stub(b"\x89PNG....")
     with pytest.raises(NotImplementedError):
         sample_video_frames_stub(b"\x00\x00\x00\x18ftypmp42")
+def test_contract_plans_no_accidental_cartesian(spark):
+    """Plan-quality gate over every batch contract entry at sf0.001: no
+    CartesianProduct and no BroadcastNestedLoopJoin anywhere except the
+    explicitly-intentional brute-force kNN baseline (tiny broadcast query
+    set × corpus). Catches regressions where a refactor silently degrades a
+    bucketed join back to an all-pairs plan."""
+    import __spark_entry__ as E
+
+    allowed_bnlj = {"knn_bruteforce"}  # by design; see engine/similarity.py
+    streamed = {n for n in E.queries() if n.startswith(("stateful_", "salted_stream"))}
+    sf = "/root/testdata/sf0.001"
+    for name, fn in E.queries().items():
+        if name in streamed:
+            continue  # streaming twins execute real queries; covered elsewhere
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnlj and name != "embedding_near_dup":
+            assert "BroadcastNestedLoopJoin" not in plan, name
