@@ -100,7 +100,9 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         raw = raw[::-1]
     if bpp == 8:
         n_colors = struct.unpack_from("<I", buf, 46)[0] or 256
-        pal = np.frombuffer(buf, dtype=np.uint8, offset=54,
+        # palette sits immediately after the info header, whose size varies
+        # (40 = BITMAPINFO, 108 = V4, 124 = V5) — never at a fixed offset
+        pal = np.frombuffer(buf, dtype=np.uint8, offset=14 + size,
                             count=n_colors * 4).reshape(n_colors, 4)
         return pal[raw[:, :w], 1]  # green channel of the palette
     if bpp == 24:

@@ -309,7 +309,23 @@ class Query:
 
     # -- lowering ------------------------------------------------------------
     def _base_df(self, spark) -> DataFrame:
-        df = self.source(spark)
+        fg = self.feature_group
+        store = getattr(fg, "_store", None) if fg is not None else None
+        if (
+            self.as_of_ts is not None
+            and store is not None
+            and getattr(fg, "_df", None) is None
+        ):
+            # store-managed source with time-travel bounds: prune the LEDGER
+            # before save-mode resolution, so an as-of earlier than an
+            # overwrite/upsert sees the pre-supersession rows instead of
+            # resolving first and filtering the survivors to nothing
+            df = store.read(
+                spark, fg, as_of_ts=self.as_of_ts,
+                exclude_until=self.as_of_exclude,
+            )
+        else:
+            df = self.source(spark)
         df = df.toDF(*[c.lower() for c in df.columns])
         if self.as_of_ts is not None and COMMIT_TS_COL in df.columns:
             from engine.timeutil import parse_wallclock
@@ -385,6 +401,20 @@ class Query:
             return {"kind": "logic", "type": t.type,
                     "left": ftree(t.left), "right": ftree(t.right)}
 
+        def wallclock(v):
+            # round-trippable through parse_wallclock: datetimes become epoch
+            # millis (ints are accepted directly); ints/strings pass through.
+            # str() of a datetime/epoch-int would NOT re-parse.
+            if v is None:
+                return None
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1000)
+            return v
+
         return {
             "feature_group": {
                 "name": self.feature_group.name,
@@ -392,10 +422,8 @@ class Query:
             },
             "selected": self.selected,
             "filter": ftree(self.filter_tree),
-            "as_of_ts": str(self.as_of_ts) if self.as_of_ts is not None else None,
-            "as_of_exclude": (
-                str(self.as_of_exclude) if self.as_of_exclude is not None else None
-            ),
+            "as_of_ts": wallclock(self.as_of_ts),
+            "as_of_exclude": wallclock(self.as_of_exclude),
             "joins": [
                 {
                     "sub_query": j.sub_query.to_dict(),
@@ -511,19 +539,22 @@ def as_of_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the ENTIRE newest feature row as one struct — filling each column
+    # independently with last(ignorenulls) would stitch values from different
+    # history versions together when the newest row holds nulls (diverging
+    # from as_of_join_rank / merge_asof whole-row semantics)
+    frow = F.when(
+        F.col("_side") == 0, F.struct(*[F.col(f"_f_{c}") for c in fcols])
+    )
     filled = u.select(
-        "*",
-        *[
-            F.last(F.col(f"_f_{c}"), ignorenulls=True).over(w).alias(f"_ff_{c}")
-            for c in fcols
-        ],
+        "*", F.last(frow, ignorenulls=True).over(w).alias("_frow")
     )
     return filled.filter(F.col("_side") == 1).select(
         *[
             F.col(c) if c in keys else F.col(f"_l_{c}").alias(c)
             for c in labels.columns
         ],
-        *[F.col(f"_ff_{c}").alias(c) for c in fcols],
+        *[F.col(f"_frow._f_{c}").alias(c) for c in fcols],
     )
 
 

@@ -66,24 +66,6 @@ class VectorServer:
             order.append(F.desc("batch_id"))
         return order
 
-    def _transform_row(self, out: dict) -> dict:
-        """Apply attached transformations to a single looked-up vector via a
-        one-row local relation — the same Column expressions the batch path
-        uses, so point and batch serving can never drift apart. A point
-        lookup is already one Spark job; the extra one-row eval is local."""
-        if not self.transformations:
-            return out
-        from pyspark.sql import Row, SparkSession
-
-        cols = [k for k in self.transformations if k in out]
-        if not cols:
-            return out
-        spark = SparkSession.getActiveSession()
-        row_df = spark.createDataFrame([Row(**{c: out[c] for c in cols})])
-        for c in cols:
-            row_df = row_df.withColumn(c, self.transformations[c](F.col(c)))
-        out.update(row_df.first().asDict())
-        return out
 
     def _check_keys(self, entry: dict, pks: list[str]) -> None:
         missing = [k for k in pks if k not in entry]
@@ -111,6 +93,10 @@ class VectorServer:
                 # multi-version table: newest event/window row of the newest
                 # commit wins (not an arbitrary row within the newest batch)
                 matched = matched.orderBy(*order)
+            # transformations run inside the SAME plan the batch path uses
+            # (typed columns — a null feature value transforms to null
+            # instead of crashing local schema inference)
+            matched = self._apply_transforms_df(matched)
             rows = matched.limit(2).collect()
             if not rows:
                 raise LookupError_(f"No feature vector for {entry} in group '{name}'")
@@ -123,7 +109,7 @@ class VectorServer:
             row = rows[0].asDict()
             for k, v in row.items():
                 out.setdefault(k, v)
-        return self._transform_row(out)
+        return out
 
     def get_feature_vectors(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
         """Batch lookup: the ``IN``-tuple path (:201-268) as a broadcast join.

@@ -82,10 +82,12 @@ class ParquetLedgerSink:
         self.ledger_dir = os.path.join(out_dir, "_ledger")
         self.event_ts_col = event_ts_col
         #: strict: ANY input-file difference on replay raises. Default False:
-        #: only a fully-disjoint file set raises (the out_dir/checkpoint-
-        #: mismatch case); partial differences (source compaction/renames
-        #: between the original run and recovery) warn loudly and no-op,
-        #: which is the correct exactly-once behavior.
+        #: a replay reading a strict SUBSET of the recorded files (source
+        #: compaction/retention between run and recovery) warns loudly and
+        #: no-ops — every replayed row was already committed, so skipping is
+        #: the correct exactly-once behavior. Any NEW file (or a fully
+        #: disjoint set) still raises: that is a reused out_dir with a fresh
+        #: checkpoint, and skipping would silently drop the new rows.
         self.strict_replay = strict_replay
         if create:
             os.makedirs(self.data_dir, exist_ok=True)
@@ -121,25 +123,32 @@ class ParquetLedgerSink:
                 rec = json.load(fh)
             recorded = rec.get("lineage", {}).get("input_files")
             if recorded is not None and files and recorded != files:
-                disjoint = not (set(recorded) & set(files))
+                rec_set, now_set = set(recorded), set(files)
+                disjoint = not (rec_set & now_set)
+                has_new_files = bool(now_set - rec_set)
                 msg = (
                     f"sink {self.out_dir!r} already has batch {batch_id} from "
                     f"different input files (recorded {len(recorded)}, replay "
-                    f"{len(files)}, shared {len(set(recorded) & set(files))})"
+                    f"{len(files)}, shared {len(rec_set & now_set)})"
                 )
-                if self.strict_replay or (disjoint and recorded):
+                if self.strict_replay or disjoint or has_new_files:
                     # zero overlap = a reused out_dir with a fresh checkpoint
-                    # restarting ids at 0 — skipping would silently drop data
+                    # restarting ids at 0; NEW files beyond the recorded set =
+                    # a fresh checkpoint over a grown source — skipping either
+                    # would silently drop those rows forever
                     raise RuntimeError(
                         msg + " — reusing an output dir with a new checkpoint? "
                         "Point the query at a fresh out_dir or reuse the "
                         "original checkpoint."
                     )
-                # benign drift (compaction/renames between run and recovery):
-                # skipping the replay is the correct exactly-once behavior
+                # a strict SUBSET / renamed remainder (source compaction or
+                # retention between run and recovery): every replayed file was
+                # already committed, so skipping is the correct exactly-once
+                # behavior — but say so loudly
                 import warnings
 
-                warnings.warn(msg + "; treating as a benign replay and "
+                warnings.warn(msg + "; replay reads a subset of the committed "
+                              "input — treating as a benign replay and "
                               "skipping the batch", RuntimeWarning)
             return False
         tmp = os.path.join(self.data_dir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
@@ -162,7 +171,12 @@ class ParquetLedgerSink:
             lineage=lineage,
             mode=mode,
         )
-        ltmp = self._ledger_path(batch_id) + f".tmp-{uuid.uuid4().hex[:8]}"
+        # dot-prefixed tmp name: hidden from Spark's file listing, so the CDC
+        # ledger stream (stream_committed) can never observe a half-written
+        # record or double-read tmp + final for one commit
+        ltmp = os.path.join(
+            self.ledger_dir, f".{batch_id:020d}.json.tmp-{uuid.uuid4().hex[:8]}"
+        )
         with open(ltmp, "w") as fh:
             fh.write(rec.to_json())
         os.rename(ltmp, self._ledger_path(batch_id))

@@ -51,12 +51,17 @@ def salted_agg(
     key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
     key_names = [k if isinstance(k, str) else str(k) for k in keys]
 
-    # Deterministic under task retry: hash the *value*, never a
-    # partition-layout-dependent id (monotonically_increasing_id changes when
-    # a failed task is rescheduled onto different input splits).
-    salt = F.pmod(F.xxhash64(F.col(value_col), F.lit(17)), F.lit(n_salts)).alias(
-        "_salt"
-    )
+    # Deterministic under task retry (a retried task re-reads the same split,
+    # so spark_partition_id is stable) — and, unlike hashing the value alone,
+    # still spreads a hot key whose VALUES are low-cardinality (e.g. millions
+    # of value=0.0 rows would otherwise all land in one salt bucket). Within
+    # a partition, identical salts are harmless: map-side partial aggregation
+    # collapses them before the shuffle; cross-partition spreading is what
+    # salting must provide.
+    salt = F.pmod(
+        F.xxhash64(F.col(value_col), F.spark_partition_id(), F.lit(17)),
+        F.lit(n_salts),
+    ).alias("_salt")
     v = F.col("_v")
     sq = v * v
     if exact:
@@ -139,7 +144,12 @@ def salted_window_agg_stream(
 
     label = label or width_label(width)
     salt_src = salt_from or value_col
-    salt = F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).alias("_salt")
+    # partition id keeps low-cardinality hot-key values spreading across
+    # salts (see salted_agg); deterministic under micro-batch replay because
+    # a replayed batch re-reads the same files into the same splits
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_src), F.spark_partition_id()), F.lit(n_salts)
+    ).alias("_salt")
     partial = (
         df.select(F.window(ts_col, width).alias("window"), F.col(key_col),
                   F.col(value_col).alias("_v"), salt)
@@ -191,12 +201,17 @@ def salted_window_agg_stream(
 def repartition_salted(df: DataFrame, key: str, n_partitions: int, n_salts: int = 16) -> DataFrame:
     """T2 analogue of ``.rescale().rebalance()`` for skewed keys: spread each
     key across n_salts partitions instead of one."""
-    # Salt from a stable hash of all columns so retried tasks land rows in the
-    # same partitions (monotonically_increasing_id is layout-dependent).
+    # Salt from a stable hash of all columns + the source split id: retried
+    # tasks land rows in the same partitions (unlike
+    # monotonically_increasing_id), and fully-duplicate hot rows still spread
+    # instead of re-concentrating in one partition.
     return df.repartition(
         n_partitions,
         F.col(key),
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.spark_partition_id()),
+            F.lit(n_salts),
+        ),
     )
 
 

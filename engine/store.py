@@ -275,7 +275,8 @@ class FeatureStore:
 
     def read(self, spark: SparkSession, fg: FeatureGroup,
              with_commit_ts: bool = True, resolve: bool = True,
-             as_of_batch_id: int | None = None) -> DataFrame:
+             as_of_batch_id: int | None = None,
+             as_of_ts=None, exclude_until=None) -> DataFrame:
         """Committed rows with save-mode resolution; by default each row
         carries ``_commit_ts`` (from its batch's ledger record) so
         ``Query.as_of`` / ``pull_changes`` time travel actually bounds
@@ -284,9 +285,13 @@ class FeatureStore:
         Resolution (``resolve=True``): only batches since the latest OVERWRITE
         commit are visible; if any visible commit is an UPSERT, the newest
         visible row per primary key wins (tie-break inside a batch: event time
-        descending when the group declares one). ``as_of_batch_id`` resolves
-        against the ledger as it stood at that commit — snapshot time travel
-        across overwrites. One scan + (only when upserts exist) one shuffle on
+        descending when the group declares one). Time travel —
+        ``as_of_batch_id`` (snapshot at a commit) or ``as_of_ts`` /
+        ``exclude_until`` (wallclock commit-time bounds) — prunes the LEDGER
+        first, so resolution runs against the commits as they stood at that
+        time (an as-of before an overwrite sees the pre-overwrite rows; an
+        upserted-away row is still served for an as-of before its
+        supersession). One scan + (only when upserts exist) one shuffle on
         the primary key; the window is keyed, never per-row.
         """
         from pyspark.sql import Window
@@ -307,11 +312,37 @@ class FeatureStore:
                     f"{fg.table_name}: no commits at or before batch "
                     f"{as_of_batch_id}"
                 )
+        def _ms(wallclock) -> float:
+            from datetime import timezone
+
+            from engine.timeutil import parse_wallclock
+
+            # parse_wallclock returns a UTC-naive datetime (session tz is
+            # pinned UTC); make the epoch conversion explicit-UTC so ledger
+            # bounds never shift with the host timezone
+            return parse_wallclock(wallclock).replace(
+                tzinfo=timezone.utc
+            ).timestamp() * 1000
+
+        if as_of_ts is not None:
+            bound = _ms(as_of_ts)
+            recs = [r for r in recs if r.commit_ts_ms <= bound]
+        if exclude_until is not None:
+            lo = _ms(exclude_until)
+            recs = [r for r in recs if r.commit_ts_ms > lo]
         visible = recs
         if resolve:
-            overwrites = [r.batch_id for r in recs if r.mode == SaveMode.OVERWRITE]
+            # latest overwrite by COMMIT TIME (batch-id tie-break) — raw
+            # batch ids are not comparable across the stream (from 0) and
+            # batch-insert (from 2^40) namespaces
+            overwrites = [r for r in recs if r.mode == SaveMode.OVERWRITE]
             if overwrites:
-                visible = [r for r in recs if r.batch_id >= max(overwrites)]
+                cut = max(overwrites, key=lambda r: (r.commit_ts_ms, r.batch_id))
+                visible = [
+                    r for r in recs
+                    if (r.commit_ts_ms, r.batch_id)
+                    >= (cut.commit_ts_ms, cut.batch_id)
+                ]
         if not visible:
             # a fresh group with no commits is an empty table, not an error
             schema = fg.spark_schema()
@@ -372,10 +403,17 @@ class FeatureStore:
         temp view under both ``name`` (latest version) and ``name_version``,
         with save-mode resolution applied — Catalyst plans the query itself.
         """
+        groups = self.list_feature_groups()
         latest: dict[str, int] = {}
-        for name, ver in self.list_feature_groups():
+        for name, ver in groups:
             latest[name] = max(ver, latest.get(name, 0))
-        for name, ver in self.list_feature_groups():
+        # register lazily-resolved frames only for tables the query mentions
+        # (substring check on the lowercased text — a false positive just
+        # registers one extra lazy view, never scans data)
+        qlow = query.lower()
+        for name, ver in groups:
+            if name not in qlow:
+                continue
             fg = self.get_feature_group(name, ver)
             df = self.read(spark, fg, with_commit_ts=False)
             df.createOrReplaceTempView(f"{name}_{ver}")

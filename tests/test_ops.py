@@ -638,3 +638,23 @@ def test_contract_plans_no_accidental_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         if name not in allowed_bnlj and name != "embedding_near_dup":
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bmp_v4_header_palette_offset():
+    """Review fix: 8-bit BMPs with V4/V5 info headers (108/124 bytes) keep
+    the palette immediately after the header, not at offset 54."""
+    import struct
+
+    from engine.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+    b = bytearray(encode_bmp(img))
+    # expand the 40-byte info header to a 108-byte V4 header in place
+    extra = 108 - 40
+    b[14:18] = struct.pack("<I", 108)
+    old_off = struct.unpack_from("<I", b, 10)[0]
+    b[10:14] = struct.pack("<I", old_off + extra)
+    b[2:6] = struct.pack("<I", len(b) + extra)
+    v4 = bytes(b[: 14 + 40]) + b"\0" * extra + bytes(b[14 + 40:])
+    assert np.array_equal(decode_bmp(v4), img)

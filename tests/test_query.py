@@ -251,3 +251,25 @@ def test_as_of_join_null_feature_ts_never_matches(spark):
     got = as_of_join(labels, feats, **kw).toPandas()
     want = as_of_join_rank(labels, feats, **kw).toPandas()
     assert got["x"].tolist() == [5.0] == want["x"].tolist()
+
+
+def test_as_of_join_newest_row_nulls_not_backfilled(spark):
+    """Review fix: the as-of result is the WHOLE newest feature row — a null
+    in the newest row must not be backfilled from an older history version
+    (parity with as_of_join_rank / merge_asof row semantics)."""
+    from pyspark.sql import functions as F
+
+    from engine.query import as_of_join_rank
+
+    labels = spark.createDataFrame(
+        [(1, 3, 1.0)], "key int, label_ts int, y double"
+    ).withColumn("label_ts", F.col("label_ts").cast("timestamp"))
+    feats = spark.createDataFrame(
+        [(1, 1, 5.0, 1.0), (1, 2, None, 2.0)],
+        "key int, feat_ts int, a double, b double",
+    ).withColumn("feat_ts", F.col("feat_ts").cast("timestamp"))
+    kw = dict(keys=["key"], label_ts="label_ts", feature_ts="feat_ts")
+    got = as_of_join(labels, feats, **kw).toPandas().iloc[0]
+    want = as_of_join_rank(labels, feats, **kw).toPandas().iloc[0]
+    assert pd.isna(got["a"]) and pd.isna(want["a"])  # newest row's null kept
+    assert got["b"] == 2.0 == want["b"]

@@ -626,20 +626,27 @@ def test_replay_guard_disjoint_raises_overlap_warns(spark, tables, tmp_path):
     both = spark.read.parquet(src_a, src_b)
 
     sink = ParquetLedgerSink(str(tmp_path / "sink"))
-    assert sink.write_batch(dfa, 0) is True
+    assert sink.write_batch(both, 0) is True  # committed with {a, b} files
     # fully disjoint input files on the same batch id → out_dir mismatch
+    src_c = str(tmp_path / "c.parquet")
+    tables["region"].write.parquet(src_c)
     with pytest.raises(RuntimeError):
-        sink.write_batch(dfb, 0)
-    # partial overlap (compaction-style drift) → warn + skip, data unchanged
+        sink.write_batch(spark.read.parquet(src_c), 0)
+    # NEW files beyond the recorded set (fresh checkpoint over a grown
+    # source) would silently drop rows if skipped → must raise
+    with pytest.raises(RuntimeError):
+        sink.write_batch(spark.read.parquet(src_a, src_c), 0)
+    # strict SUBSET (source compaction/retention): every replayed row was
+    # already committed → warn + skip, data unchanged
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert sink.write_batch(both, 0) is False
+        assert sink.write_batch(dfa, 0) is False
     assert any("benign replay" in str(x.message) for x in w)
     assert sink.audit()["consistent"]
-    # strict mode restores raise-on-any-difference
+    # strict mode raises on any difference, even a subset
     strict = ParquetLedgerSink(str(tmp_path / "sink"), strict_replay=True)
     with pytest.raises(RuntimeError):
-        strict.write_batch(both, 0)
+        strict.write_batch(dfa, 0)
 
 
 def test_upsert_resolution_crosses_batch_id_namespaces(spark, tables, store, tmp_path):
@@ -841,3 +848,110 @@ def test_stream_changes_exactly_once_and_resume(spark, tables, store, tmp_path):
     b2 = store.insert(fg, df.limit(1))
     store.stream_changes(spark, fg, ckpt, on_batch, await_termination=True)
     assert sorted(seen) == [(b0, df.count()), (b1, 2), (b2, 1)]
+
+
+# --------------------------------------------------------------------------- round-2 review regressions
+def test_overwrite_visible_to_later_stream_commits(spark, tables, store, tmp_path):
+    """Review fix: stream micro-batches committed AFTER a batch OVERWRITE
+    (lower raw ids, different namespace) must stay visible — the overwrite
+    cut-off orders by commit time, not raw batch id."""
+    import time as _time
+
+    from engine.store import SaveMode
+
+    df = tables["region"].select("r_regionkey", "r_name")
+    fg = store.get_or_create_stream_feature_group(
+        "region_ow_ns", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df)
+    store.insert(fg, df.limit(2), mode=SaveMode.OVERWRITE)
+    _time.sleep(0.01)
+    src = str(tmp_path / "ow_src")
+    df.limit(3).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    store.insert_stream(fg, stream, str(tmp_path / "ow_ckpt"),
+                        await_termination=True)
+    # overwrite base (2) + post-overwrite stream rows (3)
+    assert store.read(spark, fg).count() == 5
+
+
+def test_as_of_wallclock_across_overwrite_and_upsert(spark, tables, store):
+    """Review fix: as_of(t) earlier than an overwrite/upsert returns the
+    historical snapshot — ledger pruned BEFORE save-mode resolution."""
+    import datetime as _dt
+    import time as _time
+
+    from engine.store import SaveMode
+
+    df = tables["region"].select("r_regionkey", "r_name")
+    fg = store.get_or_create_stream_feature_group(
+        "region_tt2", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df)
+    _time.sleep(0.05)
+    t_mid = _dt.datetime.utcnow()
+    _time.sleep(0.05)
+    store.insert(fg, df.limit(1), mode=SaveMode.OVERWRITE)
+
+    # current read: overwrite applied
+    assert store.read(spark, fg).count() == 1
+    # as_of before the overwrite: the full original snapshot, via Query...
+    snap = fg.as_of(t_mid).to_df(spark)
+    assert snap.count() == df.count()
+    # ...and via store.read's wallclock bound
+    assert store.read(spark, fg, as_of_ts=t_mid).count() == df.count()
+
+    # upsert variant: the superseded row is served for an as-of before it
+    fg2 = store.get_or_create_stream_feature_group(
+        "region_tt3", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg2, df)
+    _time.sleep(0.05)
+    t2 = _dt.datetime.utcnow()
+    _time.sleep(0.05)
+    store.insert(
+        fg2, df.limit(1).withColumn("r_name", F.lit("CHANGED")),
+        mode=SaveMode.UPSERT,
+    )
+    hist = fg2.as_of(t2).to_df(spark).toPandas()
+    assert "CHANGED" not in set(hist["r_name"])
+    assert len(hist) == df.count()
+
+
+def test_feature_view_as_of_roundtrips_datetime_and_epoch(spark, tables, store):
+    """Review fix: as-of bounds in the persisted query DTO round-trip for
+    datetimes and epoch-ms ints (str() of either did not re-parse)."""
+    import datetime as _dt
+    import time as _time
+
+    df = tables["region"]
+    fg = store.get_or_create_stream_feature_group(
+        "region_dto", df=df, primary_key=["r_regionkey"]
+    )
+    store.insert(fg, df)
+    _time.sleep(0.05)
+    t_mid = _dt.datetime.utcnow()
+    _time.sleep(0.05)
+    store.insert(fg, df.limit(2))
+    for bound in (t_mid, int(t_mid.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)):
+        q = fg.select_all().as_of(bound)
+        store.create_feature_view(
+            __import__("engine.views", fromlist=["FeatureView"]).FeatureView(
+                "dto_v", 1, q
+            )
+        )
+        fv = store.get_feature_view("dto_v")
+        assert fv.to_df(spark).count() == df.count()  # only the first commit
+
+
+def test_serving_transform_null_value(spark):
+    """Review fix: a NULL feature value under an attached transformation
+    serves as null instead of crashing local schema inference."""
+    from engine.serving import VectorServer
+    from engine.transform import min_max_scaler
+
+    df = spark.createDataFrame([(1, None), (2, 5.0)], "k int, v double")
+    vs = VectorServer([("g", df, ["k"])],
+                      transformations={"v": min_max_scaler(0.0, 10.0)})
+    assert vs.get_feature_vector({"k": 1})["v"] is None
+    assert abs(vs.get_feature_vector({"k": 2})["v"] - 0.5) < 1e-12
