@@ -107,6 +107,22 @@ class ParquetLedgerSink:
     def is_committed(self, batch_id: int) -> bool:
         return os.path.exists(self._ledger_path(batch_id))
 
+    @staticmethod
+    def _source_file_exists(uri: str) -> bool:
+        """Whether a recorded input file still exists at the source.
+
+        Lineage paths come from ``DataFrame.inputFiles()`` (``file:`` URIs on
+        local/FS sources). Non-file schemes (s3a, hdfs, ...) can't be probed
+        from here — report True (present), which makes the replay guard err
+        on the strict side (raise rather than silently skip)."""
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return os.path.exists(unquote(urlparse(uri).path))
+        if "://" not in uri:  # bare local path
+            return os.path.exists(uri)
+        return True
+
     def write_batch(
         self, batch_df: DataFrame, batch_id: int, mode: str = "append"
     ) -> bool:
@@ -131,25 +147,40 @@ class ParquetLedgerSink:
                     f"different input files (recorded {len(recorded)}, replay "
                     f"{len(files)}, shared {len(rec_set & now_set)})"
                 )
-                if self.strict_replay or disjoint or has_new_files:
+                # A subset replay is benign ONLY when the files missing from
+                # this replay no longer exist at the source (true retention /
+                # compaction between run and recovery). A reused out_dir with
+                # a FRESH checkpoint and different micro-batch boundaries
+                # (e.g. a smaller maxFilesPerTrigger) also reads subsets, but
+                # the missing files still exist — skipping would let the new
+                # checkpoint re-commit them under new batch ids (duplication).
+                missing_still_exist = any(
+                    self._source_file_exists(p) for p in rec_set - now_set
+                )
+                if (self.strict_replay or disjoint or has_new_files
+                        or missing_still_exist):
                     # zero overlap = a reused out_dir with a fresh checkpoint
                     # restarting ids at 0; NEW files beyond the recorded set =
-                    # a fresh checkpoint over a grown source — skipping either
-                    # would silently drop those rows forever
+                    # a fresh checkpoint over a grown source; missing-but-
+                    # still-present files = fresh checkpoint with different
+                    # batch boundaries — skipping any of these silently
+                    # drops or duplicates rows
                     raise RuntimeError(
                         msg + " — reusing an output dir with a new checkpoint? "
                         "Point the query at a fresh out_dir or reuse the "
                         "original checkpoint."
                     )
-                # a strict SUBSET / renamed remainder (source compaction or
-                # retention between run and recovery): every replayed file was
-                # already committed, so skipping is the correct exactly-once
-                # behavior — but say so loudly
+                # a strict SUBSET whose complement is gone from the source
+                # (compaction or retention between run and recovery): every
+                # replayed file was already committed, so skipping is the
+                # correct exactly-once behavior — but say so loudly
                 import warnings
 
                 warnings.warn(msg + "; replay reads a subset of the committed "
-                              "input — treating as a benign replay and "
-                              "skipping the batch", RuntimeWarning)
+                              "input and the other committed files are gone "
+                              "from the source (retention) — treating as a "
+                              "benign replay and skipping the batch",
+                              RuntimeWarning)
             return False
         tmp = os.path.join(self.data_dir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
         final = self._batch_dir(batch_id)
@@ -296,9 +327,18 @@ class ParquetLedgerSink:
 
     def process_commits(self, spark: SparkSession, checkpoint_dir: str,
                         process_fn, await_termination: bool = False):
-        """Run ``process_fn(batch_df, ledger_record_row)`` once per committed
+        """Run ``process_fn(batch_df, ledger_record_row)`` per committed
         batch, in commit order within a trigger. Resume from checkpoint picks
-        up exactly the unseen commits."""
+        up the unseen commits.
+
+        Delivery is **at-least-once per commit record**: ``foreachBatch``
+        re-runs a whole micro-batch after a mid-trigger failure, re-invoking
+        ``process_fn`` for ledger records the failed attempt already handled.
+        ``process_fn`` must therefore be idempotent keyed by
+        ``rec.batch_id`` (e.g. upsert by batch_id, or journal processed ids
+        before side effects). Exactly-once holds for the *ledger contents*
+        (each commit record is observed by exactly one successful trigger);
+        it is the callback's side effects that need the idempotency key."""
 
         def on_batch(records_df: DataFrame, _epoch: int) -> None:
             for rec in sorted(records_df.collect(), key=lambda r: r.batch_id):

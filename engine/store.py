@@ -283,9 +283,12 @@ class FeatureStore:
         store-managed tables.
 
         Resolution (``resolve=True``): only batches since the latest OVERWRITE
-        commit are visible; if any visible commit is an UPSERT, the newest
-        visible row per primary key wins (tie-break inside a batch: event time
-        descending when the group declares one). Time travel —
+        commit are visible; for each primary key that appears in at least one
+        visible UPSERT commit, the newest visible row for that key wins
+        (tie-break inside a batch: event time descending when the group
+        declares one). Keys only ever touched by APPEND commits keep all
+        their rows — duplicate-key append rows coexist, matching the
+        reference's Hudi insert-op mapping. Time travel —
         ``as_of_batch_id`` (snapshot at a commit) or ``as_of_ts`` /
         ``exclude_until`` (wallclock commit-time bounds) — prunes the LEDGER
         first, so resolution runs against the commits as they stood at that
@@ -363,8 +366,21 @@ class FeatureStore:
             batch_ids=[r.batch_id for r in visible],
             schema=fg.spark_schema() if fg.appended_features else None,
         )
-        pairs = [(r.batch_id, r.commit_ts_ms) for r in visible]
-        mapping = F.create_map(*[F.lit(x) for pair in pairs for x in pair])
+        out_cols = [c for c in df.columns if c != "batch_id"]
+        if need_batch_id:
+            # Commit metadata rides in as a tiny broadcast-joined ledger
+            # frame, NOT a literal create_map: a long-running stream commits
+            # one record per micro-batch (10^5-10^6 commits at scale) and a
+            # plan with millions of literal expressions dies in driver
+            # analysis long before data volume matters. One broadcast of
+            # O(#commits) ROWS keeps the plan size constant.
+            ledger = spark.createDataFrame(
+                [(int(r.batch_id), int(r.commit_ts_ms),
+                  1 if r.mode == SaveMode.UPSERT else 0)
+                 for r in visible],
+                "batch_id long, _commit_ms long, _is_upsert int",
+            )
+            df = df.join(F.broadcast(ledger), "batch_id")
         if has_upsert:
             # "newest commit wins" must hold across the two batch-id
             # namespaces (stream micro-batches from 0, batch inserts from
@@ -373,18 +389,26 @@ class FeatureStore:
             order = [F.desc("_commit_ms"), F.desc("batch_id")]
             if fg.event_time and fg.event_time in df.columns:
                 order.append(F.desc_nulls_last(fg.event_time))
-            df = df.withColumn("_commit_ms", mapping[F.col("batch_id")])
-            w = Window.partitionBy(*fg.primary_key).orderBy(*order)
+            # Per-KEY resolution (Hudi mapping, base/HudiOperationType
+            # .java:20-23): only keys that appear in at least one UPSERT
+            # commit collapse to their newest visible row; duplicate-key rows
+            # that arrived purely via APPEND (insert-op) commits coexist,
+            # as in the reference's Hudi tables. Residual divergence,
+            # documented: an APPEND for an already-upserted key is also
+            # collapsed into the latest-wins ranking for that key.
+            pk = Window.partitionBy(*fg.primary_key)
+            w = pk.orderBy(*order)
             df = (
                 df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_commit_ms")
+                .withColumn("_key_upserted", F.max("_is_upsert").over(pk))
+                .filter((F.col("_key_upserted") == 0) | (F.col("_rn") == 1))
             )
         if not with_commit_ts:
-            return df.drop("batch_id") if need_batch_id else df
-        return df.withColumn(
-            COMMIT_TS_COL, F.timestamp_millis(mapping[F.col("batch_id")])
-        ).drop("batch_id")
+            return df.select(*out_cols)
+        return df.select(
+            *out_cols,
+            F.timestamp_millis(F.col("_commit_ms")).alias(COMMIT_TS_COL),
+        )
 
     # -- registry scan + SQL entry point ------------------------------------
     def list_feature_groups(self) -> list[tuple[str, int]]:
@@ -519,11 +543,14 @@ class FeatureStore:
                        checkpoint_dir: str, process_fn,
                        await_termination: bool = False):
         """Continuous ``pullChanges``: invoke ``process_fn(batch_df,
-        ledger_record)`` exactly once per committed batch of the group —
-        including commits made before the stream started (first run) and
-        only unseen ones after a checkpoint resume. The exactly-once
-        guarantee rides on the ledger's atomic-rename publication (see
-        ``ParquetLedgerSink.stream_committed``)."""
+        ledger_record)`` per committed batch of the group — including
+        commits made before the stream started (first run) and only unseen
+        ones after a checkpoint resume. Each commit record is *observed* by
+        exactly one successful trigger (the ledger's atomic-rename
+        publication, see ``ParquetLedgerSink.stream_committed``), but a
+        mid-trigger failure re-runs the trigger, so ``process_fn`` side
+        effects must be idempotent keyed by ``rec.batch_id`` (see
+        ``ParquetLedgerSink.process_commits``)."""
         if getattr(fg, "external_source", None):
             raise SchemaError(
                 f"{fg.table_name} is external — no commit ledger to stream"

