@@ -526,8 +526,14 @@ def as_of_join(
     )
     # a feature row with a null timestamp can never satisfy ts <= label_ts
     # (matches the rank twin's isNotNull guard); without this filter it would
-    # sort to the partition head and leak into every label
-    f2 = features.filter(F.col(feature_ts).isNotNull()).select(
+    # sort to the partition head and leak into every label. Null JOIN KEYS
+    # are filtered too: the window partitioner groups nulls together, so a
+    # null-key label would otherwise inherit null-key feature rows — an
+    # equi-join (the rank twin) never matches nulls.
+    _valid = F.col(feature_ts).isNotNull()
+    for _k in keys:
+        _valid = _valid & F.col(_k).isNotNull()
+    f2 = features.filter(_valid).select(
         *keys,
         F.col(feature_ts).alias("_ts"),
         F.lit(0).alias("_side"),

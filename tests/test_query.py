@@ -273,3 +273,37 @@ def test_as_of_join_newest_row_nulls_not_backfilled(spark):
     want = as_of_join_rank(labels, feats, **kw).toPandas().iloc[0]
     assert pd.isna(got["a"]) and pd.isna(want["a"])  # newest row's null kept
     assert got["b"] == 2.0 == want["b"]
+
+
+def test_as_of_join_null_keys_never_match(spark):
+    """r3 ADVICE fix: null JOIN KEYS on either side must not match — the
+    window partitioner groups nulls together, but an equi-join (the rank
+    twin) never matches null keys. Feature rows with null keys are dropped;
+    a null-key label gets null features on both plans."""
+    from pyspark.sql import functions as F
+
+    from engine.query import as_of_join_rank
+
+    labels = spark.createDataFrame(
+        [(1, 100, 1.0), (None, 100, 2.0)],
+        "key int, label_ts int, y double",
+    ).withColumn("label_ts", F.col("label_ts").cast("timestamp"))
+    feats = spark.createDataFrame(
+        [(None, 50, 9.0), (1, 50, 5.0)],
+        "key int, feat_ts int, x double",
+    ).withColumn("feat_ts", F.col("feat_ts").cast("timestamp"))
+    kw = dict(keys=["key"], label_ts="label_ts", feature_ts="feat_ts")
+    got = (
+        as_of_join(labels, feats, **kw).toPandas()
+        .sort_values("y").reset_index(drop=True)
+    )
+    want = (
+        as_of_join_rank(labels, feats, **kw).toPandas()
+        .sort_values("y").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    # key=1 label matched; null-key label got NO feature
+    assert got.loc[got["y"] == 1.0, "x"].tolist() == [5.0]
+    assert got.loc[got["y"] == 2.0, "x"].isna().all()
