@@ -182,6 +182,7 @@ def minhash_dedup(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    max_band_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified (id_a, id_b, jaccard).
 
@@ -194,6 +195,15 @@ def minhash_dedup(
     a metadata-sized exchange and a 32-billion-row one.  Band hashes derive
     statically from the min columns; candidate buckets verify with exact
     Jaccard (shared-shingle join).  No O(n²) stage anywhere.
+
+    ``max_band_bucket_size`` (default 1000) is the LSH analogue of
+    ``ngram_jaccard_pairs``'s shingle-frequency cap: a single band bucket
+    holding k docs yields k² candidate pairs, and a degenerate bucket (e.g.
+    every near-empty doc hashing to one signature) turns the bucket
+    self-join quadratic. Buckets above the cap are dropped from candidate
+    generation; a true pair is lost only if EVERY one of its matching bands
+    is that hot, which at band-level collision rates means the pair was
+    indistinguishable from the background anyway. ``None`` opts out.
     """
     rows_per_band = num_perm // bands
     if rows_per_band * bands != num_perm:
@@ -227,6 +237,14 @@ def minhash_dedup(
             )
         ).alias("bv"),
     ).select("id", F.col("bv.band").alias("band"), F.col("bv.band_hash").alias("band_hash"))
+    if max_band_bucket_size is not None:
+        hot_buckets = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") > max_band_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(hot_buckets, ["band", "band_hash"], "left_anti")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -247,7 +265,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_doc_freq: int | None = None,
+    max_shingle_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle (no LSH loss).
 
@@ -257,10 +275,10 @@ def ngram_jaccard_pairs(
     generation only* — the verify phase still scores surviving pairs on the
     FULL shingle sets, so reported Jaccard values are exact. A true pair is
     missed only when every one of its shared shingles is hotter than the cap,
-    which at a sane cap (say 1000) implies near-zero specificity anyway.
-    Uncapped (None) the operator is exhaustive — use that as a verify phase on
-    LSH candidates or on small corpora; set the cap for standalone all-pairs
-    runs at scale.
+    which at the default cap (1000) implies near-zero specificity anyway.
+    The cap is ON by default (r2 VERDICT: the hazardous shape must not be
+    the default); pass ``None`` to opt into the exhaustive all-pairs run —
+    e.g. as a verify phase on LSH candidates or on small corpora.
     """
     sh = shingles(df, id_col, text_col, n)
     cand_src = sh

@@ -221,11 +221,24 @@ def test_simhash_hamming3_recall_guarantee(spark):
 def test_ngram_jaccard_doc_freq_cap(spark, perturbed_docs):
     """The frequent-shingle cap prunes candidate generation without touching
     reported jaccard values; a generous cap loses nothing."""
-    full = ngram_jaccard_pairs(perturbed_docs, n=2, threshold=0.5).toPandas()
+    full = ngram_jaccard_pairs(
+        perturbed_docs, n=2, threshold=0.5, max_shingle_doc_freq=None
+    ).toPandas()
     capped = ngram_jaccard_pairs(
         perturbed_docs, n=2, threshold=0.5, max_shingle_doc_freq=50
     ).toPandas()
     assert len(capped) == len(full)  # no shingle is shared by >50 docs here
+    # r3: the cap is the DEFAULT now (r2 VERDICT #6) — default == capped-1000
+    default = ngram_jaccard_pairs(perturbed_docs, n=2, threshold=0.5).toPandas()
+    assert len(default) == len(full)
+    import inspect
+
+    from engine.dedup import minhash_dedup as _md
+
+    assert inspect.signature(ngram_jaccard_pairs).parameters[
+        "max_shingle_doc_freq"].default == 1000
+    assert inspect.signature(_md).parameters[
+        "max_band_bucket_size"].default == 1000
     # cap of 1 drops every shared shingle → no candidates at all
     none = ngram_jaccard_pairs(
         perturbed_docs, n=2, threshold=0.5, max_shingle_doc_freq=0
