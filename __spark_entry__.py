@@ -729,6 +729,55 @@ WHERE c.c_custkey BETWEEN 1 AND 50
 """
 
 
+def _q_serving_complex(spark, sf_dir):
+    """Serving-side lazy Avro decode of complex features
+    (VectorServer.java:403-420): the online table stores an array<double>
+    feature as Avro-binary bytes (per-feature union schema,
+    FeatureGroupUtils.getFeatureAvroSchema, base/engine/FeatureGroupUtils
+    .java:198-202); the batch lookup decodes it back to the typed array
+    inside the broadcast-join plan. Output projects the decoded values to
+    scalars for the oracle hash."""
+    import json
+
+    from engine.complexio import encode_feature_avro
+    from engine.serving import VectorServer
+
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 60")
+    )
+    plain = cust.withColumn(
+        "stats",
+        F.array(F.col("c_acctbal"), F.col("c_acctbal") * 0.5, F.lit(1.0)),
+    )
+    schema = json.dumps(["null", {"type": "array", "items": "double"}])
+    online = encode_feature_avro(plain, "stats", schema).drop("c_acctbal")
+    vs = VectorServer(
+        [("customer", online, ["c_custkey"])],
+        complex_features={"stats": schema},
+    )
+    out = vs.get_feature_vectors(
+        spark, [{"c_custkey": i} for i in range(1, 61)]
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.element_at("stats", 1), 6).alias("stats_0"),
+        F.round(F.element_at("stats", 2), 6).alias("stats_1"),
+        F.size("stats").alias("stats_len"),
+    )
+
+
+_SQL_SERVING_COMPLEX = """
+SELECT c_custkey, c_name,
+       round(c_acctbal, 6) AS stats_0,
+       round(c_acctbal * 0.5, 6) AS stats_1,
+       3 AS stats_len
+FROM customer WHERE c_custkey BETWEEN 1 AND 60
+"""
+
+
 # ---------------------------------------------------------------------------
 # save modes: UPSERT / OVERWRITE (base/SaveMode.java:20-24)
 # ---------------------------------------------------------------------------
@@ -1435,6 +1484,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving (S7)
         "serving_batch": _q_serving_batch,
         "serving_transformed": _q_serving_transformed,
+        "serving_complex": _q_serving_complex,
         "training_split": _q_training_split,
         "external_fg": _q_external_fg,
         "avro_roundtrip": _q_avro_roundtrip,
@@ -1494,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg": _SQL_SALTED_AGG,
         "serving_batch": _SQL_SERVING_BATCH,
         "serving_transformed": _SQL_SERVING_TRANSFORMED,
+        "serving_complex": _SQL_SERVING_COMPLEX,
         "training_split": _SQL_TRAINING_SPLIT,
         "external_fg": _SQL_EXTERNAL_FG,
         "avro_roundtrip": _SQL_AVRO_ROUNDTRIP,

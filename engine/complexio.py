@@ -321,28 +321,77 @@ def encode_rows_avro(df: DataFrame, schema: dict | str, out_col: str = "value") 
     return df.select(*names).mapInPandas(op, f"{out_col} binary")
 
 
+_AVRO_TO_DDL = {"string": "string", "int": "int", "long": "bigint",
+                "float": "float", "double": "double",
+                "boolean": "boolean", "bytes": "binary"}
+
+
+def avro_type_ddl(t) -> str:
+    """Spark DDL type for an Avro type (union[null, T] unwraps to T)."""
+    t = t[1] if isinstance(t, list) else t  # union[null, T]
+    if isinstance(t, dict) and t.get("type") == "array":
+        return f"array<{avro_type_ddl(t['items'])}>"
+    if isinstance(t, dict) and t.get("type") == "map":
+        return f"map<string,{avro_type_ddl(t['values'])}>"
+    if isinstance(t, dict):
+        t = t["type"]
+    return _AVRO_TO_DDL[t]
+
+
+def encode_feature_avro(df: DataFrame, col: str, schema: dict | str) -> DataFrame:
+    """Encode ONE complex feature column to Avro-binary bytes in place
+    (per-feature wire format, ``FeatureGroupUtils.getFeatureAvroSchema``,
+    ``base/engine/FeatureGroupUtils.java:198-202``). ``schema`` is the
+    feature's union schema, e.g. ``["null", {"type":"array","items":
+    "double"}]``. Arrow-batched; one pandas UDF, no extra shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema_obj = _json.loads(schema) if isinstance(schema, str) else schema
+
+    def enc(s):
+        def one(v):
+            if v is None:
+                return avro_encode_datum(None, schema_obj)
+            if isinstance(v, np.ndarray):
+                v = v.tolist()
+            return avro_encode_datum(v, schema_obj)
+
+        return s.map(one)
+
+    enc_udf = F.pandas_udf(enc, T.BinaryType())
+    return df.withColumn(col, enc_udf(F.col(col)))
+
+
+def decode_feature_avro_udf(schema: dict | str):
+    """Pandas UDF decoding a per-feature Avro-binary bytes column back to its
+    typed value (``VectorServer.java:403-420`` lazy-deserialize, one column).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema_obj = _json.loads(schema) if isinstance(schema, str) else schema
+    ddl = avro_type_ddl(schema_obj)
+
+    def dec(s):
+        return s.map(
+            lambda b: None if b is None else avro_decode_datum(bytes(b), schema_obj)
+        )
+
+    return F.pandas_udf(dec, ddl)
+
+
 def decode_rows_avro(df: DataFrame, col: str, schema: dict | str) -> DataFrame:
     """Decode an Avro-binary bytes column back to typed columns (the
     ``VectorServer.java:403-420`` lazy-deserialize analogue)."""
     import pandas as pd
 
     schema_obj = _json.loads(schema) if isinstance(schema, str) else schema
-    _AVRO_TO_DDL = {"string": "string", "int": "int", "long": "bigint",
-                    "float": "float", "double": "double",
-                    "boolean": "boolean", "bytes": "binary"}
-
-    def ddl_of(t):
-        t = t[1] if isinstance(t, list) else t  # union[null, T]
-        if isinstance(t, dict) and t.get("type") == "array":
-            return f"array<{ddl_of(t['items'])}>"
-        if isinstance(t, dict) and t.get("type") == "map":
-            return f"map<string,{ddl_of(t['values'])}>"
-        if isinstance(t, dict):
-            t = t["type"]
-        return _AVRO_TO_DDL[t]
 
     out_ddl = ", ".join(
-        f"{f['name']} {ddl_of(f['type'])}" for f in schema_obj["fields"]
+        f"{f['name']} {avro_type_ddl(f['type'])}" for f in schema_obj["fields"]
     )
     names = [f["name"] for f in schema_obj["fields"]]
 

@@ -24,12 +24,19 @@ class LookupError_(KeyError):
     """Mirrors VectorServer's FeatureStoreException on unknown serving keys."""
 
 
+def _norm_key(v):
+    """Normalize a primary-key value for dict lookup (numpy scalar → python)."""
+    return v.item() if hasattr(v, "item") else v
+
+
 class VectorServer:
     def __init__(
         self,
         feature_groups: list[tuple[str, DataFrame, list[str]]],
         transformations: dict | None = None,
         ts_col: str | None = None,
+        complex_features: dict | None = None,
+        snapshot_token_fn=None,
     ):
         """``feature_groups``: ordered [(name, online_df, primary_key_cols)].
         Order is preserved when stitching vectors, mirroring the TreeMap
@@ -43,12 +50,35 @@ class VectorServer:
         ``ts_col``: event/window timestamp used to order rows *within* the
         newest commit when a backfill batch carries several rows per key
         (latest timestamp wins before the ``batch_id`` tie-break).
+
+        ``complex_features``: feature name → per-feature Avro union schema
+        (JSON string or dict, as ``FeatureGroup.feature_avro_schema``
+        returns). Columns listed here are stored as Avro-binary bytes in the
+        online table and are lazily decoded back to their typed value at
+        lookup time — the ``VectorServer.java:403-420`` deserializer. Decode
+        runs BEFORE transformations, so a transformation attached to a
+        complex feature sees the typed value.
+
+        ``snapshot_token_fn``: zero-arg callable returning a hashable
+        staleness token for the online tables (e.g. the store ledger's
+        latest commit id / mtime). Point lookups answer from a driver-side
+        snapshot dict (the sandbox analogue of the reference's online KV
+        store — ``VectorServer.java:112-157`` hits RonDB via JDBC in
+        milliseconds, and a Spark job per point lookup is the wrong tool);
+        the snapshot rebuilds whenever the token changes. Without a token
+        fn the snapshot is built once and kept until
+        :meth:`invalidate_snapshots`.
         """
         self.feature_groups = feature_groups
         self.transformations = {
             k.lower(): v for k, v in (transformations or {}).items()
         }
         self.ts_col = ts_col
+        self.complex_features = {
+            k.lower(): v for k, v in (complex_features or {}).items()
+        }
+        self.snapshot_token_fn = snapshot_token_fn
+        self._snapshots: dict = {}  # name -> (token, {pk_tuple: row_dict})
         pk_sets = {tuple(pks) for _, _, pks in feature_groups}
         if len(pk_sets) > 1:
             raise ValueError(
@@ -74,12 +104,40 @@ class VectorServer:
                 f"Provided primary key map doesn't contain required keys: {missing}"
             )
 
-    def get_feature_vector(self, entry: dict) -> dict:
+    def get_feature_vector(self, entry: dict, use_snapshot: bool = True) -> dict:
         """Single lookup: primary-key map → stitched feature dict.
 
         Raises if any feature group has no row for the key
         (``VectorServer.java:137-139``).
+
+        Default path is the driver-side snapshot (millisecond dict lookup,
+        mirroring the reference's online-store JDBC boundary); pass
+        ``use_snapshot=False`` to run the lookup as a Spark job — the two
+        are row-identical (pytest-asserted parity) because the snapshot is
+        built by collecting the SAME decode+transform plan.
         """
+        if not use_snapshot:
+            return self._get_feature_vector_spark(entry)
+        out: dict = {}
+        for name, df, pks in self.feature_groups:
+            self._check_keys(entry, pks)
+            snap, ambiguous = self._snapshot(name, df, pks)
+            key = tuple(_norm_key(entry[k]) for k in pks)
+            if key in ambiguous:
+                raise LookupError_(
+                    f"key {entry} has multiple rows in group '{name}' and no "
+                    "batch_id/ts_col to order by — reduce the online table to "
+                    "one row per key (latest window/commit) before serving"
+                )
+            row = snap.get(key)
+            if row is None:
+                raise LookupError_(f"No feature vector for {entry} in group '{name}'")
+            for k, v in row.items():
+                out.setdefault(k, v)
+        return out
+
+    def _get_feature_vector_spark(self, entry: dict) -> dict:
+        """The Spark-job point lookup (semantics twin of the snapshot path)."""
         out: dict = {}
         for name, df, pks in self.feature_groups:
             self._check_keys(entry, pks)
@@ -93,10 +151,10 @@ class VectorServer:
                 # multi-version table: newest event/window row of the newest
                 # commit wins (not an arbitrary row within the newest batch)
                 matched = matched.orderBy(*order)
-            # transformations run inside the SAME plan the batch path uses
-            # (typed columns — a null feature value transforms to null
-            # instead of crashing local schema inference)
-            matched = self._apply_transforms_df(matched)
+            # complex decode then transformations run inside the SAME plan
+            # the batch path uses (typed columns — a null feature value
+            # transforms to null instead of crashing local schema inference)
+            matched = self._apply_transforms_df(self._decode_complex_df(matched))
             rows = matched.limit(2).collect()
             if not rows:
                 raise LookupError_(f"No feature vector for {entry} in group '{name}'")
@@ -110,6 +168,47 @@ class VectorServer:
             for k, v in row.items():
                 out.setdefault(k, v)
         return out
+
+    # -- driver-side snapshot (the in-sandbox "online store") ---------------
+    def invalidate_snapshots(self) -> None:
+        self._snapshots.clear()
+
+    def _snapshot(self, name: str, df: DataFrame, pks: list[str]):
+        """(mapping, ambiguous_keys) for one group; rebuilt when the
+        staleness token changes. Built by COLLECTING the same decode +
+        transform plan the Spark paths run, so values are identical by
+        construction; newest-row resolution happens driver-side with the
+        same (ts desc nulls-last, batch_id desc) order."""
+        token = self.snapshot_token_fn() if self.snapshot_token_fn else None
+        cached = self._snapshots.get(name)
+        if cached is not None and cached[0] == token:
+            return cached[1], cached[2]
+        resolved = self._apply_transforms_df(self._decode_complex_df(df))
+        rows = [r.asDict() for r in resolved.collect()]
+        order = []
+        if self.ts_col and self.ts_col in df.columns:
+            order.append(self.ts_col)
+        if "batch_id" in df.columns:
+            order.append("batch_id")
+        # stable multi-key descending sort, nulls last (desc_nulls_last)
+        for col in reversed(order):
+            rows.sort(
+                key=lambda r: (r[col] is not None,
+                               r[col] if r[col] is not None else 0),
+                reverse=True,
+            )
+        mapping: dict = {}
+        counts: dict = {}
+        for r in rows:
+            key = tuple(_norm_key(r[k]) for k in pks)
+            counts[key] = counts.get(key, 0) + 1
+            if key not in mapping:
+                mapping[key] = r
+        ambiguous = (
+            set() if order else {k for k, c in counts.items() if c > 1}
+        )
+        self._snapshots[name] = (token, mapping, ambiguous)
+        return mapping, ambiguous
 
     def get_feature_vectors(self, spark: SparkSession, entries: list[dict]) -> DataFrame:
         """Batch lookup: the ``IN``-tuple path (:201-268) as a broadcast join.
@@ -127,7 +226,7 @@ class VectorServer:
                 [tuple(e[k] for k in pks) for e in entries], pks
             ).dropDuplicates(pks)
             part = df.join(F.broadcast(keys_df), on=pks, how="inner")
-            part = self._apply_transforms_df(part)
+            part = self._apply_transforms_df(self._decode_complex_df(part))
             if out is not None:
                 # disambiguate non-key columns colliding across groups
                 # (per-group prefix, as the reference's join prefixing does)
@@ -141,6 +240,19 @@ class VectorServer:
         for c, tf in self.transformations.items():
             if c in df.columns:
                 df = df.withColumn(c, tf(F.col(c)))
+        return df
+
+    def _decode_complex_df(self, df: DataFrame) -> DataFrame:
+        """Lazily decode Avro-binary complex feature columns to their typed
+        values (``VectorServer.java:403-420``); runs before transforms so a
+        transformation attached to a complex feature sees the typed value."""
+        if not self.complex_features:
+            return df
+        from engine.complexio import decode_feature_avro_udf
+
+        for c, schema in self.complex_features.items():
+            if c in df.columns:
+                df = df.withColumn(c, decode_feature_avro_udf(schema)(F.col(c)))
         return df
 
     def check_complete(self, spark: SparkSession, entries: list[dict]) -> None:

@@ -560,6 +560,18 @@ class FeatureStore:
             await_termination=await_termination,
         )
 
+    def ledger_token(self, fg: FeatureGroup):
+        """Cheap staleness token for a group's online snapshot: the sorted
+        ledger file listing. Changes exactly when a commit lands (one
+        ``listdir``, no Spark job) — used by ``VectorServer`` to know when
+        to rebuild its driver-side point-lookup snapshot."""
+        if getattr(fg, "external_source", None):
+            return None  # external tables have no ledger; snapshot once
+        ledger = self._sink(fg).ledger_dir
+        if not os.path.isdir(ledger):
+            return ()
+        return tuple(sorted(os.listdir(ledger)))
+
     def commit_details(self, fg: FeatureGroup) -> list[dict]:
         """V3: the commit log (batch id, commit ts, row counts, lineage)."""
         return [

@@ -77,7 +77,8 @@ class FeatureView:
         for j in q.joins:
             yield from self._query_leaves(j.sub_query)
 
-    def init_serving(self, spark: SparkSession, store=None):
+    def init_serving(self, spark: SparkSession, store=None,
+                     complex_features: dict | None = None):
         """``initServing`` (:172-178): build a VectorServer over the view's
         source feature groups (resolved online tables, primary keys from
         group metadata), with the view's transformation functions attached —
@@ -86,6 +87,7 @@ class FeatureView:
         from engine.serving import VectorServer
 
         groups = []
+        token_fns = []
         for leaf in self._query_leaves():
             fg = leaf.feature_group
             if fg is None:
@@ -99,8 +101,20 @@ class FeatureView:
                     f"group '{fg.name}' has no primary key to serve on"
                 )
             groups.append((fg.name, df, fg.primary_key))
+            if owner is not None and hasattr(owner, "ledger_token"):
+                token_fns.append(
+                    (lambda o=owner, g=fg: o.ledger_token(g))
+                )
+        # staleness token for the point-lookup snapshot: the combined ledger
+        # state of every store-backed leg — a new commit to any of them
+        # rebuilds the snapshot on the next lookup (free to compute: listdir)
+        token_fn = (
+            (lambda: tuple(fn() for fn in token_fns)) if token_fns else None
+        )
         self._server = VectorServer(
-            groups, transformations=self.transformation_functions or None
+            groups, transformations=self.transformation_functions or None,
+            complex_features=complex_features,
+            snapshot_token_fn=token_fn,
         )
         return self._server
 
