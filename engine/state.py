@@ -192,6 +192,35 @@ def _result_pdf(acc: pd.DataFrame, width_ms, label, bug_compatible_stdev,
     )
 
 
+def _partial_pdf(acc: pd.DataFrame, width_ms, key_name, to_ts=_ms_ts):
+    """Accumulators → raw algebraic partials (salted mode); NaN min/max of
+    all-null-value windows become nulls via the Arrow conversion, so the
+    downstream F.min/F.max merge skips them (Spark treats NaN as a VALUE
+    that sorts greatest — emitting it would corrupt the merged max)."""
+    end = acc["start"] + width_ms if width_ms is not None else acc["end"]
+    return pd.DataFrame(
+        {
+            "window_start": to_ts(acc["start"]),
+            "window_end": to_ts(end),
+            key_name: acc["k"].reset_index(drop=True),
+            "cnt": acc["cnt"].astype("int64").reset_index(drop=True),
+            "nn": acc["nn"].astype("int64").reset_index(drop=True),
+            "sum": acc["sum"].reset_index(drop=True),
+            "sumsq": acc["sumsq"].reset_index(drop=True),
+            "mn": acc["mn"].reset_index(drop=True),
+            "mx": acc["mx"].reset_index(drop=True),
+        }
+    )
+
+
+def _partial_ddl(key_name: str, key_sql_type: str) -> str:
+    return (
+        f"window_start timestamp, window_end timestamp, "
+        f"{key_name} {key_sql_type}, cnt long, nn long, sum double, "
+        "sumsq double, mn double, mx double"
+    )
+
+
 def _out_ddl(key_name: str, key_sql_type: str, label: str) -> str:
     return (
         f"window_start timestamp, window_end timestamp, {key_name} {key_sql_type}, "
@@ -201,12 +230,31 @@ def _out_ddl(key_name: str, key_sql_type: str, label: str) -> str:
     )
 
 
-def _grouped(df: DataFrame, key_col: str, n_buckets: int | None):
+def _grouped(df: DataFrame, key_col: str, n_buckets: int | None,
+             n_salts: int | None = None, salt_from: str | None = None):
+    cols = []
     if n_buckets is None:
-        return df.groupBy(key_col)
-    return df.withColumn(
-        "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
-    ).groupBy("__bucket")
+        cols.append(key_col)
+    else:
+        df = df.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+        cols.append("__bucket")
+    if n_salts:
+        # same salt derivation as engine.skew.salted_agg: deterministic under
+        # micro-batch replay (a replayed batch re-reads the same files into
+        # the same splits) AND spreads hot keys whose salt-source values are
+        # low-cardinality, because the partition id participates
+        df = df.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(salt_from or key_col),
+                           F.spark_partition_id(), F.lit(17)),
+                F.lit(n_salts),
+            ),
+        )
+        cols.append("__salt")
+    return df.groupBy(*cols)
 
 
 def _key_meta(df: DataFrame, key_col: str) -> tuple[str, str | None]:
@@ -228,6 +276,8 @@ def stateful_window_agg(
     late_retention: str = "1 hour",
     watermark: str | None = None,
     n_buckets: int | None = None,
+    n_salts: int | None = None,
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Tumbling (``slide=None``) or sliding keyed event-time window aggregate
     with state in a custom ``applyInPandasWithState`` store.
@@ -239,6 +289,23 @@ def stateful_window_agg(
     ``n_buckets`` selects the key-coarsened state layout for high-cardinality
     keys (module docstring).  Output schema and values match
     :func:`engine.windows.tumbling_agg` / ``sliding_agg`` in append mode.
+
+    **Salted mode** (``n_salts``, r2 VERDICT #7): a hot key otherwise lands
+    every row in ONE Python invocation per micro-batch (the measured 7×
+    degradation in BENCH/PLANS.md). With ``n_salts`` the state key becomes
+    ``(key-or-bucket, salt)`` — the hot key's rows spread over up to
+    ``n_salts`` invocations, each keeping algebraic PARTIALS
+    ``(cnt, nn, Σx, Σx², min, max)`` per (key, window) — and the stream
+    emits those partials (schema: ``window_start, window_end, key, cnt, nn,
+    sum, sumsq, mn, mx``) instead of finished stats. Merge them downstream
+    with :func:`merge_window_partials` (a plain JVM-side groupBy — run it
+    inside ``foreachBatch`` before the sink, or over the sink table on
+    read). Same-trigger completeness holds by construction: every salted
+    group holding a window sets its event-time timeout at-or-before that
+    window's end, so the trigger whose watermark crosses the end fires ALL
+    of them — each micro-batch carries complete partial sets, making the
+    foreachBatch merge exactly-once-correct. ``salt_from`` defaults to the
+    value column (plus the source split id), as in ``engine.skew``.
     """
     from engine.windows import width_label
 
@@ -261,7 +328,11 @@ def stateful_window_agg(
             ts_col, f"{dur_ms(watermark) + shift_ms} milliseconds"
         )
     key_sql, key_pd = _key_meta(df, key_col)
-    out_ddl = _out_ddl(key_col, key_sql, label)
+    salted = n_salts is not None
+    out_ddl = (
+        _partial_ddl(key_col, key_sql) if salted
+        else _out_ddl(key_col, key_sql, label)
+    )
     state_ddl = (
         f"thru long, k array<{key_sql}>, start array<long>, cnt array<long>, "
         "nn array<long>, sum array<double>, sumsq array<double>, "
@@ -309,9 +380,12 @@ def stateful_window_agg(
         mature = acc["start"] + width_ms <= wm
         emitted = bool(mature.any())
         if emitted:
-            yield _result_pdf(
-                acc[mature], width_ms, label, bug_compatible_stdev, key_col
-            )
+            if salted:
+                yield _partial_pdf(acc[mature], width_ms, key_col)
+            else:
+                yield _result_pdf(
+                    acc[mature], width_ms, label, bug_compatible_stdev, key_col
+                )
         rest = acc[~mature]
         if len(rest):
             _acc_to_state(state, max(thru, wm), rest,
@@ -328,8 +402,62 @@ def stateful_window_agg(
             # retention timeout fired with no new data and nothing pending
             state.remove()
 
-    return _grouped(df, key_col, n_buckets).applyInPandasWithState(
+    return _grouped(
+        df, key_col, n_buckets, n_salts,
+        (salt_from or value_col) if salted else None,
+    ).applyInPandasWithState(
         fn, out_ddl, state_ddl, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def merge_window_partials(
+    df: DataFrame,
+    key_col: str,
+    label: str,
+    bug_compatible_stdev: bool = False,
+) -> DataFrame:
+    """Merge salted window PARTIALS (from ``stateful_window_agg(...,
+    n_salts=K)``) into final stats — the phase-2 of the chained-agg shape
+    (engine.skew.salted_window_agg_stream) applied to the custom store.
+
+    Plain JVM-side groupBy over O(keys × salts) partial rows (whole-stage
+    codegen, map-side combine); algebraic identities match
+    ``TransactionCountAggregate.merge`` (TransactionCountAggregate.java:
+    35-39). Output schema and null semantics match the unsalted store /
+    :func:`engine.windows.tumbling_agg`: avg null when no non-null values,
+    stdev null when fewer than two."""
+    m = df.groupBy("window_start", "window_end", key_col).agg(
+        F.sum("cnt").alias("_ROWS"),
+        F.sum("nn").alias("_N"),
+        F.sum("sum").alias("_S"),
+        F.sum("sumsq").alias("_S2"),
+        F.min("mn").alias("_MN"),
+        F.max("mx").alias("_MX"),
+    )
+    stdev = (
+        F.lit(0.0) if bug_compatible_stdev
+        else F.when(
+            F.col("_N") > 1,
+            F.sqrt(
+                F.greatest(
+                    (F.col("_S2") - F.col("_S") * F.col("_S") / F.col("_N"))
+                    / (F.col("_N") - 1),
+                    F.lit(0.0),
+                )
+            ),
+        )
+    )
+    return m.select(
+        "window_start",
+        "window_end",
+        key_col,
+        F.col("_ROWS").alias(f"num_trans_per_{label}"),
+        F.when(F.col("_N") > 0, F.col("_S") / F.col("_N")).alias(
+            f"avg_amt_per_{label}"
+        ),
+        stdev.alias(f"stdev_amt_per_{label}"),
+        F.col("_MN").alias(f"min_amt_per_{label}"),
+        F.col("_MX").alias(f"max_amt_per_{label}"),
     )
 
 

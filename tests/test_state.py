@@ -410,3 +410,78 @@ def test_null_keys_excluded(spark, tmp_path):
     )
     first = got[got["window_start"] == pd.Timestamp("1970-01-01")]
     assert set(first["k"]) == {1, 2}
+
+
+def test_salted_custom_store_matches_unsalted(spark, clips_dir):
+    """r3 VERDICT #7: stateful_window_agg(n_salts=K) emits algebraic
+    partials from (key, salt) state groups; merge_window_partials recombines
+    them into rows identical to the unsalted custom store (and hence the
+    built-in operator)."""
+    from engine.state import merge_window_partials
+
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    partials = _run_stream(
+        spark,
+        stateful_window_agg(
+            src, "event_ts", "speaker_id", "dur_ms", "10 minutes", n_salts=4
+        ),
+    )
+    assert set(partials.columns) == {
+        "window_start", "window_end", "speaker_id",
+        "cnt", "nn", "sum", "sumsq", "mn", "mx",
+    }
+    # the hot path spreads: at least one (key, window) appears in >1 partial
+    dup = partials.groupby(["window_start", "speaker_id"]).size()
+    assert (dup > 1).any(), "salting produced no spread at all"
+    got = merge_window_partials(
+        spark.createDataFrame(partials), "speaker_id", "10m"
+    ).toPandas()
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark,
+        stateful_window_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes"),
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_salted_custom_store_null_values_and_buckets(spark, tmp_path):
+    """Salted + bucketed layout with null values: merged output matches the
+    built-in operator (null avg/min/max windows, stdev null for n<=1)."""
+    from engine.state import merge_window_partials
+    from engine.windows import tumbling_agg as _tumb
+
+    d = str(tmp_path / "nulls")
+    pdf = pd.DataFrame(
+        {
+            "event_ts": pd.to_datetime(
+                [10, 70, 130, 190, 250, 310, 370, 430], unit="s"
+            ),
+            "speaker_id": [1, 1, 1, 1, 2, 2, 3, 3],
+            "dur_ms": [5.0, None, None, None, 7.0, 9.0, None, None],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d)
+    src = (
+        spark.readStream.schema("event_ts timestamp, speaker_id bigint, dur_ms double")
+        .parquet(d)
+        .withWatermark("event_ts", "60 seconds")
+    )
+    partials = _run_stream(
+        spark,
+        stateful_window_agg(
+            src, "event_ts", "speaker_id", "dur_ms", "1 minute",
+            n_salts=3, n_buckets=2,
+        ),
+    )
+    got = merge_window_partials(
+        spark.createDataFrame(partials), "speaker_id", "1m"
+    ).toPandas()
+    src2 = (
+        spark.readStream.schema("event_ts timestamp, speaker_id bigint, dur_ms double")
+        .parquet(d)
+        .withWatermark("event_ts", "60 seconds")
+    )
+    want = _run_stream(
+        spark, _tumb(src2, "event_ts", "speaker_id", "dur_ms", "1 minute", label="1m")
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
