@@ -1163,13 +1163,19 @@ def _q_speech_features(spark, sf_dir):
 
 
 def _q_image_features(spark, sf_dir):
-    """REAL lib-free image decode (BMP byte layout, engine/multimodal.py
-    decode_bmp) through the mapInPandas feature path; deterministic synthetic
-    input → rows-only."""
+    """REAL lib-free image decode (BMP + PNG byte layouts,
+    engine/multimodal.py decode_bmp / decode_png) through the mapInPandas
+    feature path — payloads alternate between the two formats so the entry
+    exercises both codecs; deterministic synthetic input → rows-only."""
     import numpy as np
     import pandas as pd
 
-    from engine.multimodal import decode_image, encode_bmp, extract_image_features
+    from engine.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+        extract_image_features,
+    )
 
     rng = np.random.default_rng(17)
     pdf = pd.DataFrame(
@@ -1177,8 +1183,10 @@ def _q_image_features(spark, sf_dir):
             "img_id": range(64),
             "group_id": [i % 8 for i in range(64)],
             "bytes": [
-                encode_bmp(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8))
-                for _ in range(64)
+                (encode_png if i % 2 else encode_bmp)(
+                    rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+                )
+                for i in range(64)
             ],
         }
     )

@@ -3,14 +3,14 @@
 Media payloads are opaque ``binary`` columns with typed metadata — exactly how
 the reference stores complex features as Avro-encoded ``bytes`` decoded lazily
 at serving time (``FeatureGroupUtils.java:191-200``, ``VectorServer.java:403-420``).
-Audio decode is fully implemented (:mod:`engine.audio`). For images and video
-the *uncompressed* container formats are fully implemented too — BMP (8-bit
-palette grayscale + 24-bit BGR, bottom-up, padded rows) and YUV4MPEG2 (Y4M)
-are public byte layouts decodable with plain numpy, so
-:func:`decode_image` / :func:`sample_video_frames` are REAL for those and the
-codec-compressed formats (JPEG/PNG/H.264) remain clearly-marked
-``NotImplementedError`` stubs — the external codec libraries are absent from
-this environment. The Spark-side plumbing (schema, partitioning, Arrow batch
+Audio decode is fully implemented (:mod:`engine.audio`). Image and video
+containers with public, library-free byte layouts are fully implemented too:
+BMP (8-bit palette grayscale + 24-bit BGR, bottom-up, padded rows),
+**PNG** (stdlib ``zlib`` inflate + the five scanline filters in numpy —
+8-bit gray/RGB/RGBA/gray+alpha/palette, r3), and YUV4MPEG2 (Y4M), so
+:func:`decode_image` / :func:`sample_video_frames` are REAL for those; only
+formats needing an external codec library (JPEG/H.264) remain clearly-marked
+``NotImplementedError`` stubs. The Spark-side plumbing (schema, partitioning, Arrow batch
 shape, UDF signatures) is shared by both paths.
 """
 
@@ -41,10 +41,12 @@ def with_media_metadata(df: DataFrame, payload_col: str, kind: str, mime: str) -
 
 
 def decode_image_stub(buf: bytes) -> np.ndarray:
-    """STUB: real JPEG/PNG decode requires Pillow/opencv (not in container)."""
+    """STUB: JPEG (and other DCT/wavelet codecs) require Pillow/opencv,
+    absent from this container. BMP and PNG decode are REAL (below)."""
     raise NotImplementedError(
-        "image decode requires an external codec library; "
-        "use fake_image_decoder for plumbing tests"
+        "image decode for this format requires an external codec library; "
+        "BMP and PNG are supported lib-free, or use fake_image_decoder for "
+        "plumbing tests"
     )
 
 
@@ -110,11 +112,166 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     raise NotImplementedError(f"{bpp}-bit BMP not supported")
 
 
+# -- PNG: real, lib-free image codec (stdlib zlib + numpy filters) -----------
+# Public byte layout (PNG spec, RFC 2083 / W3C PNG): 8-byte signature, then
+# length-prefixed chunks with CRC32; IDAT carries zlib-compressed scanlines,
+# each prefixed by one of five filter bytes (None/Sub/Up/Average/Paeth).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_predict(cur_raw, rec, prev, bpp: int, f: int) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes (int32 in/out)."""
+    n = len(cur_raw)
+    if f == 0:  # None
+        return cur_raw % 256
+    if f == 2:  # Up
+        return (cur_raw + prev) % 256
+    if f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] → per-lane cumsum
+        out = cur_raw.copy()
+        for lane in range(bpp):
+            out[lane::bpp] = np.cumsum(cur_raw[lane::bpp]) % 256
+        return out
+    out = np.empty(n, dtype=np.int64)
+    for x in range(n):  # Average / Paeth carry a left-pixel recurrence
+        left = out[x - bpp] if x >= bpp else 0
+        up = prev[x]
+        if f == 3:  # Average
+            out[x] = (cur_raw[x] + (left + up) // 2) % 256
+        elif f == 4:  # Paeth
+            ul = prev[x - bpp] if x >= bpp else 0
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out[x] = (cur_raw[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+    return out
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """Lib-free PNG decoder: 8-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette→RGB), 4 (gray+alpha), 6 (RGBA), all five scanline filters,
+    non-interlaced. Returns (h, w) uint8 for grayscale, (h, w, ch) otherwise.
+    """
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, bytearray(), None
+    w = h = bd = ct = inter = None
+    while pos + 8 <= len(buf):
+        ln, typ = struct.unpack_from(">I4s", buf, pos)
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bd, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise NotImplementedError("nonstandard PNG compression/filter")
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bd != 8:
+        raise NotImplementedError(f"{bd}-bit PNG not supported (8-bit only)")
+    if inter != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if ct not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {ct} not supported")
+    ch = _PNG_CHANNELS[ct]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline data size mismatch")
+    rows = raw.reshape(h, stride).astype(np.int64)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    zero = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        prev = out[y - 1].astype(np.int64) if y else zero
+        out[y] = _png_predict(rows[y, 1:], None, prev, ch, int(rows[y, 0])).astype(
+            np.uint8
+        )
+    img = out.reshape(h, w, ch)
+    if ct == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[img[:, :, 0]]
+    if ch == 1:
+        return img[:, :, 0]
+    return img
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer: 2-D uint8 → grayscale; (h, w, 2/3/4) uint8 →
+    gray+alpha / RGB / RGBA. ``filter_type`` applies one filter (0-4) to
+    every scanline — useful for generating decoder test vectors covering the
+    full filter set; 0 (None) is the production default."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    lines = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        if filter_type == 0:
+            raw = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            raw = (cur - left) % 256
+        elif filter_type == 2:
+            raw = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            raw = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            raw = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines += bytes([filter_type]) + raw.astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(buf: bytes) -> np.ndarray:
-    """Real decode for lib-free formats (BMP); compressed codecs stay
-    stubbed until a codec library is present."""
+    """Real decode for lib-free formats (BMP, PNG); JPEG and other
+    compressed codecs stay stubbed until a codec library is present."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
     return decode_image_stub(buf)
 
 

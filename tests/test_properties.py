@@ -243,3 +243,67 @@ def test_y4m_roundtrip_property(n, h2, w2, fps, seed):
     assert dec.shape == (n, h, w)
     if n:
         assert np.array_equal(dec, frames)
+
+
+# --------------------------------------------------------------------------- PNG codec properties (r3, engine/multimodal.py)
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+    st.sampled_from([1, 2, 3, 4]),  # gray, gray+alpha, RGB, RGBA
+    st.sampled_from([0, 1, 2, 3, 4]),  # all five scanline filters
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, filt, seed):
+    """decode∘encode = id for every channel count and every PNG scanline
+    filter (None/Sub/Up/Average/Paeth)."""
+    from engine.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, filter_type=filt)), img)
+
+
+def test_png_known_vectors_and_palette():
+    """Hand-checkable vectors: a 2x2 RGB gradient, a grayscale ramp, and a
+    hand-built palette (color type 3) image resolving through PLTE."""
+    import struct
+    import zlib
+
+    from engine.multimodal import _PNG_SIG, _png_chunk, decode_png, encode_png
+
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+
+    # palette image: indices 0..3 → 4 RGB colors
+    pal = np.array([[9, 8, 7], [1, 2, 3], [100, 110, 120], [250, 240, 230]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    buf = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(buf), pal[idx])
+
+    # unsupported shapes fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png")
+    bad_depth = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad_depth)
