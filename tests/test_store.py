@@ -1099,3 +1099,94 @@ def test_serving_snapshot_parity_and_invalidation(spark, store, tmp_path):
     # resolved DataFrame, so re-init to pick up the new commit's rows
     server = fv.init_serving(spark, store=store)
     assert server.get_feature_vector({"k": 1})["v"] == 9.0
+
+
+# ------------------------------------------------------------------ r3: lib-free avro OCF + tfrecord training-dataset writers
+def test_crc32c_and_tfrecord_framing_vectors():
+    """CRC32C against the published check vector; frame round-trip."""
+    from engine.datafiles import crc32c, read_tfrecord_frames, tfrecord_frame
+
+    # RFC 3720 / Castagnoli check value for "123456789"
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    buf = tfrecord_frame(b"abc") + tfrecord_frame(b"") + tfrecord_frame(b"xyz" * 100)
+    assert read_tfrecord_frames(buf) == [b"abc", b"", b"xyz" * 100]
+    # corrupting one payload byte must fail the crc
+    bad = bytearray(buf)
+    bad[13] ^= 0xFF
+    with pytest.raises(ValueError):
+        read_tfrecord_frames(bytes(bad))
+
+
+def test_avro_ocf_roundtrip_and_layout():
+    """OCF writer/reader are inverses and the header follows the spec layout
+    (magic, avro.schema + avro.codec metadata, sync-terminated blocks)."""
+    from engine.datafiles import read_avro_ocf_bytes, write_avro_ocf_bytes
+
+    schema = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "k", "type": ["null", "long"]},
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "arr", "type": ["null", {"type": "array", "items": "double"}]},
+        ],
+    }
+    rows = [
+        {"k": 1, "x": 1.5, "s": "héllo", "b": b"\x00\xff", "arr": [1.0, 2.0]},
+        {"k": None, "x": None, "s": None, "b": None, "arr": None},
+        {"k": -(2**40), "x": -0.0, "s": "", "b": b"", "arr": []},
+    ]
+    buf = write_avro_ocf_bytes(rows, schema)
+    assert buf[:4] == b"Obj\x01"
+    assert b"avro.schema" in buf[:200] and b"avro.codec" in buf[:400]
+    got, got_schema = read_avro_ocf_bytes(buf)
+    assert got == rows
+    assert got_schema == schema
+    # empty file: header only, zero blocks
+    empty, _ = read_avro_ocf_bytes(write_avro_ocf_bytes([], schema))
+    assert empty == []
+
+
+def test_training_dataset_avro_tfrecord_writers(spark, tables, tmp_path):
+    """DataFormat.AVRO / DataFormat.TFRECORD (base/DataFormat.java:5-22)
+    through write_training_dataset: distributed part files, exact (avro) /
+    float32-lossy (tfrecord) round-trips."""
+    import numpy as np
+
+    from engine.datafiles import read_avro_dataset, read_tfrecord_dataset
+    from engine.views import write_training_dataset
+
+    df = (
+        tables["customer"]
+        .select("c_custkey", "c_name", "c_acctbal")
+        .filter("c_custkey <= 40")
+        .withColumn("emb", F.array(F.col("c_acctbal"), F.lit(1.0)))
+        .repartition(3)
+    )
+    pdf = df.toPandas().sort_values("c_custkey").reset_index(drop=True)
+
+    paths = write_training_dataset({"train": df}, str(tmp_path / "tdavro"),
+                                   data_format="avro")
+    got = read_avro_dataset(paths["train"]).sort_values("c_custkey").reset_index(drop=True)
+    assert sorted(got.columns) == sorted(pdf.columns)
+    assert got["c_custkey"].tolist() == pdf["c_custkey"].tolist()
+    assert got["c_name"].tolist() == pdf["c_name"].tolist()
+    assert np.allclose(got["c_acctbal"], pdf["c_acctbal"])
+    assert [list(a) for a in got["emb"]] == [list(a) for a in pdf["emb"]]
+    # several part files (one per partition)
+    import os as _os
+
+    parts = [n for n in _os.listdir(paths["train"]) if n.endswith(".avro")]
+    assert len(parts) >= 2
+
+    paths = write_training_dataset({"train": df}, str(tmp_path / "tdtf"),
+                                   data_format="tfrecord")
+    rows = read_tfrecord_dataset(paths["train"])
+    assert len(rows) == len(pdf)
+    rows.sort(key=lambda r: r["c_custkey"][0])
+    for rec, (_, want) in zip(rows, pdf.iterrows()):
+        assert rec["c_custkey"] == [want["c_custkey"]]
+        assert rec["c_name"][0].decode() == want["c_name"]
+        assert abs(rec["c_acctbal"][0] - want["c_acctbal"]) < 1e-2  # float32
+        assert np.allclose(rec["emb"], list(want["emb"]), atol=1e-3)
