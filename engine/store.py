@@ -130,9 +130,12 @@ class FeatureStore:
         return fg
 
     #: ``base/ExternalDataFormat.java:20-27`` (+ json/jdbc for practicality;
-    #: hudi/delta/avro need runtime jars and fail with a clear reader error)
+    #: hudi/delta/avro need runtime jars and fail with a clear reader error).
+    #: ``image`` maps straight onto Spark's built-in binary image source
+    #: (DataFormat.IMAGE analogue) — columns (path, modificationTime, length,
+    #: content:binary) feed engine.multimodal's decode path.
     EXTERNAL_FORMATS = ("orc", "parquet", "avro", "csv", "hudi", "delta",
-                        "json", "jdbc")
+                        "json", "jdbc", "image", "binaryfile")
 
     def create_external_feature_group(
         self,

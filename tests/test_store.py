@@ -1190,3 +1190,35 @@ def test_training_dataset_avro_tfrecord_writers(spark, tables, tmp_path):
         assert rec["c_name"][0].decode() == want["c_name"]
         assert abs(rec["c_acctbal"][0] - want["c_acctbal"]) < 1e-2  # float32
         assert np.allclose(rec["emb"], list(want["emb"]), atol=1e-3)
+
+
+def test_external_fg_image_and_binaryfile_sources(spark, store, tmp_path):
+    """DataFormat.IMAGE analogue: external feature groups over Spark's
+    built-in image / binaryFile sources (base/ExternalDataFormat.java:20-27
+    extension). Payloads written with the lib-free PNG encoder."""
+    import numpy as np
+
+    from engine.multimodal import decode_png, encode_png
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(3):
+        (d / f"im{i}.png").write_bytes(
+            encode_png(rng.integers(0, 256, (8, 10, 3), dtype=np.uint8))
+        )
+    fg = store.create_external_feature_group(
+        "imgs_bin", spark, "binaryfile", path=str(d)
+    )
+    df = store.read(spark, fg)
+    rows = df.select("path", "content").collect()
+    assert len(rows) == 3
+    arr = decode_png(bytes(rows[0].content))
+    assert arr.shape == (8, 10, 3)
+    # spark's image source decodes PNG JVM-side into height/width/data
+    fg2 = store.create_external_feature_group(
+        "imgs_img", spark, "image", path=str(d)
+    )
+    img_df = store.read(spark, fg2)
+    first = img_df.select("image.height", "image.width").collect()
+    assert {(r.height, r.width) for r in first} == {(8, 10)}
