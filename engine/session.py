@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # r3 scaling fix (VERDICT #8): the decode stage's parallelism is the
+        # file-source partition count; at 128 MB bins a trigger's files split
+        # into barely more partitions than cores, so local[32] runs one
+        # ragged wave and idles the tail (measured 0.615 8→32 efficiency).
+        # 32 MB bins give every trigger several waves per core at both
+        # parallelism levels — same config at every leg.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # RocksDB state store: spill-to-disk keyed state, the analogue of the
         # reference's RocksDB state backend (pom.xml:161-172).
         .config(
