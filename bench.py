@@ -114,6 +114,17 @@ def bench_streaming(spark, workdir: str) -> dict:
 def main() -> None:
     from engine.session import get_spark
 
+    # adjacent hardware-capacity sample (see BENCH/BASELINE.md: this VM's
+    # co-tenant capacity swings ~2× between windows; recording the capacity
+    # next to each bench run lets round-over-round numbers be compared
+    # honestly — divide clips/sec by hw_adjacent to normalize)
+    try:
+        from scripts.hw_ceiling_probe import measure
+
+        hw_adjacent = round(max(measure(CPUS, 2.0) for _ in range(2)), 1)
+    except Exception:
+        hw_adjacent = None
+
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     workdir = tempfile.mkdtemp(prefix="bench_")
     try:
@@ -131,6 +142,7 @@ def main() -> None:
         "cpus": CPUS,
         "streaming": streaming,
         "batch_total_sec": round(sum(queries.values()), 3),
+        "hw_adjacent_iters_per_sec": hw_adjacent,
     }
     print(json.dumps(result))
 
