@@ -83,14 +83,121 @@ def decode_ulaw(buf: bytes) -> np.ndarray:
     return np.sign(y) * (np.power(1.0 + _MU, np.abs(y)) - 1.0) / _MU
 
 
+# ---------------------------------------------------------------------------
+# A-law (G.711) — the European companding twin of µ-law, fully vectorized
+# ---------------------------------------------------------------------------
+
+_ALAW_A = 87.6
+
+
+def encode_alaw(samples: np.ndarray) -> bytes:
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    ax = np.abs(x)
+    y = np.where(
+        ax < 1.0 / _ALAW_A,
+        _ALAW_A * ax / (1.0 + np.log(_ALAW_A)),
+        (1.0 + np.log(_ALAW_A * np.maximum(ax, 1.0 / _ALAW_A)))
+        / (1.0 + np.log(_ALAW_A)),
+    )
+    return np.round((np.sign(x) * y + 1.0) * 127.5).astype(np.uint8).tobytes()
+
+
+def decode_alaw(buf: bytes) -> np.ndarray:
+    y = np.frombuffer(buf, dtype=np.uint8).astype(np.float64) / 127.5 - 1.0
+    ay = np.abs(y)
+    la = 1.0 + np.log(_ALAW_A)
+    x = np.where(
+        ay < 1.0 / la,
+        ay * la / _ALAW_A,
+        np.exp(ay * la - 1.0) / _ALAW_A,
+    )
+    return np.sign(y) * x
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4) — 4 bits/sample adaptive differential PCM; the classic
+# public step-size/index tables. Decode is inherently sequential (predictor
+# feedback), so it loops per sample in Python — fine at clip granularity
+# (~10 ms per 32k-sample clip inside the Arrow batch), and honest about it.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def encode_ima_adpcm(samples: np.ndarray) -> bytes:
+    """float [-1,1] → IMA ADPCM nibbles (2 samples/byte, low nibble first)."""
+    pcm = np.round(
+        np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
+    ).astype(np.int64)
+    pred, idx = 0, 0
+    nibbles = []
+    for s in pcm:
+        step = int(_IMA_STEPS[idx])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # reconstruct exactly as the decoder will
+        delta = (step >> 3) + ((code & 1) * (step >> 2)) + (
+            ((code >> 1) & 1) * (step >> 1)) + (((code >> 2) & 1) * step)
+        pred += -delta if code & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    arr = np.asarray(nibbles, dtype=np.uint8)
+    return ((arr[1::2] << 4) | arr[0::2]).tobytes()
+
+
+def decode_ima_adpcm(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    codes = np.empty(len(b) * 2, dtype=np.int64)
+    codes[0::2] = b & 0x0F
+    codes[1::2] = b >> 4
+    pred, idx = 0, 0
+    out = np.empty(len(codes), dtype=np.float64)
+    for i, code in enumerate(codes):
+        step = int(_IMA_STEPS[idx])
+        delta = (step >> 3) + ((code & 1) * (step >> 2)) + (
+            ((code >> 1) & 1) * (step >> 1)) + (((code >> 2) & 1) * step)
+        pred += -delta if code & 8 else delta
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
+        out[i] = pred / 32767.0
+    return out
+
+
 def decode_payload(buf: bytes, codec: str, sr_hz: int) -> np.ndarray:
     """Dispatch on the codec column. Unknown codecs raise (stub boundary —
-    real compressed codecs like opus/mp3 need external libs absent here)."""
+    perceptual codecs like opus/mp3/flac need external libs absent here)."""
     if codec == "pcm_s16le":
         samples, _sr = decode_wav_pcm16(buf)
         return samples
     if codec == "ulaw":
         return decode_ulaw(buf)
+    if codec == "alaw":
+        return decode_alaw(buf)
+    if codec in ("ima_adpcm", "adpcm"):
+        return decode_ima_adpcm(buf)
     raise NotImplementedError(f"codec '{codec}' requires external decoder (stub)")
 
 
