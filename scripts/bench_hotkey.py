@@ -127,7 +127,7 @@ def main():
     def build_custom_salted(src, sink):
         partials = stateful_window_agg(
             src, "event_ts", "speaker_id", "dur_ms", "10 minutes",
-            n_buckets=max(2, CPUS // 4), n_salts=2 * CPUS,
+            n_buckets=max(2, CPUS // 2), n_salts=8,
         )
 
         def fe(batch_df, batch_id):
