@@ -93,7 +93,13 @@ def cmd_pipeline(args) -> dict:
             watermark=None,
         )
         if args.decode:
-            # end-to-end flagship: vectorized PCM decode feeds the aggregate
+            # end-to-end flagship: vectorized PCM decode feeds the aggregate.
+            # Drop columns the window pipeline never reads (transcript) BEFORE
+            # the mapInPandas stage — passthrough columns cross the Arrow
+            # boundary twice, and mapInPandas gets no Catalyst pruning.
+            # (The stream-stream join job keeps transcript; this is the
+            # window-aggregate flagship only.)
+            src = src.drop("transcript")
             src = extractor(src)
             args.value = "f0_hz" if args.features == "speech" else "rms"
         if not args.stateful:

@@ -485,3 +485,35 @@ def test_salted_custom_store_null_values_and_buckets(spark, tmp_path):
         spark, _tumb(src2, "event_ts", "speaker_id", "dur_ms", "1 minute", label="1m")
     )
     _cmp(got, want, ["window_start", "speaker_id"])
+
+
+def test_custom_store_prunes_payload_columns(spark, tmp_path):
+    """r3 plan gate: applyInPandasWithState gets no Catalyst column pruning,
+    so the operator must select (ts, key, value) itself — a payload column
+    on the input must NOT appear in the state operator's plan."""
+    d = str(tmp_path / "wide")
+    pdf = pd.DataFrame(
+        {
+            "event_ts": pd.to_datetime([10, 70], unit="s"),
+            "speaker_id": [1, 2],
+            "dur_ms": [5.0, 6.0],
+            "payload": [b"x" * 10, b"y" * 10],
+            "transcript": ["a b", "c d"],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(d)
+    src = (
+        spark.readStream.schema(
+            "event_ts timestamp, speaker_id bigint, dur_ms double, "
+            "payload binary, transcript string"
+        )
+        .parquet(d)
+        .withWatermark("event_ts", "60 seconds")
+    )
+    for agg in (
+        stateful_window_agg(src, "event_ts", "speaker_id", "dur_ms", "1 minute"),
+        stateful_session_agg(src, "event_ts", "speaker_id", "dur_ms", "30 seconds"),
+    ):
+        plan = agg._jdf.queryExecution().analyzed().toString()
+        assert "payload" not in plan, "payload column leaked into the state plan"
+        assert "transcript" not in plan
