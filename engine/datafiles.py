@@ -378,44 +378,70 @@ def parse_example(payload: bytes) -> dict:
 # Distributed writers (one file per partition, executor-side)
 # ---------------------------------------------------------------------------
 
-def _write_partitioned(df: DataFrame, path: str, ext: str, encode_pdf) -> int:
-    """Run ``encode_pdf(pdf) -> bytes`` per partition on executors, writing
-    ``part-NNNNN.<ext>``; returns total rows. The shuffle-free mapInPandas
-    keeps payload on executors — the driver sees only (file, rows) rows."""
+def _write_partitioned(df: DataFrame, path: str, ext: str,
+                       header_fn, chunk_fn) -> int:
+    """Stream each partition's Arrow batches into ``part-NNNNN.<ext>`` on the
+    executor: ``header_fn() -> bytes`` once per file, then
+    ``chunk_fn(pdf) -> bytes`` per batch — bounded memory regardless of
+    partition size (no whole-partition concat). Returns total rows; the
+    driver sees only the (file, rows) manifest."""
     os.makedirs(path, exist_ok=True)
 
     def op(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        chunks = [pdf for pdf in batches if len(pdf)]
-        n = sum(len(c) for c in chunks)
         fname = os.path.join(path, f"part-{pid:05d}.{ext}")
-        pdf = (
-            pd.concat(chunks, ignore_index=True) if chunks else None
-        )
-        if pdf is not None:
-            with open(fname, "wb") as fh:
-                fh.write(encode_pdf(pdf))
-        yield pd.DataFrame({"file": [fname if pdf is not None else None],
-                            "rows": [n]})
+        n, fh = 0, None
+        try:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if fh is None:
+                    fh = open(fname, "wb")
+                    fh.write(header_fn())
+                fh.write(chunk_fn(pdf))
+                n += len(pdf)
+        finally:
+            if fh is not None:
+                fh.close()
+        yield pd.DataFrame({"file": [fname if n else None], "rows": [n]})
 
     manifest = df.mapInPandas(op, "file string, rows long").collect()
     return int(sum(r.rows for r in manifest))
 
 
 def write_avro_dataset(df: DataFrame, path: str) -> int:
-    """Avro OCF training-dataset writer (``DataFormat.AVRO``)."""
+    """Avro OCF training-dataset writer (``DataFormat.AVRO``): one OCF per
+    partition, one container block per Arrow batch (the spec's intended
+    streaming layout)."""
+    import hashlib
+
     schema = dataframe_avro_schema(df)
+    schema_json = json.dumps(schema).encode()
+    sync = hashlib.blake2b(schema_json, digest_size=16).digest()
 
-    def enc(pdf: pd.DataFrame) -> bytes:
-        rows = [
-            {k: _scalarize(v) for k, v in rec.items()}
-            for rec in pdf.to_dict("records")
-        ]
-        return write_avro_ocf_bytes(rows, schema)
+    def header() -> bytes:
+        out = bytearray(_AVRO_MAGIC)
+        meta = [(b"avro.schema", schema_json), (b"avro.codec", b"null")]
+        out += _zigzag_long(len(meta))
+        for k, v in meta:
+            out += _zigzag_long(len(k)) + k + _zigzag_long(len(v)) + v
+        out += _zigzag_long(0)
+        out += sync
+        return bytes(out)
 
-    return _write_partitioned(df, path, "avro", enc)
+    def chunk(pdf: pd.DataFrame) -> bytes:
+        body = bytearray()
+        for rec in pdf.to_dict("records"):
+            body += avro_encode_datum(
+                {k: _scalarize(v) for k, v in rec.items()}, schema
+            )
+        return bytes(
+            _zigzag_long(len(pdf)) + _zigzag_long(len(body)) + body + sync
+        )
+
+    return _write_partitioned(df, path, "avro", header, chunk)
 
 
 def read_avro_dataset(path: str) -> pd.DataFrame:
@@ -429,15 +455,16 @@ def read_avro_dataset(path: str) -> pd.DataFrame:
 
 
 def write_tfrecord_dataset(df: DataFrame, path: str) -> int:
-    """TFRecord training-dataset writer (``DataFormat.TFRECORD``)."""
+    """TFRecord training-dataset writer (``DataFormat.TFRECORD``): frames
+    append per Arrow batch (the format has no header)."""
 
-    def enc(pdf: pd.DataFrame) -> bytes:
+    def chunk(pdf: pd.DataFrame) -> bytes:
         out = bytearray()
         for rec in pdf.to_dict("records"):
             out += tfrecord_frame(example_bytes(rec))
         return bytes(out)
 
-    return _write_partitioned(df, path, "tfrecord", enc)
+    return _write_partitioned(df, path, "tfrecord", lambda: b"", chunk)
 
 
 def read_tfrecord_dataset(path: str) -> list[dict]:
