@@ -1460,7 +1460,10 @@ _STREAM_MEMO: dict = {}
 
 def _memo_stream(name: str, fn: Callable) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, sf_dir)
+        # keyed by the session's applicationId too: the materialized memory
+        # table lives in ONE session's catalog, so a restarted/second session
+        # must re-run the stream rather than receive a dead table handle
+        key = (spark.sparkContext.applicationId, name, sf_dir)
         if key not in _STREAM_MEMO:
             _STREAM_MEMO[key] = fn(spark, sf_dir)
         return _STREAM_MEMO[key]

@@ -134,7 +134,13 @@ _IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
 
 
 def encode_ima_adpcm(samples: np.ndarray) -> bytes:
-    """float [-1,1] → IMA ADPCM nibbles (2 samples/byte, low nibble first)."""
+    """float [-1,1] → IMA ADPCM nibbles (2 samples/byte, low nibble first),
+    prefixed by a 4-byte LE sample count — the nibble stream alone cannot
+    represent an odd length (WAV stores the same fact in its ``fact``
+    chunk), and without it decode(encode(x)) would grow by one phantom
+    sample for odd inputs."""
+    import struct as _struct
+
     pcm = np.round(
         np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0) * 32767.0
     ).astype(np.int64)
@@ -165,11 +171,14 @@ def encode_ima_adpcm(samples: np.ndarray) -> bytes:
     if len(nibbles) % 2:
         nibbles.append(0)
     arr = np.asarray(nibbles, dtype=np.uint8)
-    return ((arr[1::2] << 4) | arr[0::2]).tobytes()
+    return _struct.pack("<I", len(pcm)) + ((arr[1::2] << 4) | arr[0::2]).tobytes()
 
 
 def decode_ima_adpcm(buf: bytes) -> np.ndarray:
-    b = np.frombuffer(buf, dtype=np.uint8)
+    import struct as _struct
+
+    (n_samples,) = _struct.unpack_from("<I", buf, 0)
+    b = np.frombuffer(buf, dtype=np.uint8, offset=4)
     codes = np.empty(len(b) * 2, dtype=np.int64)
     codes[0::2] = b & 0x0F
     codes[1::2] = b >> 4
@@ -183,7 +192,7 @@ def decode_ima_adpcm(buf: bytes) -> np.ndarray:
         pred = max(-32768, min(32767, pred))
         idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[code & 7])))
         out[i] = pred / 32767.0
-    return out
+    return out[:n_samples]
 
 
 def decode_payload(buf: bytes, codec: str, sr_hz: int) -> np.ndarray:

@@ -35,6 +35,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from engine.complexio import _read_zigzag  # shared Avro varint codec
+from engine.complexio import _zigzag as _zigzag_long
 from engine.complexio import avro_decode_datum, avro_encode_datum
 
 # ---------------------------------------------------------------------------
@@ -74,19 +76,6 @@ def dataframe_avro_schema(df: DataFrame, name: str = "training_row") -> dict:
     }
 
 
-def _zigzag_long(n: int) -> bytes:
-    z = (n << 1) ^ (n >> 63)
-    out = bytearray()
-    while True:
-        b = z & 0x7F
-        z >>= 7
-        if z:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
 def _scalarize(v):
     """pandas/numpy cell → plain-Python Avro datum."""
     if isinstance(v, np.ndarray):
@@ -97,13 +86,12 @@ def _scalarize(v):
         return {k: _scalarize(x) for k, x in v.items()}
     if isinstance(v, (bytes, bytearray)):
         return bytes(v)
-    if v is None:
-        return None
-    if isinstance(v, float) and v != v:  # NaN cell = SQL null
+    # v is a scalar here (containers handled above): one isna covers
+    # None, float NaN, and pd.NaT — NaT is NOT a pd.Timestamp instance,
+    # so it must be caught before the timestamp branch
+    if v is None or pd.isna(v):
         return None
     if isinstance(v, pd.Timestamp):
-        if v is pd.NaT:
-            return None
         return v.value // 1000  # ns → µs (timestamp-micros convention)
     import datetime as _dt
 
@@ -147,18 +135,6 @@ def write_avro_ocf_bytes(rows: list[dict], schema: dict | str,
             body += avro_encode_datum(r, schema_obj)
         out += _zigzag_long(len(rows)) + _zigzag_long(len(body)) + body + sync
     return bytes(out)
-
-
-def _read_zigzag(buf: bytes, pos: int) -> tuple[int, int]:
-    shift = acc = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        acc |= (b & 0x7F) << shift
-        if not b & 0x80:
-            break
-        shift += 7
-    return (acc >> 1) ^ -(acc & 1), pos
 
 
 def read_avro_ocf_bytes(buf: bytes) -> tuple[list[dict], dict]:

@@ -29,6 +29,12 @@ def _norm_key(v):
     return v.item() if hasattr(v, "item") else v
 
 
+def _resolve_df(df_or_factory) -> DataFrame:
+    """A feature group's online table may be a DataFrame or a zero-arg
+    factory (re-resolved per call so new store commits become visible)."""
+    return df_or_factory() if callable(df_or_factory) else df_or_factory
+
+
 class VectorServer:
     def __init__(
         self,
@@ -40,7 +46,12 @@ class VectorServer:
     ):
         """``feature_groups``: ordered [(name, online_df, primary_key_cols)].
         Order is preserved when stitching vectors, mirroring the TreeMap
-        iteration order of ``VectorServer.java:339-366``.
+        iteration order of ``VectorServer.java:339-366``. The ``online_df``
+        slot also accepts a ZERO-ARG CALLABLE returning the DataFrame — a
+        store-backed server must pass a factory, because a resolved
+        ``FeatureStore.read`` plan bakes in the commit list visible at build
+        time; the factory is re-invoked on every lookup/snapshot-rebuild so
+        new commits actually become visible.
 
         ``transformations``: feature name → ``TransformationFunction``
         (``base/TransformationFunctionAttached.java``) applied to served
@@ -140,6 +151,7 @@ class VectorServer:
         """The Spark-job point lookup (semantics twin of the snapshot path)."""
         out: dict = {}
         for name, df, pks in self.feature_groups:
+            df = _resolve_df(df)
             self._check_keys(entry, pks)
             cond = None
             for k in pks:
@@ -183,6 +195,9 @@ class VectorServer:
         cached = self._snapshots.get(name)
         if cached is not None and cached[0] == token:
             return cached[1], cached[2]
+        # resolve the factory only on an actual rebuild — a fresh read here
+        # is what makes commits landed after construction visible
+        df = _resolve_df(df)
         resolved = self._apply_transforms_df(self._decode_complex_df(df))
         rows = [r.asDict() for r in resolved.collect()]
         order = []
@@ -220,6 +235,7 @@ class VectorServer:
             raise LookupError_("empty key batch")
         out: DataFrame | None = None
         for name, df, pks in self.feature_groups:
+            df = _resolve_df(df)
             for e in entries:
                 self._check_keys(e, pks)
             keys_df = spark.createDataFrame(
@@ -259,6 +275,7 @@ class VectorServer:
         """Raise when any requested key is missing from any group (batch
         analogue of the single-lookup miss error)."""
         for name, df, pks in self.feature_groups:
+            df = _resolve_df(df)
             keys_df = spark.createDataFrame(
                 [tuple(e[k] for k in pks) for e in entries], pks
             ).dropDuplicates(pks)

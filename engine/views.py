@@ -95,7 +95,14 @@ class FeatureView:
                     "init_serving needs feature-group-backed query legs"
                 )
             owner = store or getattr(fg, "_store", None)
-            df = owner.read(spark, fg, with_commit_ts=False) if owner else fg.read(spark)
+            if owner is not None:
+                # factory, not a resolved DataFrame: FeatureStore.read bakes
+                # the visible commit list into the plan, so a token-triggered
+                # snapshot rebuild must re-read to actually see new commits
+                df = (lambda o=owner, g=fg, s=spark:
+                      o.read(s, g, with_commit_ts=False))
+            else:
+                df = fg.read(spark)
             if not fg.primary_key:
                 raise ValueError(
                     f"group '{fg.name}' has no primary key to serve on"
@@ -288,18 +295,28 @@ def write_training_dataset(
             writer.options(**opts).orc(path)
         elif fmt == "parquet":
             writer.options(**opts).parquet(path)
-        elif fmt == "avro":
-            # lib-free Avro Object Container File writer (engine.datafiles):
-            # one part file per partition, spec-layout OCF with the pure-
-            # Python BINARY codec — no spark-avro jar needed (r3)
-            from engine.datafiles import write_avro_dataset
+        else:
+            # lib-free writers (engine.datafiles): Avro OCF / TFRecord, one
+            # part file per partition — honor the same mode semantics as the
+            # Spark writer branches: overwrite clears the split dir (stale
+            # part files from a wider previous write must not survive), and
+            # overwrite=False errors on an existing non-empty dir
+            import shutil as _shutil
 
-            write_avro_dataset(df, path)
-        else:  # tfrecord / tfrecords
-            # lib-free TFRecord writer: hand-encoded tf.train.Example
-            # protobuf + CRC32C framing — no spark-tensorflow-connector (r3)
-            from engine.datafiles import write_tfrecord_dataset
+            if os.path.isdir(path) and os.listdir(path):
+                if not overwrite:
+                    raise FileExistsError(
+                        f"training-dataset split path {path!r} already exists "
+                        "(overwrite=False)"
+                    )
+                _shutil.rmtree(path)
+            if fmt == "avro":
+                from engine.datafiles import write_avro_dataset
 
-            write_tfrecord_dataset(df, path)
+                write_avro_dataset(df, path)
+            else:  # tfrecord / tfrecords
+                from engine.datafiles import write_tfrecord_dataset
+
+                write_tfrecord_dataset(df, path)
         paths[split] = path
     return paths

@@ -217,11 +217,18 @@ def test_ima_adpcm_roundtrip_snr():
     t = np.arange(8000) / 16000.0
     x = 0.5 * np.sin(2 * np.pi * 300.0 * t)
     enc = encode_ima_adpcm(x)
-    assert len(enc) == len(x) // 2  # 4 bits/sample
-    y = decode_ima_adpcm(enc)[: len(x)]
+    assert len(enc) == 4 + len(x) // 2  # count header + 4 bits/sample
+    y = decode_ima_adpcm(enc)
+    assert len(y) == len(x)
     assert snr_db(x, y) >= 20.0
-    via_dispatch = decode_payload(enc, "ima_adpcm", 16000)[: len(x)]
+    via_dispatch = decode_payload(enc, "ima_adpcm", 16000)
     assert np.array_equal(y, via_dispatch)
+    # ODD lengths round-trip exactly (r3 review fix: the 4-byte sample-count
+    # header trims the padding nibble's phantom sample)
+    xo = x[:4001]
+    yo = decode_ima_adpcm(encode_ima_adpcm(xo))
+    assert len(yo) == 4001
+    assert snr_db(xo, yo) >= 20.0
     # unknown codecs still stub loudly
     import pytest as _pytest
 

@@ -1085,7 +1085,8 @@ def test_serving_snapshot_parity_and_invalidation(spark, store, tmp_path):
     fg = store.get_or_create_stream_feature_group("snapfg", df=base,
                                                   primary_key=["k"])
     store.insert(fg, base)
-    # build through the view path, which wires the ledger token fn
+    # build through the view path, which wires the ledger token fn AND a
+    # DataFrame factory (a baked read plan would never see new commits)
     from engine.views import FeatureView
 
     fv = FeatureView("snap_v", 1, fg.select_all())
@@ -1095,10 +1096,11 @@ def test_serving_snapshot_parity_and_invalidation(spark, store, tmp_path):
 
     store.insert(fg, spark.createDataFrame([(1, 9.0)], "k int, v double"),
                  mode=SaveMode.UPSERT)
-    # token changed → snapshot rebuilds; but init_serving captured the OLD
-    # resolved DataFrame, so re-init to pick up the new commit's rows
-    server = fv.init_serving(spark, store=store)
+    # token changed → snapshot rebuilds from a FRESH read on the very next
+    # lookup — no re-init needed (r3 review fix)
     assert server.get_feature_vector({"k": 1})["v"] == 9.0
+    # spark twin path resolves the factory too
+    assert server.get_feature_vector({"k": 1}, use_snapshot=False)["v"] == 9.0
 
 
 # ------------------------------------------------------------------ r3: lib-free avro OCF + tfrecord training-dataset writers
