@@ -941,6 +941,40 @@ FROM documents
 """
 
 
+def _q_doc_boilerplate(spark, sf_dir):
+    """Per-doc boilerplate share: fraction of a doc's distinct word bigrams
+    whose corpus doc-frequency >= 100 (engine/text.py boilerplate_ratio) —
+    the template-page quality signal of LLM data pipelines. Two keyed
+    shuffles over one shingle pass, no all-pairs stage."""
+    from engine.text import boilerplate_ratio
+
+    return boilerplate_ratio(
+        _read(spark, sf_dir, "documents"), n=2, min_doc_freq=100
+    )
+
+
+_SQL_DOC_BOILERPLATE = r"""
+WITH words AS (
+  SELECT doc_id AS id,
+         string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT id,
+         unnest([array_to_string(w[i + 1:i + 2], ' ')
+                 for i in range(greatest(len(w) - 1, 1))]) AS shingle
+  FROM words
+), freq AS (
+  SELECT shingle FROM grams GROUP BY 1 HAVING count(*) >= 100
+)
+SELECT g.id AS doc_id,
+       count(*) AS n_shingles,
+       count(f.shingle) AS n_frequent,
+       round(count(f.shingle) * 1.0 / count(*), 6) AS boilerplate_ratio
+FROM grams g LEFT JOIN freq f ON g.shingle = f.shingle
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents
 # ---------------------------------------------------------------------------
@@ -1543,6 +1577,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_boilerplate": _q_doc_boilerplate,
         "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1598,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _SQL_DOC_QUALITY,
         "doc_lang_id": _SQL_DOC_LANG_ID,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "doc_boilerplate": _SQL_DOC_BOILERPLATE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,

@@ -186,3 +186,64 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).alias("shared_hashes"))
         .filter(F.col("shared_hashes") >= min_shared)
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Corpus-frequent word n-grams — boilerplate candidates (headers,
+    footers, license blurbs) in a training corpus. One shuffle: distinct
+    per-doc shingles (engine.dedup.shingles, codegen) → groupBy(shingle)
+    count. Returns (shingle, doc_freq) with ``doc_freq >= min_doc_freq``."""
+    from engine.dedup import shingles
+
+    return (
+        shingles(df, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct word
+    n-grams whose corpus document-frequency reaches ``min_doc_freq`` — a
+    standard quality signal for filtering template-heavy pages out of LLM
+    training data. Plan: one shingle pass reused for both the doc-frequency
+    aggregate and the per-doc rollup (two shuffles total, both keyed,
+    map-side combined); no all-pairs stage anywhere."""
+    from engine.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n)
+    freq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("shingle", F.lit(1).alias("_hot"))
+    )
+    return (
+        sh.join(freq, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_frequent"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_frequent",
+            F.round(F.col("n_frequent") / F.col("n_shingles"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

@@ -671,3 +671,24 @@ def test_bmp_v4_header_palette_offset():
     b[2:6] = struct.pack("<I", len(b) + extra)
     v4 = bytes(b[: 14 + 40]) + b"\0" * extra + bytes(b[14 + 40:])
     assert np.array_equal(decode_bmp(v4), img)
+
+
+def test_boilerplate_ratio_and_frequent_ngrams(spark):
+    """r3: corpus-frequent n-grams flag template text; a doc made of the
+    template scores ratio 1.0, a unique doc scores 0.0."""
+    from engine.text import boilerplate_ratio, frequent_ngrams
+
+    template = "all rights reserved contact us"
+    rows = [(i, f"{template} page {i}") for i in range(10)]
+    rows.append((99, "completely unique content nothing shared here ok"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    hot = frequent_ngrams(df, n=3, min_doc_freq=5).toPandas()
+    assert "all rights reserved" in set(hot["shingle"])
+    assert (hot["doc_freq"] >= 5).all()
+
+    got = boilerplate_ratio(df, n=3, min_doc_freq=5).toPandas().set_index("doc_id")
+    assert got.loc[99, "boilerplate_ratio"] == 0.0
+    # template docs share 'all rights reserved', 'rights reserved contact',
+    # 'reserved contact us' (freq 11 incl doc 99? no — unique doc lacks them)
+    assert (got.drop(index=99)["boilerplate_ratio"] > 0.4).all()
