@@ -102,6 +102,34 @@ def _q_session_dynamic_gap(spark, sf_dir):
                          "min_amt_per_session", "max_amt_per_session"])
 
 
+_CEP_NAMES = ["view", "click", "purchase"]
+
+
+def _cep_steps():
+    return [(n, F.col("event_type") == n) for n in _CEP_NAMES]
+
+
+def _q_cep_funnel(spark, sf_dir):
+    """CEP sequence detection (north rule "CEP engine"): the funnel
+    view → click → purchase per user within 48 h, FlinkCEP
+    begin/followedBy/within semantics with greedy latest-predecessor
+    selection — one shuffle, k chained window passes (engine/cep.py)."""
+    from engine.cep import detect_sequence
+
+    return detect_sequence(_read(spark, sf_dir, "events"), "user_id", "ts",
+                           _cep_steps(), "48 hours", order_col="event_id")
+
+
+def _cep_sql() -> str:
+    from engine.cep import detect_sequence_sql
+
+    return detect_sequence_sql(
+        "user_id", "ts", _CEP_NAMES,
+        [f"event_type = '{n}'" for n in _CEP_NAMES],
+        "INTERVAL 48 HOUR", "events", "event_id",
+    )
+
+
 _WINDOW_AGG_10M = (
     "count(*) AS num_trans_per_{l}, round(avg(value), 6) AS avg_amt_per_{l}, "
     "round(stddev_samp(value), 6) AS stdev_amt_per_{l}, "
@@ -1445,6 +1473,20 @@ def _q_stateful_stream_join(spark, sf_dir):
     return _round6(out, ["l_value"])
 
 
+def _q_stateful_cep_funnel(spark, sf_dir):
+    """Streaming CEP: the same funnel run as a real stream through the
+    vectorized applyInPandasWithState NFA (engine/cep.py) — matches emit
+    when the watermark passes the final step."""
+    from engine.cep import stateful_pattern_detect
+
+    src = _stream_events(spark, sf_dir)
+    return _run_stream_to_df(
+        spark,
+        stateful_pattern_detect(src, "ts", "user_id", _cep_steps(),
+                                "48 hours", watermark="60 seconds"),
+    )
+
+
 _SQL_CLOSED_WM = "(SELECT max(ts) - INTERVAL 60 SECOND FROM events)"
 
 _SQL_STATEFUL_TUMBLING_10M = f"""
@@ -1537,6 +1579,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stateful_session_6h", _q_stateful_session_6h),
         "stateful_stream_join": _memo_stream(
             "stateful_stream_join", _q_stateful_stream_join),
+        "stateful_cep_funnel": _memo_stream(
+            "stateful_cep_funnel", _q_stateful_cep_funnel),
         # window family (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_1h_bugcompat": _q_tumbling_1h_bugcompat,
@@ -1544,6 +1588,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_10m_5m": _q_sliding_10m_5m,
         "session_6h": _q_session_6h,
         "session_dynamic_gap": _q_session_dynamic_gap,
+        # CEP (north rule "structured-streaming / CEP engine")
+        "cep_funnel": _q_cep_funnel,
         # aggregations
         "keyed_stats_orders": _q_keyed_stats_orders,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1607,6 +1653,11 @@ def oracle_sql() -> dict[str, str]:
         "sliding_10m_5m": _SQL_SLIDING_10M_5M,
         "session_6h": _SQL_SESSION_6H,
         "session_dynamic_gap": _SQL_SESSION_DYNAMIC,
+        "cep_funnel": _cep_sql(),
+        "stateful_cep_funnel": (
+            f"SELECT * FROM ({_cep_sql()}) "
+            f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"
+        ),
         "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "filter_tree_orders": _SQL_FILTER_TREE_ORDERS,

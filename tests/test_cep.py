@@ -1,0 +1,209 @@
+"""CEP sequence detection (engine.cep) — batch vs DuckDB, stream vs batch.
+
+The batch operator's oracle is the identical window-function cascade run in
+DuckDB (``detect_sequence_sql``); the streaming operator's oracle is the
+batch operator filtered to matches closed by the final watermark, exercised
+across multiple micro-batches so the NFA's carried-chain / buffer / prune
+state machinery is genuinely used.
+"""
+
+import datetime
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.cep import detect_sequence, detect_sequence_sql, stateful_pattern_detect
+
+SF = "/root/testdata/sf0.001"
+
+_NAMES = ["view", "click", "purchase"]
+_PREDS = [f"event_type = '{n}'" for n in _NAMES]
+
+
+def _steps():
+    return [(n, F.col("event_type") == n) for n in _NAMES]
+
+
+_MEMQ = [0]
+
+
+def _run_stream(spark, df):
+    _MEMQ[0] += 1
+    name = f"cep_mem_{_MEMQ[0]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["user_id"] + [f"{n}_ts" for n in _NAMES]
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_batch_matches_duckdb(spark):
+    ev = spark.read.parquet(SF + "/events.parquet")
+    got = detect_sequence(
+        ev, "user_id", "ts", _steps(), "48 hours", order_col="event_id"
+    ).toPandas()
+    duckdb.sql(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = duckdb.sql(
+        detect_sequence_sql("user_id", "ts", _NAMES, _PREDS,
+                            "INTERVAL 48 HOUR", "events", "event_id")
+    ).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def test_batch_plan_single_exchange(spark):
+    """k-step cascade = ONE shuffle + sort; predicates pushed to the scan."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    out = detect_sequence(ev, "user_id", "ts", _steps(), "48 hours",
+                          order_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().treeString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort") == 1
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_greedy_latest_predecessor(spark):
+    """Each step chains to the most recent valid predecessor, and `within`
+    is judged on that latest chain (which minimizes the span)."""
+    rows = [
+        # user 1: A at 0s and 90s, B at 100s, C at 110s, within 60s:
+        # the greedy chain is A@90 -> B@100 -> C@110 (span 20s) — a match
+        # even though A@0 -> ... (span 110s) would fail.
+        (1, 1, 0.0, "a"), (2, 1, 90.0, "a"), (3, 1, 100.0, "b"),
+        (4, 1, 110.0, "c"),
+        # user 2: only the stale A@0 exists -> span 110s > 60s: no match
+        (5, 2, 0.0, "a"), (6, 2, 100.0, "b"), (7, 2, 110.0, "c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), t)
+         for i, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    steps = [(n, F.col("event_type") == n) for n in ("a", "b", "c")]
+    got = detect_sequence(df, "user_id", "ts", steps, "60 seconds",
+                          order_col="event_id").toPandas()
+    assert list(got["user_id"]) == [1]
+    assert got["a_ts"].iloc[0].second == 30  # 90 s = 00:01:30
+
+
+def test_stream_matches_batch_multibatch(spark, tmp_path):
+    """Split the events table into time-ordered files streamed one per
+    micro-batch: the NFA must carry partial chains across batches and emit
+    exactly the batch operator's matches closed by the final watermark."""
+    src_pq = SF + "/events.parquet"
+    pdf = pd.read_parquet(src_pq).sort_values("ts").reset_index(drop=True)
+    d = str(tmp_path / "ev_stream")
+    os.makedirs(d)
+    n_files = 6
+    for i in range(n_files):
+        chunk = pdf.iloc[i * len(pdf) // n_files:(i + 1) * len(pdf) // n_files]
+        p = f"{d}/part{i:02d}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(src_pq).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(d).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(stream, "ts", "user_id", _steps(), "48 hours",
+                                watermark="60 seconds"),
+    )
+    ev = spark.read.parquet(src_pq)
+    cut = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(seconds=60)
+    want = detect_sequence(ev, "user_id", "ts", _steps(), "48 hours",
+                           order_col="event_id").toPandas()
+    want = want[want["purchase_ts"] <= cut]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want), check_dtype=False)
+
+
+def _mini_dir(tmp_path, files):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "mini")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        t = pa.Table.from_pandas(
+            pdf,
+            schema=pa.schema([("user_id", pa.int64()),
+                              ("ts", pa.timestamp("us")),
+                              ("event_type", pa.string())]),
+            preserve_index=False,
+        )
+        pq.write_table(t, f"{d}/p{i:03d}.parquet")
+        os.utime(f"{d}/p{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+    return d
+
+
+def _mini_stream(spark, d):
+    return spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+
+
+def test_chain_carries_across_batches(spark, tmp_path):
+    """a completes in batch 0, b in batch 1, c in batch 2 — the partial
+    chains must survive in state; a second 'c' far outside `within` (batch 3)
+    must NOT match because the carried chain is pruned once it can no longer
+    complete."""
+    steps = [(n, F.col("event_type") == n) for n in ("a", "b", "c")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a"), (9, 100, "x")],
+        [(1, 200, "b"), (9, 5_000, "x")],       # wm -> 4940: a,b processed
+        [(1, 300, "c"), (9, 10_000, "x")],      # wm -> 9940: c@300 matches
+        [(1, 90_000, "c"), (9, 200_000, "x")],  # chain a@100 pruned long ago
+        [(9, 300_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "10 minutes", watermark="60 seconds"),
+    )
+    assert len(got) == 1
+    assert got["user_id"].iloc[0] == 1
+    assert got["c_ts"].iloc[0] == pd.Timestamp("1970-01-01 00:05:00")
+
+
+def test_stream_two_step_and_state_bounded(spark, tmp_path):
+    """2-step pattern across batches + state removal: after the key's buffer
+    drains and chains are pruned, re-sending the second step alone produces
+    nothing (state was dropped, not leaked)."""
+    steps = [("a", F.col("event_type") == "a"), ("b", F.col("event_type") == "b")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a")],
+        [(9, 1_000, "x")],            # wm advances: a@100 processed, carried
+        [(1, 200, "b")],              # match (a@100, b@200)
+        [(9, 50_000, "x")],           # wm far ahead: chains pruned (within 5m)
+        [(1, 60_000, "b")],           # no 'a' inside within -> no match
+        [(9, 99_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "5 minutes", watermark="60 seconds"),
+    )
+    assert len(got) == 1
+    assert got["b_ts"].iloc[0] == pd.Timestamp("1970-01-01 00:03:20")
+
+
+def test_rejects_bad_patterns():
+    with pytest.raises(ValueError):
+        detect_sequence(None, "k", "ts", [("only", F.lit(True))], "1 hour")
+    with pytest.raises(ValueError):
+        detect_sequence(None, "k", "ts",
+                        [("dup", F.lit(True)), ("dup", F.lit(True))], "1 hour")
