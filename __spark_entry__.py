@@ -1061,6 +1061,35 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
 """
 
 
+def _q_dedup_groups(spark, sf_dir):
+    """Near-dup clusters → canonical doc per cluster: connected components
+    (alternating large-star/small-star, engine/dedup.py) over the exact
+    n-gram-Jaccard pair graph."""
+    from engine.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    return dedup_components(docs, pairs)
+
+
+_SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a AS u, id_b AS v FROM ({_SQL_NGRAM_JACCARD})
+  UNION
+  SELECT id_b, id_a FROM ({_SQL_NGRAM_JACCARD})
+),
+reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS root FROM reach GROUP BY node)
+SELECT d.doc_id, coalesce(c.root, d.doc_id) AS canonical_id,
+       coalesce(c.root, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def _q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup (approximate — rows-only check; the exact-Jaccard
     twin above is the strong-oracle version of the same operator)."""
@@ -1628,6 +1657,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_groups": _q_dedup_groups,
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         # similarity search
@@ -1687,6 +1717,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate": _SQL_DOC_BOILERPLATE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_groups": _SQL_DEDUP_GROUPS,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "embedding_near_dup": _SQL_EMBEDDING_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMBEDDING_NEAR_DUP_LSH,

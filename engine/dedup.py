@@ -375,3 +375,117 @@ def simhash_dedup(
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Connected components over duplicate pairs → canonical-doc assignment
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the (undirected) pair graph, as DataFrame ops.
+
+    Implements the alternating **large-star / small-star** algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — the public map-reduce CC algorithm): each round rewires
+    edges toward per-neighborhood minima; the edge set converges to stars
+    rooted at each component's minimum node in O(log n) rounds.
+
+    Returns ``(node, component)`` — one row per non-root node plus one for
+    the root itself; ``component`` is the minimum node id of the component.
+
+    Scale posture: per round, two ``groupBy(node).min`` aggregations (map-side
+    partial combine) and two broadcast-free equi-joins keyed on node — no
+    all-pairs stage, no driver-side adjacency. Per-round results are
+    persisted and the lineage truncated with ``localCheckpoint`` so the plan
+    stays O(1)-deep in rounds; convergence is detected by an order-free edge
+    signature (count + hash-sum), one tiny aggregate per round.
+    """
+    u, v = F.col("u"), F.col("v")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(u != v)
+        .distinct()
+    )
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-free and overflow-free under ANSI mode (edges
+            # are distinct, so XOR cancellation can't collide a real change)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        bidir = df.union(df.select(v.alias("u"), u.alias("v")))
+        mins = bidir.groupBy("u").agg(F.min(F.least(u, v)).alias("m"))
+        return (
+            bidir.where(v > u)
+            .join(mins, "u")
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .where(u != v)
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        directed = df.select(
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min(v).alias("m"))
+        rewired = (
+            directed.join(mins, "u")
+            .where(v != F.col("m"))
+            .select(v.alias("u"), F.col("m").alias("v"))
+        )
+        self_edges = mins.select(u, F.col("m").alias("v")).where(u != v)
+        return rewired.union(self_edges).distinct()
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _sig(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: every edge is (node → component root); add the roots
+    nodes = e.select(u.alias("node"), v.alias("component"))
+    roots = e.select(v).distinct().select(
+        v.alias("node"), v.alias("component")
+    )
+    return nodes.union(roots).distinct()
+
+
+def dedup_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Assign every document its near-dup component root (canonical doc).
+
+    ``pairs`` is any duplicate-pair frame (``ngram_jaccard_pairs``,
+    ``minhash_dedup``, ``simhash_dedup``, ``embedding_near_dup...``); docs
+    not in any pair are their own canonical. Output:
+    ``(id_col, canonical_id, is_canonical)`` — filtering
+    ``is_canonical`` is the corpus-level dedup a training pipeline runs
+    after pair generation (keep one doc per near-dup cluster, not merely
+    break pairwise ties).
+    """
+    cc = connected_components(pairs, src, dst)
+    idc = F.col(id_col)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            idc,
+            F.coalesce(F.col("component"), idc).alias("canonical_id"),
+            (F.coalesce(F.col("component"), idc) == idc).alias("is_canonical"),
+        )
+    )

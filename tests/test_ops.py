@@ -692,3 +692,63 @@ def test_boilerplate_ratio_and_frequent_ngrams(spark):
     # template docs share 'all rights reserved', 'rights reserved contact',
     # 'reserved contact us' (freq 11 incl doc 99? no — unique doc lacks them)
     assert (got.drop(index=99)["boilerplate_ratio"] > 0.4).all()
+
+
+# ---------------------------------------------------------------------------
+# connected components / canonical-doc assignment
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from engine.dedup import connected_components
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(300), rnd.randrange(300)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    want = _uf_components(edges, nodes)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_dedup_components_transitive_and_singletons(spark):
+    """A-B, B-C, C-D chain collapses to one cluster rooted at the min id;
+    docs in no pair stay their own canonical; empty pair set is a no-op."""
+    from engine.dedup import dedup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in dedup_components(docs, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
+        4: (1, False), 5: (5, True), 6: (6, True), 7: (6, False),
+    }
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out2 = dedup_components(docs, empty).collect()
+    assert all(r["is_canonical"] and r["canonical_id"] == r["doc_id"]
+               for r in out2)
+    assert len(out2) == 8
