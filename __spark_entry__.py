@@ -1219,7 +1219,9 @@ def _q_lsh_knn(spark, sf_dir):
 def _clips_df(spark, n=400):
     from engine.synth import make_clips_pdf
 
-    pdf = make_clips_pdf(n, seed=42)
+    # 10% FLAC payloads: the contract's decode stage exercises the lib-free
+    # FLAC decoder (engine/flac.py) alongside PCM16/µ-law
+    pdf = make_clips_pdf(n, seed=42, flac_frac=0.1)
     return spark.createDataFrame(pdf)
 
 

@@ -207,6 +207,10 @@ def decode_payload(buf: bytes, codec: str, sr_hz: int) -> np.ndarray:
         return decode_alaw(buf)
     if codec in ("ima_adpcm", "adpcm"):
         return decode_ima_adpcm(buf)
+    if codec == "flac":
+        from engine.flac import decode_flac_float
+
+        return decode_flac_float(buf)[0]
     raise NotImplementedError(f"codec '{codec}' requires external decoder (stub)")
 
 

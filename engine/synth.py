@@ -53,6 +53,7 @@ def make_clips_pdf(
     mean_gap_ms: int = 1000,
     jitter_ms: int = 60_000,
     ulaw_frac: float = 0.05,
+    flac_frac: float = 0.0,
     max_dur_ms: int = 1000,
     start_index: int = 0,
 ) -> pd.DataFrame:
@@ -84,7 +85,14 @@ def make_clips_pdf(
     sr_hz = sr_choices[rng.integers(0, 3, size=n_clips)]
     dur_ms = rng.integers(200, max_dur_ms + 1, size=n_clips).astype(np.int32)
 
-    codecs = np.where(rng.random(n_clips) < ulaw_frac, "ulaw", "pcm_s16le")
+    # one draw decides the codec: [0, ulaw_frac) → ulaw,
+    # [ulaw_frac, ulaw_frac+flac_frac) → flac, rest pcm — so flac_frac=0
+    # (the default) keeps every existing fixture byte-identical
+    u = rng.random(n_clips)
+    codecs = np.where(
+        u < ulaw_frac, "ulaw",
+        np.where(u < ulaw_frac + flac_frac, "flac", "pcm_s16le"),
+    )
 
     # Event time: monotone base + jitter up to ±jitter_ms (out-of-orderness the
     # 60 s watermark must tolerate / drop at the boundary).
@@ -107,6 +115,10 @@ def make_clips_pdf(
         sig = np.clip(sig, -1.0, 1.0)
         if codecs[i] == "ulaw":
             payloads.append(encode_ulaw(sig))
+        elif codecs[i] == "flac":
+            from engine.flac import encode_flac_float
+
+            payloads.append(encode_flac_float(sig, int(sr_hz[i])))
         else:
             payloads.append(encode_wav_pcm16(sig, int(sr_hz[i])))
 

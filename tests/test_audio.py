@@ -234,3 +234,101 @@ def test_ima_adpcm_roundtrip_snr():
 
     with _pytest.raises(NotImplementedError):
         decode_payload(b"", "mp3", 16000)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (lib-free codec, engine/flac.py)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_lossless_roundtrip_all_modes():
+    """FLAC is lossless: decode(encode(x)) == x exactly, in mono, every
+    stereo decorrelation mode, multi-frame streams with a short last block,
+    and the LPC subframe path."""
+    from engine.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    sig = (
+        18000 * np.sin(2 * np.pi * 440 * np.arange(10_000) / 16000)
+        + rng.normal(0, 250, 10_000)
+    ).astype(np.int16)
+    ch, sr, bps = decode_flac(encode_flac(sig, 16000))
+    assert (sr, bps) == (16000, 16)
+    assert np.array_equal(ch[0], sig.astype(np.int32))
+
+    l = (12000 * np.sin(2 * np.pi * 330 * np.arange(9000) / 44100)).astype(np.int16)
+    r = (l * 0.6 + rng.normal(0, 180, 9000)).astype(np.int16)
+    st = np.stack([l, r])
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        ch, _, _ = decode_flac(encode_flac(st, 44100, stereo_mode=mode))
+        assert np.array_equal(ch, st.astype(np.int32)), mode
+
+    ch, _, _ = decode_flac(encode_flac(sig, 16000, force_lpc=True))
+    assert np.array_equal(ch[0], sig.astype(np.int32))
+
+    # constant subframe + compression sanity (a tone must beat raw PCM)
+    const = np.full(5000, -123, dtype=np.int16)
+    buf = encode_flac(const, 8000)
+    assert len(buf) < 200
+    tone = encode_flac(sig, 16000)
+    assert len(tone) < 2 * len(sig)
+
+
+def test_flac_crc_rejects_corruption():
+    from engine.flac import decode_flac, encode_flac
+
+    sig = (1000 * np.sin(np.arange(4000))).astype(np.int16)
+    buf = bytearray(encode_flac(sig, 8000))
+    buf[-30] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(buf))
+
+
+def test_flac_escape_partition_decodes():
+    """Rice escape-to-raw partitions (param 0b1111 → 5-bit raw width)."""
+    from engine.flac import _BitReader, _BitWriter, _read_residual
+
+    vals = [-40, 3, 17, -1, 0, 63, -64]
+    bw = _BitWriter()
+    bw.write(0, 2)    # method 0 (4-bit rice)
+    bw.write(0, 4)    # partition order 0
+    bw.write(15, 4)   # escape
+    bw.write(7, 5)    # raw width 7 bits
+    for v in vals:
+        bw.write(v, 7)
+    bw.align()
+    out = _read_residual(_BitReader(bw.getvalue()), len(vals), 0)
+    assert out.tolist() == vals
+
+
+def test_flac_float_parity_with_pcm():
+    """The same float signal encoded to PCM16-WAV and to FLAC decodes to
+    bit-identical floats (shared ±32767 quantization convention)."""
+    from engine.audio import decode_payload, encode_wav_pcm16
+    from engine.flac import encode_flac_float
+
+    t = np.arange(6000) / 16000.0
+    x = 0.6 * np.sin(2 * np.pi * 250.0 * t) + 0.05 * np.sin(2 * np.pi * 2000.0 * t)
+    via_pcm = decode_payload(encode_wav_pcm16(x, 16000), "pcm_s16le", 16000)
+    via_flac = decode_payload(encode_flac_float(x, 16000), "flac", 16000)
+    assert np.array_equal(via_pcm, via_flac)
+
+
+def test_flac_clips_flow_through_pipeline(spark):
+    """Clips synthesized with codec='flac' decode inside the Arrow-batched
+    feature stage exactly like their PCM twins."""
+    from engine.audio import extract_audio_features
+    from engine.synth import make_clips_pdf
+
+    pdf = make_clips_pdf(120, seed=5, flac_frac=0.5)
+    assert (pdf["codec"] == "flac").sum() > 10  # the mix actually happened
+    df = spark.createDataFrame(pdf)
+    feats = extract_audio_features(df).toPandas()
+    assert len(feats) == 120
+    flac_rows = feats[pdf["codec"].values == "flac"]
+    assert (flac_rows["n_samples"] > 0).all()
+    assert (flac_rows["rms"] > 0.01).all()
+    # flac_frac=0 (default) keeps the legacy fixture byte-identical
+    a = make_clips_pdf(50, seed=42)
+    b = make_clips_pdf(50, seed=42, flac_frac=0.0)
+    assert a["bytes"].equals(b["bytes"]) and list(a["codec"]) == list(b["codec"])
