@@ -266,12 +266,17 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Real decode for lib-free formats (BMP, PNG); JPEG and other
-    compressed codecs stay stubbed until a codec library is present."""
+    """Real decode for lib-free formats (BMP, PNG, baseline JPEG —
+    engine/jpeg.py); remaining compressed codecs stay stubbed until a
+    codec library is present."""
     if buf[:2] == b"BM":
         return decode_bmp(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xFF\xD8":
+        from engine.jpeg import decode_jpeg
+
+        return decode_jpeg(buf)
     return decode_image_stub(buf)
 
 

@@ -4,6 +4,7 @@ so hypothesis can run hundreds of examples without Spark in the loop."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -307,3 +308,76 @@ def test_png_known_vectors_and_palette():
     )
     with _pytest.raises(NotImplementedError):
         decode_png(bad_depth)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (engine/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse) if mse else float("inf")
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("quality", [95, 75])
+def test_jpeg_roundtrip_psnr(subsampling, quality):
+    """Lossy codec sanity: smooth content survives encode→decode with high
+    PSNR at both chroma samplings, odd dimensions included."""
+    from engine.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:45, 0:57]
+    img = np.clip(
+        np.stack([
+            128 + 90 * np.sin(2 * np.pi * xx / 40),
+            128 + 70 * np.cos(2 * np.pi * yy / 30),
+            (xx + yy) * 255 / 102,
+        ], axis=-1), 0, 255,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+    assert dec.shape == img.shape
+    floor = 30.0 if subsampling == "444" else 26.0
+    if quality == 95:
+        floor += 4.0
+    assert _psnr(img, dec) >= floor
+
+
+def test_jpeg_grayscale_flat_and_restart():
+    from engine.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.clip(
+        128 + 90 * np.sin(2 * np.pi * np.add.outer(np.arange(40), np.arange(48)) / 32),
+        0, 255,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.ndim == 2 and dec.shape == g.shape
+    assert _psnr(g, dec) >= 34.0
+
+    # flat color decodes exactly (single DC coefficient survives quantization)
+    flat = np.full((24, 24, 3), 77, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=90)), flat)
+
+    # restart markers: DC predictors reset per interval, same pixels out
+    img = np.clip(
+        np.stack([g, g[::-1], g[:, ::-1]], axis=-1), 0, 255
+    ).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    with_rst = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_dispatch_and_unsupported():
+    from engine.jpeg import decode_jpeg, encode_jpeg
+    from engine.multimodal import decode_image
+
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    assert decode_image(encode_jpeg(img)).shape == img.shape
+    # progressive SOF2 rejected loudly, not mis-decoded
+    buf = bytearray(encode_jpeg(img))
+    sof = buf.find(b"\xFF\xC0")
+    buf[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01notajpeg")
