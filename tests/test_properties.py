@@ -72,9 +72,12 @@ def test_tumbling_merge_associative(rows, cut):
     chk = full.merge(merged, left_on=["window_start_ms", "k"], right_on=["w", "k"])
     assert len(chk) == len(full) == len(merged)
     assert (chk["num_trans_per_x"] == chk["n"]).all()
-    # atol floors out subnormal underflow (avg of 5e-324 halves to zero)
+    # atol scales with summand magnitude: different summation orders cancel
+    # to different ulp-scale residues (e.g. [0, a, -a, tiny] -> tiny vs 0.0),
+    # so exact-zero sums carry error at ~n*ulp(max|v|), not at 1e-300
+    atol = max(pdf["v"].abs().max(), 1e-300) * len(pdf) * 1e-12
     np.testing.assert_allclose(
-        chk["avg_amt_per_x"] * chk["n"], chk["s"], rtol=1e-9, atol=1e-300
+        chk["avg_amt_per_x"] * chk["n"], chk["s"], rtol=1e-9, atol=atol
     )
     np.testing.assert_allclose(chk["min_amt_per_x"], chk["mn"], rtol=1e-12)
     np.testing.assert_allclose(chk["max_amt_per_x"], chk["mx"], rtol=1e-12)
