@@ -877,6 +877,55 @@ FROM customer WHERE c_custkey <= 30
 """
 
 
+def _q_iceberg_table(spark, sf_dir):
+    """Pure-Python Iceberg v2 table (engine/iceberg.py): append → append →
+    overwrite, then read the current snapshot plus two time-travel reads,
+    tagged by snapshot. Exercises manifest/manifest-list Avro planning,
+    sequence-number inheritance, and overwrite's DELETED-entry rewrite.
+    The reference's lake-format seam is Hudi (base/TimeTravelFormat.java:
+    20-23); the north rule names Iceberg, implemented here from the public
+    v2 spec."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_"), schema=cust.schema
+    )
+    s1 = t.write_dataframe(cust.filter("c_custkey <= 100"))
+    s2 = t.write_dataframe(cust.filter("c_custkey > 100 AND c_custkey <= 200"))
+    t.write_dataframe(
+        cust.filter("c_custkey <= 50")
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0)),
+        mode="overwrite",
+    )
+
+    def tag(df, s):
+        return df.withColumn("snap", F.lit(s))
+
+    out = (
+        tag(t.read(spark, snapshot_id=s1), "s1")
+        .unionByName(tag(t.read(spark, snapshot_id=s2), "s2"))
+        .unionByName(tag(t.read(spark), "current"))
+    )
+    return out.withColumn("c_acctbal", F.round("c_acctbal", 6))
+
+
+_SQL_ICEBERG_TABLE = """
+SELECT 's1' AS snap, c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT 's2', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 200
+UNION ALL
+SELECT 'current', c_custkey, c_name, round(c_acctbal + 1000.0, 6)
+FROM customer WHERE c_custkey <= 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -1649,6 +1698,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fg_statistics": _q_fg_statistics,
         "store_upsert": _q_store_upsert,
         "store_overwrite": _q_store_overwrite,
+        "iceberg_table": _q_iceberg_table,
         # text analysis
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -1710,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "fg_statistics": _SQL_FG_STATISTICS,
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,
+        "iceberg_table": _SQL_ICEBERG_TABLE,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,

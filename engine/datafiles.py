@@ -112,8 +112,13 @@ _AVRO_MAGIC = b"Obj\x01"
 
 
 def write_avro_ocf_bytes(rows: list[dict], schema: dict | str,
-                         sync: bytes | None = None) -> bytes:
-    """Serialize rows to one Avro OCF (codec ``null``), spec layout."""
+                         sync: bytes | None = None,
+                         extra_meta: dict[str, bytes] | None = None) -> bytes:
+    """Serialize rows to one Avro OCF (codec ``null``), spec layout.
+
+    ``extra_meta`` adds file-metadata entries beyond ``avro.schema``/
+    ``avro.codec`` — Iceberg manifest files carry ``schema``,
+    ``partition-spec``, ``format-version``, ``content`` there."""
     schema_obj = json.loads(schema) if isinstance(schema, str) else schema
     schema_json = json.dumps(schema_obj).encode()
     if sync is None:
@@ -122,8 +127,10 @@ def write_avro_ocf_bytes(rows: list[dict], schema: dict | str,
         sync = hashlib.blake2b(schema_json, digest_size=16).digest()
     assert len(sync) == 16
     out = bytearray(_AVRO_MAGIC)
-    # file metadata: map<bytes> — one block of 2 entries, then end marker 0
+    # file metadata: map<bytes> — one block of entries, then end marker 0
     meta = [(b"avro.schema", schema_json), (b"avro.codec", b"null")]
+    for k, v in (extra_meta or {}).items():
+        meta.append((k.encode(), v))
     out += _zigzag_long(len(meta))
     for k, v in meta:
         out += _zigzag_long(len(k)) + k + _zigzag_long(len(v)) + v

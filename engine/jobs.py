@@ -41,17 +41,29 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 
 def cmd_producer(args) -> dict:
-    from engine.streams import write_clips_stream_dir
-
     t0 = time.time()
-    write_clips_stream_dir(
-        args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
-        jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
-    )
-    return {
+    out = {
         "job": "producer", "out": args.out, "clips": args.n_clips,
-        "files": args.n_files, "elapsed_sec": round(time.time() - t0, 3),
+        "files": args.n_files,
     }
+    if args.iceberg:
+        from engine.streams import write_clips_iceberg
+
+        table = write_clips_iceberg(
+            args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
+            files_per_snapshot=args.files_per_snapshot,
+            jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
+        )
+        out["iceberg_snapshots"] = len(table.snapshots())
+    else:
+        from engine.streams import write_clips_stream_dir
+
+        write_clips_stream_dir(
+            args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
+            jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
+        )
+    out["elapsed_sec"] = round(time.time() - t0, 3)
+    return out
 
 
 def cmd_pipeline(args) -> dict:
@@ -62,6 +74,15 @@ def cmd_pipeline(args) -> dict:
     spark = get_spark("pipeline", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
     ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
+
+    # Iceberg source auto-detect: when --clips is an Iceberg table
+    # (metadata/version-hint.text present), validate the append-only
+    # invariant via the manifest planner and stream its data/ dir — the
+    # north rule's "reads an Iceberg table ... as a rate-controlled stream"
+    if os.path.exists(os.path.join(args.clips, "metadata", "version-hint.text")):
+        from engine.streams import iceberg_stream_data_dir
+
+        args.clips = iceberg_stream_data_dir(args.clips)
 
     def extractor(sdf):
         from engine.audio import (
@@ -123,7 +144,12 @@ def cmd_pipeline(args) -> dict:
             agg = sliding_agg(src, "event_ts", args.key, args.value, args.width, args.slide)
         else:
             agg = tumbling_agg(src, "event_ts", args.key, args.value, args.width)
-        sink = ParquetLedgerSink(args.out, event_ts_col="window_start")
+        if args.iceberg_sink:
+            from engine.iceberg import IcebergSink
+
+            sink = IcebergSink(args.out)
+        else:
+            sink = ParquetLedgerSink(args.out, event_ts_col="window_start")
         q = (
             agg.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -133,12 +159,18 @@ def cmd_pipeline(args) -> dict:
         q.processAllAvailable()
         q.stop()
     else:
+        custom_sink = None
+        if args.iceberg_sink:
+            from engine.iceberg import IcebergSink
+
+            custom_sink = IcebergSink(args.out)
         _, sink = run_window_pipeline(
             spark, args.clips, args.out, ckpt,
             window_kind=args.window, width=args.width, slide=args.slide,
             gap=args.gap, key_col=args.key, value_col=args.value,
             watermark=args.watermark,
             max_files_per_trigger=args.max_files_per_trigger,
+            sink=custom_sink,
         )
     elapsed = time.time() - t0
     n_in = spark.read.parquet(args.clips).count()
@@ -336,6 +368,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--jitter-ms", type=int, default=30_000)
     p.add_argument("--max-dur-ms", type=int, default=1000)
+    p.add_argument("--iceberg", action="store_true",
+                   help="write the topic as an Iceberg v2 table "
+                        "(manifest-planned snapshots over the same shards)")
+    p.add_argument("--files-per-snapshot", type=int, default=None,
+                   help="shards per Iceberg append snapshot (default: all in one)")
     p.set_defaults(fn=cmd_producer)
 
     p = sub.add_parser("serve", help="point-lookup feature vectors from a sink table")
@@ -395,6 +432,9 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                            default=True,
                            help="pre-spawn workers/codegen before timing")
+            p.add_argument("--iceberg-sink", action="store_true",
+                           help="commit results as Iceberg v2 snapshots "
+                                "instead of the parquet+ledger sink")
         else:
             p.add_argument("--ttl", default="10 minutes")
         p.set_defaults(fn=fn)

@@ -103,6 +103,99 @@ def write_clips_stream_dir(
     return dir_path
 
 
+def write_clips_iceberg(
+    location: str, n_clips: int, n_files: int = 20, seed: int = 42,
+    files_per_snapshot: int | None = None, parallelism: int | None = None,
+    **kw,
+):
+    """The clip + transcript table AS an Iceberg v2 table (north rule:
+    "reads an Iceberg table of audio clip + transcript pairs").
+
+    The deterministic producer shards land in the table's ``data/`` dir
+    (same bytes as :func:`write_clips_stream_dir`); metadata commits group
+    them ``files_per_snapshot`` at a time into append snapshots. Batch
+    readers plan via manifests (``IcebergTable.read``); the rate-controlled
+    stream replays the same committed files in arrival order via
+    :func:`read_clip_stream_iceberg`. Returns the ``IcebergTable``."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from engine.iceberg import DataFileInfo, IcebergTable
+
+    spark_schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+        T.StructField("event_ts", T.TimestampType()),
+        T.StructField("speaker_id", T.LongType()),
+    ])
+    table = IcebergTable(location, schema=spark_schema)
+    write_clips_stream_dir(table.data_dir, n_clips, n_files=n_files,
+                           seed=seed, parallelism=parallelism, **kw)
+    names = sorted(
+        n for n in os.listdir(table.data_dir)
+        if n.startswith("part-") and n.endswith(".parquet")
+    )
+    per_snap = files_per_snapshot or len(names) or 1
+    for i in range(0, len(names), per_snap):
+        infos = []
+        for n in names[i:i + per_snap]:
+            p = os.path.join(table.data_dir, n)
+            infos.append(DataFileInfo(
+                file_path=p,
+                record_count=pq.read_metadata(p).num_rows,
+                file_size_in_bytes=os.path.getsize(p),
+            ))
+        table.commit_append(infos)
+    return table
+
+
+def iceberg_stream_data_dir(table) -> str:
+    """Validate an Iceberg clip table for file-source streaming and return
+    its ``data/`` dir. For append-only tables every live data file sits in
+    ``data/`` exactly once (files are moved in atomically before their
+    snapshot commits), so the file source over ``data/`` replays precisely
+    the committed files; the manifest planner cross-checks that invariant
+    here."""
+    from engine.iceberg import IcebergTable
+
+    if isinstance(table, str):
+        table = IcebergTable(table)
+    planned = {f.file_path for f in table.plan_files()}
+    on_disk = {
+        os.path.join(table.data_dir, n)
+        for n in os.listdir(table.data_dir) if n.endswith(".parquet")
+    }
+    if planned != on_disk:
+        raise ValueError(
+            f"iceberg table {table.location!r} is not append-only-clean: "
+            f"{len(on_disk - planned)} uncommitted and "
+            f"{len(planned - on_disk)} missing data files — stream requires "
+            "planned files == data/ contents"
+        )
+    return table.data_dir
+
+
+def read_clip_stream_iceberg(
+    spark: SparkSession,
+    table,
+    max_files_per_trigger: int = 1,
+    watermark: str = "60 seconds",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Rate-controlled stream over an Iceberg clip table (see
+    :func:`iceberg_stream_data_dir` for why the file source over ``data/``
+    is exact). With the Iceberg runtime jar present,
+    ``readStream.format("iceberg")`` replaces this source behind the same
+    table layout."""
+    return read_clip_stream(spark, iceberg_stream_data_dir(table),
+                            max_files_per_trigger=max_files_per_trigger,
+                            watermark=watermark, ts_col=ts_col)
+
+
 def read_clip_stream(
     spark: SparkSession,
     dir_path: str,
@@ -184,11 +277,16 @@ def run_window_pipeline(
     max_files_per_trigger: int = 1,
     bug_compatible_stdev: bool = False,
     await_termination: bool = True,
+    sink=None,
 ):
     """The flagship streaming job (TransactionFraudExample analogue):
     rate-controlled source → watermark → keyed window agg → exactly-once sink.
 
-    Returns (StreamingQuery, ParquetLedgerSink).
+    ``sink`` overrides the default ``ParquetLedgerSink`` with any object
+    exposing the same ``foreach_batch``/``audit``/``read_committed``
+    protocol (e.g. ``engine.iceberg.IcebergSink``).
+
+    Returns (StreamingQuery, sink).
     """
     src = read_clip_stream(
         spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=watermark
@@ -205,7 +303,8 @@ def run_window_pipeline(
     else:
         raise ValueError(f"unknown window kind {window_kind}")
 
-    sink = ParquetLedgerSink(out_dir, event_ts_col="window_start")
+    if sink is None:
+        sink = ParquetLedgerSink(out_dir, event_ts_col="window_start")
     q = (
         agg.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,276 @@
+"""Iceberg v2 table format: metadata layout, snapshot semantics, planning,
+time travel, incremental read, exactly-once sink (engine/iceberg.py)."""
+
+import json
+import os
+
+import pytest
+
+from engine.datafiles import read_avro_ocf_bytes
+from engine.iceberg import (
+    IcebergSink,
+    IcebergTable,
+    iceberg_schema_to_ddl,
+    spark_schema_to_iceberg,
+)
+
+def _mktable(spark, tmp_path, name="t"):
+    df = spark.range(0).selectExpr(
+        "id AS k", "cast(id AS double) AS v", "cast(null AS string) AS s"
+    )
+    return IcebergTable(str(tmp_path / name), schema=df.schema)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "cast(id * 1.5 AS double) AS v",
+        "concat('row-', id) AS s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# schema conversion
+# ---------------------------------------------------------------------------
+
+def test_schema_field_ids_unique_and_complete(spark):
+    df = spark.range(0).selectExpr(
+        "id AS a", "cast(id AS int) AS b", "array(id) AS c",
+        "map('x', id) AS d",
+        "named_struct('p', id, 'q', cast(id AS string)) AS e",
+        "cast(id AS timestamp) AS ts", "cast(null AS binary) AS bin",
+    )
+    schema, last = spark_schema_to_iceberg(df.schema)
+
+    ids = []
+
+    def walk(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                for f in t["fields"]:
+                    ids.append(f["id"])
+                    walk(f["type"])
+            elif t.get("type") == "list":
+                ids.append(t["element-id"])
+                walk(t["element"])
+            elif t.get("type") == "map":
+                ids.append(t["key-id"])
+                ids.append(t["value-id"])
+                walk(t["key"])
+                walk(t["value"])
+
+    walk(schema)
+    assert len(ids) == len(set(ids)), "field ids must be unique"
+    assert max(ids) == last
+    # spark timestamp (session-TZ) maps to timestamptz
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    assert by_name["ts"] == "timestamptz"
+    assert by_name["bin"] == "binary"
+    # round-trip to Spark DDL parses back to the same top-level names
+    ddl = iceberg_schema_to_ddl(schema)
+    assert spark.createDataFrame([], ddl).columns == df.columns
+
+
+# ---------------------------------------------------------------------------
+# metadata layout + manifests are spec-shaped
+# ---------------------------------------------------------------------------
+
+def test_metadata_json_required_v2_keys(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    meta = t.metadata()
+    for key in ("format-version", "table-uuid", "location",
+                "last-sequence-number", "last-updated-ms", "last-column-id",
+                "current-schema-id", "schemas", "default-spec-id",
+                "partition-specs", "last-partition-id",
+                "default-sort-order-id", "sort-orders", "snapshots"):
+        assert key in meta, key
+    assert meta["format-version"] == 2
+    assert os.path.exists(
+        os.path.join(t.metadata_dir, "version-hint.text"))
+
+
+def test_manifest_avro_files_carry_field_ids(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 100))
+    snap = t.snapshot(t.current_snapshot_id)
+    with open(snap["manifest-list"].replace("file://", ""), "rb") as fh:
+        mf_rows, mf_schema = read_avro_ocf_bytes(fh.read())
+    by_name = {f["name"]: f for f in mf_schema["fields"]}
+    assert by_name["manifest_path"]["field-id"] == 500
+    assert by_name["added_snapshot_id"]["field-id"] == 503
+    assert mf_rows[0]["content"] == 0
+    with open(mf_rows[0]["manifest_path"].replace("file://", ""), "rb") as fh:
+        entries, e_schema = read_avro_ocf_bytes(fh.read())
+    e_by_name = {f["name"]: f for f in e_schema["fields"]}
+    assert e_by_name["status"]["field-id"] == 0
+    assert e_by_name["data_file"]["field-id"] == 2
+    df_fields = {f["name"]: f for f in e_by_name["data_file"]["type"]["fields"]}
+    assert df_fields["file_path"]["field-id"] == 100
+    assert df_fields["content"]["field-id"] == 134
+    assert all(e["status"] == 1 for e in entries)
+    assert sum(e["data_file"]["record_count"] for e in entries) == 100
+
+
+# ---------------------------------------------------------------------------
+# snapshot semantics
+# ---------------------------------------------------------------------------
+
+def test_append_read_round_trip(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 50))
+    t.write_dataframe(_df(spark, 50, 120))
+    got = t.read(spark).orderBy("k").toPandas()
+    want = _df(spark, 0, 120).orderBy("k").toPandas()
+    assert got.equals(want)
+    # planning is manifest-driven: counts match without listing data/
+    assert sum(f.record_count for f in t.plan_files()) == 120
+
+
+def test_time_travel_by_snapshot_and_timestamp(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    s1 = t.write_dataframe(_df(spark, 0, 30))
+    s2 = t.write_dataframe(_df(spark, 30, 60))
+    assert t.read(spark, snapshot_id=s1).count() == 30
+    assert t.read(spark, snapshot_id=s2).count() == 60
+    ts1 = t.snapshot(s1)["timestamp-ms"]
+    assert t.read(spark, as_of_ms=ts1).count() == 30
+    assert t.read(spark, as_of_ms=ts1 - 1).count() == 0  # before the table
+
+
+def test_overwrite_hides_old_files_but_time_travel_sees_them(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    s1 = t.write_dataframe(_df(spark, 0, 40))
+    s2 = t.write_dataframe(_df(spark, 100, 110), mode="overwrite")
+    assert t.read(spark).count() == 10
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(100, 110))
+    assert t.read(spark, snapshot_id=s1).count() == 40
+    snap = t.snapshot(s2)
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["deleted-records"] == "40"
+    # deleted entries carry explicit (non-null) original sequence numbers
+    with open(snap["manifest-list"].replace("file://", ""), "rb") as fh:
+        mf_rows, _ = read_avro_ocf_bytes(fh.read())
+    deleted = []
+    for m in mf_rows:
+        with open(m["manifest_path"].replace("file://", ""), "rb") as fh:
+            deleted += [e for e in read_avro_ocf_bytes(fh.read())[0]
+                        if e["status"] == 2]
+    assert deleted and all(e["sequence_number"] == 1 for e in deleted)
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    s1 = t.write_dataframe(_df(spark, 0, 10))
+    s2 = t.write_dataframe(_df(spark, 10, 25))
+    s3 = t.write_dataframe(_df(spark, 25, 26))
+    inc = t.incremental_files(s1, s2)
+    assert sum(f.record_count for f in inc) == 15
+    assert sum(f.record_count for f in t.incremental_files(s1)) == 16
+    assert sum(f.record_count for f in t.incremental_files(None, s1)) == 10
+    assert t.incremental_files(s3) == []
+
+
+def test_concurrent_commit_cas_raises(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 5))
+    # simulate the race: this writer read base v, a racing writer then
+    # publishes v+1 before this writer's publish lands — the os.link CAS
+    # must refuse rather than overwrite the racing commit
+    v = t._current_version()
+    meta = t.metadata()
+    racing = t._version_path(v + 1)
+    with open(racing, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(RuntimeError, match="concurrent Iceberg commit"):
+        t._publish(meta, base_version=v)
+    os.unlink(racing)
+
+
+def test_sequence_numbers_inherited_and_monotonic(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 5))
+    t.write_dataframe(_df(spark, 5, 9))
+    seqs = {f.sequence_number for f in t.plan_files()}
+    assert seqs == {1, 2}
+    assert t.metadata()["last-sequence-number"] == 2
+
+
+# ---------------------------------------------------------------------------
+# exactly-once sink
+# ---------------------------------------------------------------------------
+
+def test_sink_exactly_once_replay_is_noop(spark, tmp_path):
+    sink = IcebergSink(str(tmp_path / "sunk"))
+    b = _df(spark, 0, 20)
+    assert sink.write_batch(b, 0) is True
+    assert sink.write_batch(b, 0) is False  # replay
+    assert sink.write_batch(_df(spark, 20, 30), 1) is True
+    audit = sink.audit()
+    assert audit["consistent"] and audit["unique_batch_ids"]
+    assert audit["n_batches"] == 2
+    assert sink.read_committed(spark).count() == 30
+
+
+def test_clips_iceberg_source_round_trip(spark, tmp_path):
+    from engine.streams import (
+        iceberg_stream_data_dir,
+        read_clip_stream_iceberg,
+        write_clips_iceberg,
+    )
+
+    loc = str(tmp_path / "clips_ice")
+    t = write_clips_iceberg(loc, 300, n_files=6, seed=7,
+                            files_per_snapshot=2)
+    assert len(t.snapshots()) == 3
+    # manifest-planned batch read sees every produced clip exactly once
+    batch = t.read(spark)
+    assert batch.count() == 300
+    assert batch.select("clip_id").distinct().count() == 300
+    # the stream over data/ replays the same committed rows
+    sdf = read_clip_stream_iceberg(spark, t, max_files_per_trigger=3)
+    q = (sdf.writeStream.format("memory").queryName("ice_clips")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) c FROM ice_clips").first().c
+    assert got == 300
+    # an uncommitted stray file in data/ breaks the invariant loudly
+    stray = os.path.join(t.data_dir, "stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not parquet")
+    with pytest.raises(ValueError, match="append-only-clean"):
+        iceberg_stream_data_dir(t)
+    os.unlink(stray)
+
+
+def test_sink_streaming_end_to_end_with_restart(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 40).repartition(4).write.parquet(src)
+    out = str(tmp_path / "ice_out")
+    ckpt = str(tmp_path / "ckpt")
+    sink = IcebergSink(out)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v double, s string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .groupBy("k").agg(F.sum("v").alias("v_sum"))
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink.foreach_batch())
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    n1 = sink.table().metadata()["last-sequence-number"]
+    run()  # restart from checkpoint: no new input → no new snapshots
+    assert sink.table().metadata()["last-sequence-number"] == n1
+    audit = sink.audit()
+    assert audit["consistent"] and audit["unique_batch_ids"]
+    got = sink.read_committed(spark)
+    # update-mode re-emits keys; latest snapshot rows must cover all 40 keys
+    assert got.select("k").distinct().count() == 40
