@@ -46,14 +46,49 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from engine.state import _ts_us, _us_ts, dur_ms
 
 
-def _steps_list(steps) -> list[tuple[str, Column]]:
-    out = list(steps.items()) if isinstance(steps, dict) else list(steps)
-    if len(out) < 2:
-        raise ValueError("a sequence pattern needs at least 2 steps")
-    names = [n for n, _ in out]
+def _parse_pattern(steps):
+    """Normalize a pattern into positive steps with link attributes.
+
+    Each element is ``(name, cond)`` or ``(name, cond, kind)`` with kind in
+    ``{"followedBy", "next", "notFollowedBy"}`` (FlinkCEP's contiguity
+    vocabulary; the first element is always the ``begin`` step). Returns
+    ``[(name, cond, kind, neg_cond)]`` for the positive steps, where
+    ``kind`` governs the link FROM the previous positive step and
+    ``neg_cond`` is the ``notFollowedBy`` predicate guarding that link
+    (no event matching it may fall strictly between the two matched
+    timestamps)."""
+    raw = list(steps.items()) if isinstance(steps, dict) else list(steps)
+    pos: list[tuple[str, Column, str, Column | None]] = []
+    pending_neg: Column | None = None
+    names = []
+    for j, item in enumerate(raw):
+        name, cond, kind = (*item, "followedBy") if len(item) == 2 else item
+        if kind not in ("followedBy", "next", "notFollowedBy"):
+            raise ValueError(f"unknown step kind {kind!r}")
+        if kind == "notFollowedBy":
+            if j == 0:
+                raise ValueError("pattern cannot begin with notFollowedBy")
+            if j == len(raw) - 1:
+                raise ValueError(
+                    "pattern cannot end with notFollowedBy (no following "
+                    "step to bound the negation)"
+                )
+            if pending_neg is not None:
+                raise ValueError("consecutive notFollowedBy steps")
+            pending_neg = cond
+            continue
+        names.append(name)
+        if kind == "next" and pending_neg is not None:
+            raise ValueError("notFollowedBy directly before next is "
+                             "contradictory (strict contiguity admits no "
+                             "intervening event at all)")
+        pos.append((name, cond, "begin" if not pos else kind, pending_neg))
+        pending_neg = None
+    if len(pos) < 2:
+        raise ValueError("a sequence pattern needs at least 2 positive steps")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
-    return out
+    return pos
 
 
 def detect_sequence(
@@ -71,26 +106,43 @@ def detect_sequence(
     ``last - first <= within``.  ``order_col`` breaks equal-timestamp ties
     deterministically (required for a stable oracle); rows with a null key
     never participate (SQL join semantics, same rule as the window store).
+
+    Steps may carry a FlinkCEP contiguity kind: ``(name, cond)`` /
+    ``(name, cond, "followedBy")`` is relaxed contiguity; ``(name, cond,
+    "next")`` is strict contiguity (the matched event must be the key's
+    IMMEDIATELY following input row — so with any ``next`` step the operator
+    cannot pre-prune non-matching rows and ships the key's full stream
+    through the exchange); ``(name, cond, "notFollowedBy")`` is negation —
+    no event matching ``cond`` may fall strictly between the surrounding
+    matched timestamps (events at exactly the boundary timestamps do not
+    invalidate; negation is timestamp-granular).
     """
-    steps = _steps_list(steps)
-    k = len(steps)
+    pos = _parse_pattern(steps)
+    k = len(pos)
     within_us = dur_ms(within) * 1000
+    has_next = any(kind == "next" for _, _, kind, _ in pos)
 
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w_order = Window.partitionBy(key_col).orderBy(*order)
+    w = w_order.rowsBetween(Window.unboundedPreceding, -1)
 
-    # Ship only matching rows through the exchange: predicate evaluation is
-    # JVM-side codegen BEFORE the shuffle, and non-matching rows are dropped.
-    any_step = steps[0][1]
-    for _, cond in steps[1:]:
-        any_step = any_step | cond
-    pruned = df.where(F.col(key_col).isNotNull() & any_step).select(
+    # Ship only pattern-relevant rows through the exchange: predicate
+    # evaluation is JVM-side codegen BEFORE the shuffle, and rows matching
+    # no positive/negated step are dropped. A "next" step defines adjacency
+    # over the key's FULL stream, so pruning is disabled then.
+    relevant = pos[0][1]
+    for _, cond, _, neg in pos[1:]:
+        relevant = relevant | cond
+        if neg is not None:
+            relevant = relevant | neg
+    keep = F.col(key_col).isNotNull()
+    if not has_next:
+        keep = keep & relevant
+    pruned = df.where(keep).select(
         key_col, ts_col, *([order_col] if order_col else []),
-        *[cond.alias(f"_m{i}") for i, (_, cond) in enumerate(steps)],
+        *[cond.alias(f"_m{i}") for i, (_, cond, _, _) in enumerate(pos)],
+        *[F.when(neg, F.col(ts_col)).alias(f"_g{i}")
+          for i, (_, _, _, neg) in enumerate(pos) if neg is not None],
     )
 
     # k chained window passes over the SAME (partition, order) spec — Catalyst
@@ -100,17 +152,31 @@ def detect_sequence(
         F.when(F.col("_m0"), F.struct(F.col(ts_col).alias("t0"))),
     )
     for i in range(1, k):
+        _, _, kind, neg = pos[i]
         # materialize the window pass once per step so the plan carries
-        # exactly one last(..., ignorenulls) per step (k Window functions,
-        # one Exchange+Sort total)
-        cur = cur.withColumn(
-            f"_p{i}", F.last(F.col(f"_c{i-1}"), ignorenulls=True).over(w)
-        )
+        # exactly one window function per step (one Exchange+Sort total)
+        if kind == "next":
+            cur = cur.withColumn(
+                f"_p{i}", F.lag(F.col(f"_c{i-1}"), 1).over(w_order)
+            )
+        else:
+            cur = cur.withColumn(
+                f"_p{i}", F.last(F.col(f"_c{i-1}"), ignorenulls=True).over(w)
+            )
         prev = F.col(f"_p{i}")
+        ok = F.col(f"_m{i}") & prev.isNotNull()
+        if neg is not None:
+            # latest negated-event ts strictly before this row; the link is
+            # valid unless it lands strictly after the predecessor's ts
+            cur = cur.withColumn(
+                f"_n{i}", F.last(F.col(f"_g{i}"), ignorenulls=True).over(w)
+            )
+            n = F.col(f"_n{i}")
+            ok = ok & (n.isNull() | (n <= prev[f"t{i-1}"]))
         cur = cur.withColumn(
             f"_c{i}",
             F.when(
-                F.col(f"_m{i}") & prev.isNotNull(),
+                ok,
                 F.struct(
                     *[prev[f"t{j}"].alias(f"t{j}") for j in range(i)],
                     F.col(ts_col).alias(f"t{i}"),
@@ -132,7 +198,8 @@ def detect_sequence(
         )
         .select(
             key_col,
-            *[last[f"t{i}"].alias(f"{name}_ts") for i, (name, _) in enumerate(steps)],
+            *[last[f"t{i}"].alias(f"{name}_ts")
+              for i, (name, _, _, _) in enumerate(pos)],
         )
     )
 
@@ -145,31 +212,59 @@ def detect_sequence_sql(
     within_sql: str,
     table: str,
     order_col: str,
+    step_kinds: Sequence[str] | None = None,
+    neg_preds: Sequence[str | None] | None = None,
 ) -> str:
     """ANSI-SQL twin of :func:`detect_sequence` (the DuckDB oracle): the same
     latest-predecessor cascade via ``last_value(... IGNORE NULLS)`` window
-    functions over ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``."""
+    functions over ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``.
+
+    ``step_kinds[i]`` ("followedBy" | "next") governs the link into positive
+    step ``i`` (``lag(ch, 1)`` instead of ``last_value`` for strict
+    contiguity); ``neg_preds[i]`` is the ``notFollowedBy`` predicate guarding
+    that link (latest negated ts must not land strictly after the
+    predecessor's ts)."""
     k = len(step_names)
     assert k == len(step_preds) and k >= 2
-    over = (
-        f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col} "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    kinds = list(step_kinds) if step_kinds else ["followedBy"] * k
+    negs = list(neg_preds) if neg_preds else [None] * k
+    assert len(kinds) == k and len(negs) == k
+    has_next = "next" in kinds
+    over_order = f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col}"
+    over = over_order + " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    relevant = [f"({p})" for p in step_preds] + [
+        f"({g})" for g in negs if g is not None
+    ]
+    where = f"{key_col} IS NOT NULL"
+    if not has_next:  # mirror the Spark-side pruning rule exactly
+        where += " AND (" + " OR ".join(relevant) + ")"
+    gcols = "".join(
+        f", CASE WHEN ({g}) THEN {ts_col} END AS g{i}"
+        for i, g in enumerate(negs) if g is not None
     )
     sql = (
         f"WITH s0 AS (SELECT {key_col}, {ts_col}, {order_col}, "
         + ", ".join(f"({p}) AS m{i}" for i, p in enumerate(step_preds))
-        + f" FROM {table} WHERE {key_col} IS NOT NULL AND ("
-        + " OR ".join(f"({p})" for p in step_preds)
-        + ")), c0 AS (SELECT *, CASE WHEN m0 THEN "
+        + gcols
+        + f" FROM {table} WHERE {where}"
+        + "), c0 AS (SELECT *, CASE WHEN m0 THEN "
         + f"struct_pack(t0 := {ts_col}) END AS ch0 FROM s0)"
     )
     for i in range(1, k):
         fields = ", ".join([f"t{j} := p{i}.t{j}" for j in range(i)]
                            + [f"t{i} := {ts_col}"])
+        prev = (
+            f"lag(ch{i-1}, 1) {over_order})" if kinds[i] == "next"
+            else f"last_value(ch{i-1} IGNORE NULLS) {over}"
+        )
+        inner = f"SELECT *, {prev} AS p{i}"
+        cond = f"m{i} AND p{i} IS NOT NULL"
+        if negs[i] is not None:
+            inner += f", last_value(g{i} IGNORE NULLS) {over} AS n{i}"
+            cond += f" AND (n{i} IS NULL OR n{i} <= p{i}.t{i-1})"
         sql += (
-            f", c{i} AS (SELECT *, CASE WHEN m{i} AND p{i} IS NOT NULL THEN "
-            f"struct_pack({fields}) END AS ch{i} FROM (SELECT *, "
-            f"last_value(ch{i-1} IGNORE NULLS) {over} AS p{i} FROM c{i-1}))"
+            f", c{i} AS (SELECT *, CASE WHEN {cond} THEN "
+            f"struct_pack({fields}) END AS ch{i} FROM ({inner} FROM c{i-1}))"
         )
     outs = ", ".join(
         f"ch{k-1}.t{i} AS {n}_ts" for i, n in enumerate(step_names)
@@ -192,15 +287,29 @@ def _cascade(
     carry: list[np.ndarray | None],
     k: int,
     within_us: int,
+    kinds: Sequence[str] | None = None,
+    neg_bits: Sequence[int | None] | None = None,
+    carry_neg: list[int] | None = None,
+    last_comp: int = 0,
 ):
     """Run the latest-predecessor NFA over one key's mature rows.
 
     ``ts`` sorted ascending (µs), ``masks`` int64 step bitmasks, ``carry``
     the per-step partial chains from prior batches (``carry[i]`` =
     timestamps ``t0..ti`` of the latest completed step-i chain, or None).
-    Vectorized: per step one masked running-argmax; Python only per emitted
-    match / carried chain (O(k) each).  Returns (matches, new_carry).
+    ``kinds[i]`` is the link kind into positive step i ("followedBy" /
+    "next"); ``neg_bits[i]`` the mask bit of the notFollowedBy predicate
+    guarding that link (None when unguarded); ``carry_neg[i]`` the latest
+    already-processed negated-event ts; ``last_comp`` the completion
+    bitmask of the previously-processed row (adjacency seed for "next"
+    across batch boundaries).  Vectorized: per step one masked
+    running-argmax (or shift, for "next"); Python only per emitted match /
+    carried chain (O(k) each).  Returns (matches, new_carry,
+    new_carry_neg, new_last_comp).
     """
+    kinds = list(kinds) if kinds else ["followedBy"] * k
+    neg_bits = list(neg_bits) if neg_bits else [None] * k
+    carry_neg = list(carry_neg) if carry_neg else [-1] * k
     # Materialize carried chains as pseudo-rows completing their step, sorted
     # before all real rows (their completion time <= previous watermark).
     pseudo = [(int(c[-1]), i, c) for i, c in enumerate(carry) if c is not None]
@@ -214,16 +323,57 @@ def _cascade(
     idxs = np.arange(N)
     comp = np.zeros((k, N), dtype=bool)
     preds = np.full((k, N), -1, dtype="int64")
+    pseudo_of_step = {step_i: pj for pj, (_, step_i, _) in enumerate(pseudo)}
     for pj, (_, step_i, _) in enumerate(pseudo):
         comp[step_i, pj] = True
     m_real = [((masks >> i) & 1).astype(bool) for i in range(k)]
+    # per-step running "latest negated-event ts strictly before this row"
+    neg_run = {}
+    for i, b in enumerate(neg_bits):
+        if b is None:
+            continue
+        g = ((masks >> b) & 1).astype(bool)
+        run = np.maximum.accumulate(np.where(g, ts, np.int64(-(1 << 62))))
+        before = np.empty(n, dtype="int64")
+        before[0] = carry_neg[i]
+        if n > 1:
+            before[1:] = np.maximum(run[:-1], carry_neg[i])
+        neg_run[i] = before
     for i in range(k):
         if i == 0:
             comp[0, np_:] |= m_real[0]
+        elif kinds[i] == "next":
+            # strict contiguity: predecessor is the key's immediately
+            # preceding input row (real rows only; the batch-boundary seed
+            # is the previous processed row's completion bitmask)
+            adj = np.zeros(n, dtype=bool)
+            pred_idx = np.full(n, -1, dtype="int64")
+            if n > 0:
+                prev_ok = bool((last_comp >> (i - 1)) & 1) and (
+                    (i - 1) in pseudo_of_step
+                )
+                adj[0] = prev_ok
+                pred_idx[0] = pseudo_of_step[i - 1] if prev_ok else -1
+                if n > 1:
+                    adj[1:] = comp[i - 1, np_ + 0:np_ + n - 1]
+                    pred_idx[1:] = np.where(
+                        adj[1:], idxs[np_:np_ + n - 1], -1
+                    )
+            comp[i, np_:] = m_real[i] & adj
+            preds[i - 1, np_:] = np.where(comp[i, np_:], pred_idx,
+                                          preds[i - 1, np_:])
         else:
             comp[i, np_:] |= m_real[i] & (preds[i - 1, np_:] >= 0)
-        run = np.maximum.accumulate(np.where(comp[i], idxs, -1))
-        if i < k - 1:
+        if i in neg_run and i > 0 and kinds[i] != "next":
+            # negation guard: latest negated ts must not land strictly
+            # after the predecessor's ts (timestamp-granular, same rule as
+            # the batch cascade)
+            p = preds[i - 1, np_:]
+            pred_ts = np.where(p >= 0, all_ts[np.maximum(p, 0)],
+                               np.int64(-(1 << 62)))
+            comp[i, np_:] &= neg_run[i] <= pred_ts
+        if i < k - 1 and kinds[i + 1] != "next":
+            run = np.maximum.accumulate(np.where(comp[i], idxs, -1))
             preds[i, 1:] = run[:-1]
 
     def chain_of(step_i: int, row: int) -> list[int] | None:
@@ -260,7 +410,18 @@ def _cascade(
             ch = chain_of(i, run_last)
             if ch is not None:
                 new_carry[i] = np.array(ch, dtype="int64")
-    return matches, new_carry
+    new_carry_neg = list(carry_neg)
+    for i, b in enumerate(neg_bits):
+        if b is None:
+            continue
+        g = ((masks >> b) & 1).astype(bool)
+        if g.any():
+            new_carry_neg[i] = max(new_carry_neg[i], int(ts[g].max()))
+    new_last_comp = (
+        sum((1 << i) for i in range(k) if comp[i, N - 1]) if n > 0
+        else last_comp
+    )
+    return matches, new_carry, new_carry_neg, new_last_comp
 
 
 def stateful_pattern_detect(
@@ -274,40 +435,71 @@ def stateful_pattern_detect(
 ) -> DataFrame:
     """Streaming CEP over the custom ``applyInPandasWithState`` store.
 
-    Same match semantics as :func:`detect_sequence`; a match emits when the
+    Same match semantics as :func:`detect_sequence` — including the
+    ``next`` / ``notFollowedBy`` step kinds; a match emits when the
     watermark passes its final event's timestamp (append-mode determinism —
     output is independent of micro-batch boundaries for distinct
     timestamps).  State per key: the step-i partial chains (pruned as soon
     as ``t0 + within`` falls behind the watermark — they can no longer
-    complete) plus events newer than the watermark.  Late rows (ts at or
-    before the processed frontier) are dropped, matching built-in
-    late-data semantics.
+    complete) plus events newer than the watermark (with a ``next`` step
+    that buffer holds the key's full stream, since strict contiguity is
+    defined over all input rows).  Late rows (ts at or before the
+    processed frontier) are dropped, matching built-in late-data
+    semantics.
     """
-    steps = _steps_list(steps)
-    k = len(steps)
+    pos = _parse_pattern(steps)
+    k = len(pos)
+    kinds = [kind for _, _, kind, _ in pos]
+    has_next = "next" in kinds
     within_us = dur_ms(within) * 1000
     retention_us = dur_ms(late_retention) * 1000
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
 
-    any_step = steps[0][1]
-    for _, cond in steps[1:]:
-        any_step = any_step | cond
+    neg_bits: list[int | None] = []
+    next_bit = k
+    for _, _, _, neg in pos:
+        if neg is None:
+            neg_bits.append(None)
+        else:
+            neg_bits.append(next_bit)
+            next_bit += 1
+    relevant = pos[0][1]
+    for _, cond, _, neg in pos[1:]:
+        relevant = relevant | cond
+        if neg is not None:
+            relevant = relevant | neg
     mask = F.lit(0).cast("long")
-    for i, (_, cond) in enumerate(steps):
+    for i, (_, cond, _, _) in enumerate(pos):
         mask = mask + F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
-    src = df.where(F.col(key_col).isNotNull() & any_step).select(
+    for i, (_, _, _, neg) in enumerate(pos):
+        if neg is not None:
+            mask = mask + F.when(neg, F.lit(1 << neg_bits[i])).otherwise(F.lit(0))
+    keep = F.col(key_col).isNotNull()
+    if not has_next:  # strict contiguity needs the key's full stream
+        keep = keep & relevant
+    # Filtered-out rows must still advance the event clock (FlinkCEP assigns
+    # watermarks at the source, upstream of the pattern's select). A filter
+    # whose conjuncts never reference the event-time column gets split and
+    # pushed BELOW the EventTimeWatermark node by PushPredicateThroughNonJoin,
+    # starving the watermark of pruned rows' timestamps — the clock then only
+    # moves when a pattern-relevant event arrives. OR-ing in a reference to
+    # the watermark column pins the whole filter above the watermark node;
+    # null-ts rows that now pass are dropped in the state fn (NaT maps to
+    # int64 min, so `ts > thru` rejects them).
+    keep = keep | F.col(ts_col).isNull()
+    src = df.where(keep).select(
         key_col, F.col(ts_col).alias("_ts"), mask.alias("_m")
     )
     key_sql = df.schema[key_col].dataType.simpleString()
     # fn must close over plain picklable data only (no pyspark Columns)
-    step_names = [name for name, _ in steps]
+    step_names = [name for name, _, _, _ in pos]
     out_ddl = f"{key_col} {key_sql}, " + ", ".join(
         f"{name}_ts timestamp" for name in step_names
     )
     state_ddl = (
         "thru long, chains array<array<long>>, "
-        "bts array<long>, bm array<long>"
+        "bts array<long>, bm array<long>, cneg array<long>, lcomp long"
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -315,18 +507,22 @@ def stateful_pattern_detect(
         wm = wm_ms * 1000
         clamp = lambda t: max(t, wm_ms + 1, 1)
         if state.exists:
-            thru, chains_raw, bts, bm = state.get
+            thru, chains_raw, bts, bm, cneg, lcomp = state.get
             carry = [
                 np.array(c, dtype="int64") if c is not None and len(c) else None
                 for c in chains_raw
             ]
             buf_ts = np.array(bts, dtype="int64")
             buf_m = np.array(bm, dtype="int64")
+            carry_neg = list(cneg)
+            last_comp = int(lcomp)
         else:
             thru = 0
             carry = [None] * k
             buf_ts = np.empty(0, dtype="int64")
             buf_m = np.empty(0, dtype="int64")
+            carry_neg = [-(1 << 62)] * k
+            last_comp = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
@@ -340,9 +536,10 @@ def stateful_pattern_detect(
         mature = buf_ts <= wm
         if mature.any():
             order = np.argsort(buf_ts[mature], kind="stable")
-            matches, carry = _cascade(
+            matches, carry, carry_neg, last_comp = _cascade(
                 buf_ts[mature][order], buf_m[mature][order], carry, k,
-                within_us,
+                within_us, kinds=kinds, neg_bits=neg_bits,
+                carry_neg=carry_neg, last_comp=last_comp,
             )
             thru = max(thru, wm)
             if matches:
@@ -369,14 +566,20 @@ def stateful_pattern_detect(
                 thru,
                 [c.tolist() if c is not None else [] for c in carry],
                 buf_ts.tolist(), buf_m.tolist(),
+                list(carry_neg), int(last_comp),
             ))
             state.setTimeoutTimestamp(clamp(nxt))
         elif state.exists:
+            # carry_neg / last_comp need not survive removal: with no
+            # partial chain, any future predecessor postdates every
+            # already-seen negated event (neg_ts <= pred_ts holds), and
+            # "next" adjacency without a carried chain cannot link anyway
             state.remove()
         else:
             # first sight of this key produced nothing durable; keep a short
             # tombstone so the group isn't re-created per batch needlessly
-            state.update((thru, [[] for _ in range(k)], [], []))
+            state.update((thru, [[] for _ in range(k)], [], [],
+                          list(carry_neg), int(last_comp)))
             state.setTimeoutTimestamp(clamp((wm + retention_us) // 1000 + 1))
 
     return src.groupBy(key_col).applyInPandasWithState(

@@ -316,11 +316,6 @@ def stateful_window_agg(
     n_wins = width_ms // slide_ms
     retention_ms = dur_ms(late_retention)
     label = label or width_label(width)
-    # Null keys are excluded (documented): feature-group primary keys are
-    # non-null and the reference's keyBy NPEs on null; Spark's built-in
-    # window() would aggregate a null-key group — pre-map nulls upstream if
-    # that behavior is needed.
-    df = df.where(F.col(key_col).isNotNull())
     # Column pruning, done by hand: Catalyst prunes the scan for built-in
     # aggregates, but applyInPandasWithState ships EVERY child column through
     # the shuffle and the Arrow boundary into Python. On the clip stream the
@@ -337,6 +332,18 @@ def stateful_window_agg(
         df = df.withWatermark(
             ts_col, f"{dur_ms(watermark) + shift_ms} milliseconds"
         )
+    # Null keys are excluded (documented): feature-group primary keys are
+    # non-null and the reference's keyBy NPEs on null; Spark's built-in
+    # window() would aggregate a null-key group — pre-map nulls upstream if
+    # that behavior is needed. Null-KEY rows must still advance the event
+    # clock (watermarks are assigned at the source, upstream of any keyBy),
+    # so the filter sits ABOVE the EventTimeWatermark node and carries a
+    # reference to the event-time column (`| ts IS NULL`) — a conjunct-only
+    # predicate would be split and pushed below the watermark node by
+    # PushPredicateThroughNonJoin, hiding dropped rows' timestamps from the
+    # clock. Null-ts rows that now pass are rejected in the state fn (NaT
+    # maps to int64 min, failing every liveness check).
+    df = df.where(F.col(key_col).isNotNull() | F.col(ts_col).isNull())
     key_sql, key_pd = _key_meta(df, key_col)
     salted = n_salts is not None
     out_ddl = (
@@ -492,7 +499,6 @@ def stateful_session_agg(
     extended).  ``watermark`` / ``late_retention`` / ``n_buckets`` as in
     :func:`stateful_window_agg`.
     """
-    df = df.where(F.col(key_col).isNotNull())  # null keys excluded (see above)
     # hand column pruning (see stateful_window_agg): don't ship unused
     # payload columns through the shuffle + Arrow boundary
     df = df.select(
@@ -506,6 +512,9 @@ def stateful_session_agg(
         df = df.withWatermark(
             ts_col, f"{dur_ms(watermark) + dur_ms(gap)} milliseconds"
         )
+    # null keys excluded but their timestamps still advance the clock —
+    # filter above the watermark node, unsplittable (see stateful_window_agg)
+    df = df.where(F.col(key_col).isNotNull() | F.col(ts_col).isNull())
     key_sql, key_pd = _key_meta(df, key_col)
     out_ddl = _out_ddl(key_col, key_sql, label)
     state_ddl = (

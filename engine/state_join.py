@@ -83,9 +83,14 @@ def stateful_stream_join(
             return F.lit(0).cast(sql_type)
         return F.lit(None).cast(sql_type)
 
-    # SQL equi-join semantics: null keys never match → inner join drops them
-    left = left.where(F.col(key_col).isNotNull())
-    right = right.where(F.col(key_col).isNotNull())
+    # SQL equi-join semantics: null keys never match → inner join drops them.
+    # The `| ts IS NULL` disjunct keeps the filter above each side's
+    # EventTimeWatermark node (unsplittable, references the event-time
+    # column), so dropped null-key rows still advance the clock; null-ts
+    # rows that pass are rejected by the buffer's liveness check (NaT →
+    # int64 min). See stateful_window_agg for the pushdown mechanics.
+    left = left.where(F.col(key_col).isNotNull() | F.col(ts_col).isNull())
+    right = right.where(F.col(key_col).isNotNull() | F.col(ts_col).isNull())
 
     tagged_l = left.select(
         F.col(key_col).cast(key_sql), F.col(ts_col), F.lit(0).alias("__side"),

@@ -207,3 +207,157 @@ def test_rejects_bad_patterns():
     with pytest.raises(ValueError):
         detect_sequence(None, "k", "ts",
                         [("dup", F.lit(True)), ("dup", F.lit(True))], "1 hour")
+    t = F.lit(True)
+    for bad in (
+        [("n", t, "notFollowedBy"), ("a", t), ("b", t)],   # neg first
+        [("a", t), ("b", t), ("n", t, "notFollowedBy")],   # neg last
+        [("a", t), ("n1", t, "notFollowedBy"),
+         ("n2", t, "notFollowedBy"), ("b", t)],            # consecutive negs
+        [("a", t), ("n", t, "notFollowedBy"),
+         ("b", t, "next")],                                # neg before next
+        [("a", t), ("b", t, "sometimes")],                 # unknown kind
+    ):
+        with pytest.raises(ValueError):
+            detect_sequence(None, "k", "ts", bad, "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# next / notFollowedBy step kinds (FlinkCEP strict contiguity + negation)
+# ---------------------------------------------------------------------------
+
+_STRICT_NAMES = ["view", "click", "purchase"]
+
+
+def _strict_steps():
+    return [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "next"),
+        ("err", F.col("event_type") == "error", "notFollowedBy"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+
+
+def _strict_sql():
+    return detect_sequence_sql(
+        "user_id", "ts", _STRICT_NAMES,
+        ["event_type = 'view'", "event_type = 'click'",
+         "event_type = 'purchase'"],
+        "INTERVAL 48 HOUR", "events", "event_id",
+        step_kinds=["begin", "next", "followedBy"],
+        neg_preds=[None, None, "event_type = 'error'"],
+    )
+
+
+def _sorted_strict(df: pd.DataFrame) -> pd.DataFrame:
+    cols = ["user_id"] + [f"{n}_ts" for n in _STRICT_NAMES]
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_batch_next_and_negation_match_duckdb(spark):
+    ev = spark.read.parquet(SF + "/events.parquet")
+    got = detect_sequence(
+        ev, "user_id", "ts", _strict_steps(), "48 hours", order_col="event_id"
+    ).toPandas()
+    duckdb.sql(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = duckdb.sql(_strict_sql()).df()
+    assert len(got) > 0
+    # strict contiguity + negation must cut the relaxed-funnel match set
+    relaxed = detect_sequence(ev, "user_id", "ts", _steps(), "48 hours",
+                              order_col="event_id").count()
+    assert len(got) < relaxed
+    pd.testing.assert_frame_equal(
+        _sorted_strict(got), _sorted_strict(want), check_dtype=False
+    )
+
+
+def test_stream_next_and_negation_match_batch(spark, tmp_path):
+    src_pq = SF + "/events.parquet"
+    pdf = pd.read_parquet(src_pq).sort_values("ts").reset_index(drop=True)
+    d = str(tmp_path / "ev_stream_strict")
+    os.makedirs(d)
+    n_files = 6
+    for i in range(n_files):
+        chunk = pdf.iloc[i * len(pdf) // n_files:(i + 1) * len(pdf) // n_files]
+        p = f"{d}/part{i:02d}.parquet"
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(src_pq).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(d).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(stream, "ts", "user_id", _strict_steps(),
+                                "48 hours", watermark="60 seconds"),
+    )
+    ev = spark.read.parquet(src_pq)
+    cut = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(seconds=60)
+    want = detect_sequence(ev, "user_id", "ts", _strict_steps(), "48 hours",
+                           order_col="event_id").toPandas()
+    want = want[want["purchase_ts"] <= cut]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        _sorted_strict(got), _sorted_strict(want), check_dtype=False
+    )
+
+
+def test_next_adjacency_across_batch_boundary(spark, tmp_path):
+    """user 1: a is the last mature row of one batch, b the first of the
+    next — strict contiguity must link them through carried state. user 2:
+    an intervening x breaks adjacency."""
+    steps = [("a", F.col("event_type") == "a"),
+             ("b", F.col("event_type") == "b", "next")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a"), (2, 100, "a"), (2, 150, "x")],
+        [(9, 1_000, "x")],                  # wm advances past 100/150
+        [(1, 200, "b"), (2, 200, "b")],
+        [(9, 50_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "10 minutes", watermark="60 seconds"),
+    )
+    assert list(got["user_id"]) == [1]
+    # batch twin agrees
+    rows = [(1, 100, "a"), (2, 100, "a"), (2, 150, "x"),
+            (1, 200, "b"), (2, 200, "b")]
+    bdf = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    want = detect_sequence(bdf, "user_id", "ts", steps, "10 minutes").toPandas()
+    assert list(want["user_id"]) == [1]
+
+
+def test_negation_across_batch_boundary(spark, tmp_path):
+    """user 1: the negated event lands in an EARLIER batch than the final
+    step — the carried latest-neg timestamp must still invalidate the link.
+    user 2: neg event before the 'a' match does not invalidate."""
+    steps = [("a", F.col("event_type") == "a"),
+             ("n", F.col("event_type") == "n", "notFollowedBy"),
+             ("b", F.col("event_type") == "b")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a"), (1, 150, "n"), (2, 50, "n"), (2, 100, "a")],
+        [(9, 1_000, "x")],                  # wm advances: batch 0 processed
+        [(1, 200, "b"), (2, 200, "b")],
+        [(9, 50_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "10 minutes", watermark="60 seconds"),
+    )
+    assert list(got["user_id"]) == [2]
+    rows = [(1, 100, "a"), (1, 150, "n"), (2, 50, "n"), (2, 100, "a"),
+            (1, 200, "b"), (2, 200, "b")]
+    bdf = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    want = detect_sequence(bdf, "user_id", "ts", steps, "10 minutes").toPandas()
+    assert list(want["user_id"]) == [2]
