@@ -1304,6 +1304,90 @@ def _q_speech_features(spark, sf_dir):
     )
 
 
+def _q_audio_loudness(spark, sf_dir):
+    """ITU-R BS.1770 integrated loudness + VAD speech ratio per speaker
+    (engine/audio_ops.py with_loudness / segment_clips; K-weighting verified
+    against the spec's printed 48 kHz coefficient table and the 997 Hz
+    -3.01 LKFS reference tone in tests). Synthetic binary input →
+    rows-only."""
+    from engine.audio_ops import segment_clips, with_loudness
+
+    clips = _clips_df(spark, n=200)
+    loud = with_loudness(clips).groupBy("speaker_id").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.round(F.avg("loudness_lufs"), 4).alias("avg_lufs"),
+    )
+    segs = segment_clips(clips, emit_bytes=False)
+    speech = segs.groupBy("speaker_id").agg(
+        F.round(F.avg("speech_ratio"), 6).alias("avg_speech_ratio"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return loud.join(speech, "speaker_id", "left").orderBy("speaker_id")
+
+
+def _q_audio_resample(spark, sf_dir):
+    """Corpus sample-rate normalization to 8 kHz via the polyphase
+    windowed-sinc resampler (engine/audio_ops.py resample_poly; tone-SNR and
+    anti-aliasing verified in tests). One mapInPandas stage, no shuffle
+    until the audit agg. Synthetic binary input → rows-only."""
+    from engine.audio_ops import resample_clips
+
+    clips = _clips_df(spark, n=200)
+    out = resample_clips(clips, 8000)
+    return out.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("sr_hz").alias("min_sr"),
+        F.max("sr_hz").alias("max_sr"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+    )
+
+
+def _q_audio_fingerprint_dedup(spark, sf_dir):
+    """Near-duplicate audio detection via constellation-hash alignment
+    voting (engine/audio_ops.py fingerprint_dedup — the Shazam/Wang-2003
+    shape as a bucketed self-join, O(hashes) shuffle, frequent-hash cap
+    default-on). Planted duplicates: every 8th clip is re-emitted
+    gain-scaled and hop-aligned-shifted; the entry counts recovered planted
+    pairs. Rows-only (synthetic binary)."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.audio import decode_payload, encode_wav_pcm16
+    from engine.audio_ops import fingerprint_dedup
+    from engine.synth import make_clips_pdf
+
+    pdf = make_clips_pdf(64, seed=42)
+    dups = []
+    for i in range(0, len(pdf), 8):
+        r = pdf.iloc[i]
+        x = decode_payload(r["bytes"], r["codec"], int(r["sr_hz"]))
+        shifted = np.concatenate([np.zeros(2 * 512), 0.7 * x])
+        dups.append(
+            {
+                "clip_id": "dup_" + r["clip_id"][:16],
+                "bytes": encode_wav_pcm16(shifted, int(r["sr_hz"])),
+                "sr_hz": r["sr_hz"],
+                "dur_ms": int(r["dur_ms"]) + int(2 * 512 * 1000 / r["sr_hz"]),
+                "codec": "pcm_s16le",
+                "transcript": r["transcript"],
+                "event_ts": r["event_ts"],
+                "speaker_id": r["speaker_id"],
+            }
+        )
+    corpus = spark.createDataFrame(pd.concat([pdf, pd.DataFrame(dups)]))
+    # vote threshold 40: planted pairs land at >=245 aligned votes on this
+    # corpus, spurious same-speaker resonances at <=28 — wide margin
+    pairs = fingerprint_dedup(corpus, min_matches=40)
+    return pairs.select(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("id_b").startswith("dup_") | F.col("id_a").startswith("dup_"))
+            .cast("long")
+        ).alias("n_planted_recovered"),
+        F.min("aligned_matches").alias("min_votes"),
+    )
+
+
 def _q_image_features(spark, sf_dir):
     """REAL lib-free image decode (BMP + PNG byte layouts,
     engine/multimodal.py decode_bmp / decode_png) through the mapInPandas
@@ -1721,6 +1805,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio graft
         "audio_features": _q_audio_features,
         "speech_features": _q_speech_features,
+        "audio_loudness": _q_audio_loudness,
+        "audio_resample": _q_audio_resample,
+        "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "image_features": _q_image_features,
         "video_features": _q_video_features,
         "clip_window_agg": _q_clip_window_agg,
