@@ -71,12 +71,18 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_udf(n_bits: int, seed: int, dim: int):
+def _hyperplane_udf(n_bits: int, seed: int, dim: int | None):
+    """``dim=None`` derives the width from the first batch's vectors —
+    the plane matrix depends only on (seed, dim), so executor-side
+    derivation is deterministic and avoids a driver-side ``first()`` job."""
+
     @F.pandas_udf(T.IntegerType())
     def sig(vecs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_bits))
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
         m = np.stack(vecs.to_numpy())
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim or m.shape[1], n_bits))
         bits = (m @ planes) > 0
         return pd.Series((bits @ (1 << np.arange(n_bits))).astype(np.int32))
 
@@ -98,9 +104,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets per table, exact re-rank on
     the union of bucket hits. Recall grows with n_tables; candidate count per
-    query is ~corpus/2^n_bits per table."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    query is ~corpus/2^n_bits per table. ``dim=None`` is free: the
+    hyperplane UDF derives the width executor-side from its first batch
+    (no hidden driver job)."""
 
     def with_sigs(df, col, out_prefix):
         for t in range(n_tables):
