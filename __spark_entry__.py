@@ -130,6 +130,33 @@ def _cep_sql() -> str:
     )
 
 
+def _q_cep_times(spark, sf_dir):
+    """CEP times(n) looping quantifier (FlinkCEP ``.times(2)``): the funnel
+    view → click×2 → purchase within 48 h. The quantifier expands to step
+    replicas before the cascade, so the plan stays one Exchange + k window
+    passes (engine/cep.py _parse_pattern)."""
+    from engine.cep import detect_sequence
+
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "followedBy", 2),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return detect_sequence(_read(spark, sf_dir, "events"), "user_id", "ts",
+                           steps, "48 hours", order_col="event_id")
+
+
+def _cep_times_sql() -> str:
+    from engine.cep import detect_sequence_sql
+
+    return detect_sequence_sql(
+        "user_id", "ts", ["view", "click_1", "click_2", "purchase"],
+        ["event_type = 'view'", "event_type = 'click'",
+         "event_type = 'click'", "event_type = 'purchase'"],
+        "INTERVAL 48 HOUR", "events", "event_id",
+    )
+
+
 _WINDOW_AGG_10M = (
     "count(*) AS num_trans_per_{l}, round(avg(value), 6) AS avg_amt_per_{l}, "
     "round(stddev_samp(value), 6) AS stdev_amt_per_{l}, "
@@ -1754,6 +1781,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_dynamic_gap": _q_session_dynamic_gap,
         # CEP (north rule "structured-streaming / CEP engine")
         "cep_funnel": _q_cep_funnel,
+        "cep_times": _q_cep_times,
         # aggregations
         "keyed_stats_orders": _q_keyed_stats_orders,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1823,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "session_6h": _SQL_SESSION_6H,
         "session_dynamic_gap": _SQL_SESSION_DYNAMIC,
         "cep_funnel": _cep_sql(),
+        "cep_times": _cep_times_sql(),
         "stateful_cep_funnel": (
             f"SELECT * FROM ({_cep_sql()}) "
             f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"

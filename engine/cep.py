@@ -51,13 +51,39 @@ def _parse_pattern(steps):
 
     Each element is ``(name, cond)`` or ``(name, cond, kind)`` with kind in
     ``{"followedBy", "next", "notFollowedBy"}`` (FlinkCEP's contiguity
-    vocabulary; the first element is always the ``begin`` step). Returns
-    ``[(name, cond, kind, neg_cond)]`` for the positive steps, where
-    ``kind`` governs the link FROM the previous positive step and
-    ``neg_cond`` is the ``notFollowedBy`` predicate guarding that link
+    vocabulary; the first element is always the ``begin`` step), or
+    ``(name, cond, kind, times)`` where ``times >= 1`` is FlinkCEP's
+    ``times(n)`` looping quantifier: the step must match ``n`` events.
+    A quantified step expands into ``n`` replicas named ``{name}_1 ..
+    {name}_n`` BEFORE the cascade/NFA ever sees it — the first replica
+    keeps the incoming link ``kind``, and each subsequent replica links
+    with that same ``kind`` too, so ``("fail", c, "next", 3)`` is
+    FlinkCEP ``next().times(3).consecutive()`` (three adjacent rows) while
+    ``("fail", c, "followedBy", 3)`` is the default relaxed internal
+    contiguity. Returns ``[(name, cond, kind, neg_cond)]`` for the positive
+    steps, where ``kind`` governs the link FROM the previous positive step
+    and ``neg_cond`` is the ``notFollowedBy`` predicate guarding that link
     (no event matching it may fall strictly between the two matched
     timestamps)."""
-    raw = list(steps.items()) if isinstance(steps, dict) else list(steps)
+    raw0 = list(steps.items()) if isinstance(steps, dict) else list(steps)
+    raw = []
+    for item in raw0:
+        if len(item) == 4:
+            name, cond, kind, times = item
+            if not isinstance(times, int) or times < 1:
+                raise ValueError(f"times quantifier must be an int >= 1, "
+                                 f"got {times!r}")
+            if kind == "notFollowedBy":
+                raise ValueError("notFollowedBy cannot carry a times "
+                                 "quantifier")
+            if times == 1:
+                raw.append((name, cond, kind))
+            else:
+                raw.extend(
+                    (f"{name}_{j + 1}", cond, kind) for j in range(times)
+                )
+        else:
+            raw.append(item)
     pos: list[tuple[str, Column, str, Column | None]] = []
     pending_neg: Column | None = None
     names = []

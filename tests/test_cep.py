@@ -361,3 +361,120 @@ def test_negation_across_batch_boundary(spark, tmp_path):
     )
     want = detect_sequence(bdf, "user_id", "ts", steps, "10 minutes").toPandas()
     assert list(want["user_id"]) == [2]
+
+
+# ---------------------------------------------------------------------------
+# times(n) looping quantifier (FlinkCEP .times(n))
+# ---------------------------------------------------------------------------
+
+_TIMES_NAMES = ["view", "click_1", "click_2", "purchase"]
+
+
+def _times_steps():
+    return [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "followedBy", 2),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+
+
+def test_batch_times_matches_duckdb(spark):
+    """times(2) == the hand-expanded pattern, value-checked against the
+    DuckDB cascade over the expanded step list."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    got = detect_sequence(
+        ev, "user_id", "ts", _times_steps(), "48 hours", order_col="event_id"
+    ).toPandas()
+    duckdb.sql(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = duckdb.sql(
+        detect_sequence_sql(
+            "user_id", "ts", _TIMES_NAMES,
+            ["event_type = 'view'", "event_type = 'click'",
+             "event_type = 'click'", "event_type = 'purchase'"],
+            "INTERVAL 48 HOUR", "events", "event_id",
+        )
+    ).df()
+    assert len(got) > 0
+    cols = ["user_id"] + [f"{n}_ts" for n in _TIMES_NAMES]
+    assert list(got.columns) == cols
+    got_s = got[cols].sort_values(cols).reset_index(drop=True)
+    want_s = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_times_consecutive_semantics(spark):
+    """("fail", cond, "next", 3) = three ADJACENT failures: an intervening
+    non-matching row breaks the run."""
+    rows = [
+        # user 1: ok, fail, fail, fail, alert  -> match
+        (1, 1, 0, "ok"), (2, 1, 10, "fail"), (3, 1, 20, "fail"),
+        (4, 1, 30, "fail"), (5, 1, 40, "alert"),
+        # user 2: fail, fail, ok, fail, alert  -> run broken, no match
+        (6, 2, 10, "fail"), (7, 2, 20, "fail"), (8, 2, 25, "ok"),
+        (9, 2, 30, "fail"), (10, 2, 40, "alert"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), t)
+         for i, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    steps = [
+        ("fail", F.col("event_type") == "fail", "next", 3),
+        ("alert", F.col("event_type") == "alert"),
+    ]
+    got = detect_sequence(df, "user_id", "ts", steps, "5 minutes",
+                          order_col="event_id").toPandas()
+    assert list(got["user_id"]) == [1]
+    assert list(got.columns) == [
+        "user_id", "fail_1_ts", "fail_2_ts", "fail_3_ts", "alert_ts"
+    ]
+    # note: the FIRST replica of a "next"-quantified begin step keeps kind
+    # "begin", so only internal links are strict — by construction
+    assert got["fail_1_ts"].iloc[0].second == 10
+
+
+def test_stream_times_matches_batch(spark, tmp_path):
+    """Quantified pattern through the streaming NFA across micro-batches
+    equals the batch operator (watermark-closed matches)."""
+    steps = [("a", F.col("event_type") == "a"),
+             ("b", F.col("event_type") == "b", "followedBy", 2),
+             ("c", F.col("event_type") == "c")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a"), (1, 110, "b")],
+        [(1, 120, "b"), (2, 100, "a"), (2, 110, "b")],
+        [(1, 130, "c"), (2, 130, "c")],       # user 2 has only ONE b
+        [(9, 50_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "10 minutes", watermark="60 seconds"),
+    )
+    assert list(got["user_id"]) == [1]
+    rows = [(1, 100, "a"), (1, 110, "b"), (1, 120, "b"), (2, 100, "a"),
+            (2, 110, "b"), (1, 130, "c"), (2, 130, "c")]
+    bdf = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    want = detect_sequence(bdf, "user_id", "ts", steps, "10 minutes").toPandas()
+    assert list(want["user_id"]) == [1]
+    assert list(got.columns) == list(want.columns)
+
+
+def test_rejects_bad_times():
+    t = F.lit(True)
+    for bad in (
+        [("a", t, "followedBy", 0), ("b", t)],             # times < 1
+        [("a", t, "followedBy", 1.5), ("b", t)],           # non-int
+        [("a", t), ("n", t, "notFollowedBy", 2), ("b", t)],  # neg quantified
+    ):
+        with pytest.raises(ValueError):
+            detect_sequence(None, "k", "ts", bad, "1 hour")
+    # times == 1 degenerates to the plain step
+    from engine.cep import _parse_pattern
+    pos = _parse_pattern([("a", t, "followedBy", 1), ("b", t)])
+    assert [p[0] for p in pos] == ["a", "b"]
