@@ -109,9 +109,13 @@ def main() -> None:
     clips_dir = os.path.join(workdir, "clips")
     t0 = time.time()
     subprocess.run(
+        # --iceberg: the topic is an Iceberg v2 table (north rule); the
+        # pipeline job auto-detects it and streams the manifest-validated
+        # data/ dir — same parquet bytes, O(KB) metadata on top
         [sys.executable, "-m", "engine.jobs", "producer", "--out", clips_dir,
          "--n-clips", str(args.n_clips), "--n-files", str(args.n_files),
-         "--jitter-ms", "30000", "--max-dur-ms", str(args.max_dur_ms)],
+         "--jitter-ms", "30000", "--max-dur-ms", str(args.max_dur_ms),
+         "--iceberg"],
         check=True, env=dict(os.environ, PYTHONPATH=ROOT), capture_output=True,
         timeout=1800, text=True,
     )
