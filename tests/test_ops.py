@@ -752,3 +752,40 @@ def test_dedup_components_transitive_and_singletons(spark):
     assert all(r["is_canonical"] and r["canonical_id"] == r["doc_id"]
                for r in out2)
     assert len(out2) == 8
+
+
+def test_simhash64_matches_per_doc_reference():
+    """The batch-vectorized simhash64 must be bit-identical to the per-doc
+    definition (word → blake2b-8 digest; sign of ±1 sums over distinct
+    words)."""
+    import hashlib
+
+    from engine.dedup import simhash64
+
+    def ref_one(t):
+        if not t:
+            return 0
+        words = set(t.lower().split())
+        if not words:
+            return 0
+        hs = np.frombuffer(
+            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest()
+                     for w in words),
+            dtype="<u8",
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(acc > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        return int(np.int64(sig.astype(np.int64)))
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 60)))
+        for _ in range(50)
+    ] + ["", None, "single", "Repeat repeat REPEAT"]
+    got = simhash64.func(pd.Series(texts)).tolist()
+    want = [ref_one(t) for t in texts]
+    assert got == want
