@@ -157,6 +157,34 @@ def _cep_times_sql() -> str:
     )
 
 
+def _q_cep_optional(spark, sf_dir):
+    """CEP optional step (FlinkCEP ``.optional()``): view → click? →
+    purchase within 48 h — a skipped click emits a null click_ts via the
+    same-row pass-through chain (engine/cep.py; still one Exchange, no
+    extra window pass)."""
+    from engine.cep import detect_sequence
+
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "optional"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    return detect_sequence(_read(spark, sf_dir, "events"), "user_id", "ts",
+                           steps, "48 hours", order_col="event_id")
+
+
+def _cep_optional_sql() -> str:
+    from engine.cep import detect_sequence_sql
+
+    return detect_sequence_sql(
+        "user_id", "ts", ["view", "click", "purchase"],
+        ["event_type = 'view'", "event_type = 'click'",
+         "event_type = 'purchase'"],
+        "INTERVAL 48 HOUR", "events", "event_id",
+        opt_steps=[False, True, False],
+    )
+
+
 _WINDOW_AGG_10M = (
     "count(*) AS num_trans_per_{l}, round(avg(value), 6) AS avg_amt_per_{l}, "
     "round(stddev_samp(value), 6) AS stdev_amt_per_{l}, "
@@ -1782,6 +1810,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CEP (north rule "structured-streaming / CEP engine")
         "cep_funnel": _q_cep_funnel,
         "cep_times": _q_cep_times,
+        "cep_optional": _q_cep_optional,
         # aggregations
         "keyed_stats_orders": _q_keyed_stats_orders,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1852,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "session_dynamic_gap": _SQL_SESSION_DYNAMIC,
         "cep_funnel": _cep_sql(),
         "cep_times": _cep_times_sql(),
+        "cep_optional": _cep_optional_sql(),
         "stateful_cep_funnel": (
             f"SELECT * FROM ({_cep_sql()}) "
             f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"

@@ -45,6 +45,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from engine.state import _ts_us, _us_ts, dur_ms
 
+# state-serialization sentinel for a skipped optional step's timestamp
+# (far outside any representable event time)
+_SKIP = -(1 << 62)
+
 
 def _parse_pattern(steps):
     """Normalize a pattern into positive steps with link attributes.
@@ -60,22 +64,44 @@ def _parse_pattern(steps):
     with that same ``kind`` too, so ``("fail", c, "next", 3)`` is
     FlinkCEP ``next().times(3).consecutive()`` (three adjacent rows) while
     ``("fail", c, "followedBy", 3)`` is the default relaxed internal
-    contiguity. Returns ``[(name, cond, kind, neg_cond)]`` for the positive
-    steps, where ``kind`` governs the link FROM the previous positive step
-    and ``neg_cond`` is the ``notFollowedBy`` predicate guarding that link
-    (no event matching it may fall strictly between the two matched
-    timestamps)."""
+    contiguity. ``times`` may also be a range ``(m, n)`` — FlinkCEP
+    ``times(m, n)``: ``m`` required replicas + ``n - m`` optional ones.
+    ``(name, cond, "optional")`` is FlinkCEP ``.optional()`` (the step may
+    be skipped; restrictions: not first, not last, not adjacent to a
+    notFollowedBy). Returns ``[(name, cond, kind, neg_cond, opt)]`` for the
+    positive steps, where ``kind`` governs the link FROM the previous
+    positive step, ``neg_cond`` is the ``notFollowedBy`` predicate guarding
+    that link (no event matching it may fall strictly between the two
+    matched timestamps), and ``opt`` marks an optional step."""
     raw0 = list(steps.items()) if isinstance(steps, dict) else list(steps)
     raw = []
     for item in raw0:
         if len(item) == 4:
             name, cond, kind, times = item
-            if not isinstance(times, int) or times < 1:
-                raise ValueError(f"times quantifier must be an int >= 1, "
-                                 f"got {times!r}")
             if kind == "notFollowedBy":
                 raise ValueError("notFollowedBy cannot carry a times "
                                  "quantifier")
+            if isinstance(times, tuple):
+                # FlinkCEP times(m, n): m required + (n-m) optional replicas
+                m, n_hi = times
+                if not (isinstance(m, int) and isinstance(n_hi, int)
+                        and 1 <= m <= n_hi):
+                    raise ValueError(f"times range must be ints "
+                                     f"1 <= m <= n, got {times!r}")
+                if m == n_hi == 1:
+                    raw.append((name, cond, kind))
+                    continue
+                raw.extend(
+                    (f"{name}_{j + 1}", cond, kind) for j in range(m)
+                )
+                raw.extend(
+                    (f"{name}_{j + 1}", cond, "optional")
+                    for j in range(m, n_hi)
+                )
+                continue
+            if not isinstance(times, int) or times < 1:
+                raise ValueError(f"times quantifier must be an int >= 1 or "
+                                 f"an (m, n) range, got {times!r}")
             if times == 1:
                 raw.append((name, cond, kind))
             else:
@@ -84,13 +110,19 @@ def _parse_pattern(steps):
                 )
         else:
             raw.append(item)
-    pos: list[tuple[str, Column, str, Column | None]] = []
+    pos: list[tuple[str, Column, str, Column | None, bool]] = []
     pending_neg: Column | None = None
     names = []
     for j, item in enumerate(raw):
         name, cond, kind = (*item, "followedBy") if len(item) == 2 else item
-        if kind not in ("followedBy", "next", "notFollowedBy"):
+        if kind not in ("followedBy", "next", "notFollowedBy", "optional"):
             raise ValueError(f"unknown step kind {kind!r}")
+        opt = kind == "optional"
+        if opt:
+            if not pos:
+                raise ValueError("pattern cannot begin with an optional "
+                                 "step (a match needs a real anchor)")
+            kind = "followedBy"
         if kind == "notFollowedBy":
             if j == 0:
                 raise ValueError("pattern cannot begin with notFollowedBy")
@@ -101,6 +133,11 @@ def _parse_pattern(steps):
                 )
             if pending_neg is not None:
                 raise ValueError("consecutive notFollowedBy steps")
+            if pos and pos[-1][4]:
+                raise ValueError("notFollowedBy after an optional step is "
+                                 "unsupported (the guarded link's left "
+                                 "endpoint is ambiguous when the step is "
+                                 "skipped)")
             pending_neg = cond
             continue
         names.append(name)
@@ -108,10 +145,18 @@ def _parse_pattern(steps):
             raise ValueError("notFollowedBy directly before next is "
                              "contradictory (strict contiguity admits no "
                              "intervening event at all)")
-        pos.append((name, cond, "begin" if not pos else kind, pending_neg))
+        if opt and pending_neg is not None:
+            raise ValueError("notFollowedBy before an optional step is "
+                             "unsupported (the guarded link vanishes when "
+                             "the step is skipped)")
+        pos.append((name, cond, "begin" if not pos else kind, pending_neg,
+                    opt))
         pending_neg = None
     if len(pos) < 2:
         raise ValueError("a sequence pattern needs at least 2 positive steps")
+    if pos[-1][4]:
+        raise ValueError("pattern cannot end with an optional step (the "
+                         "final step anchors emission and `within`)")
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     return pos
@@ -141,12 +186,19 @@ def detect_sequence(
     through the exchange); ``(name, cond, "notFollowedBy")`` is negation —
     no event matching ``cond`` may fall strictly between the surrounding
     matched timestamps (events at exactly the boundary timestamps do not
-    invalidate; negation is timestamp-granular).
+    invalidate; negation is timestamp-granular); ``(name, cond,
+    "optional")`` is FlinkCEP ``.optional()`` — the step may be skipped, in
+    which case its emitted ``{name}_ts`` is null. Greedy selection treats a
+    skip as a pass-through chain anchored at the event completing the
+    previous step, so each link still picks the most recent chain among
+    {matched step, skipped step}. A ``times`` range ``(m, n)`` expands to
+    ``m`` required + ``n - m`` optional replicas.
     """
     pos = _parse_pattern(steps)
     k = len(pos)
     within_us = dur_ms(within) * 1000
-    has_next = any(kind == "next" for _, _, kind, _ in pos)
+    has_next = any(kind == "next" for _, _, kind, _, _ in pos)
+    ts_type = df.schema[ts_col].dataType
 
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     w_order = Window.partitionBy(key_col).orderBy(*order)
@@ -157,7 +209,7 @@ def detect_sequence(
     # no positive/negated step are dropped. A "next" step defines adjacency
     # over the key's FULL stream, so pruning is disabled then.
     relevant = pos[0][1]
-    for _, cond, _, neg in pos[1:]:
+    for _, cond, _, neg, _ in pos[1:]:
         relevant = relevant | cond
         if neg is not None:
             relevant = relevant | neg
@@ -166,9 +218,9 @@ def detect_sequence(
         keep = keep & relevant
     pruned = df.where(keep).select(
         key_col, ts_col, *([order_col] if order_col else []),
-        *[cond.alias(f"_m{i}") for i, (_, cond, _, _) in enumerate(pos)],
+        *[cond.alias(f"_m{i}") for i, (_, cond, _, _, _) in enumerate(pos)],
         *[F.when(neg, F.col(ts_col)).alias(f"_g{i}")
-          for i, (_, _, _, neg) in enumerate(pos) if neg is not None],
+          for i, (_, _, _, neg, _) in enumerate(pos) if neg is not None],
     )
 
     # k chained window passes over the SAME (partition, order) spec — Catalyst
@@ -178,7 +230,7 @@ def detect_sequence(
         F.when(F.col("_m0"), F.struct(F.col(ts_col).alias("t0"))),
     )
     for i in range(1, k):
-        _, _, kind, neg = pos[i]
+        _, _, kind, neg, opt = pos[i]
         # materialize the window pass once per step so the plan carries
         # exactly one window function per step (one Exchange+Sort total)
         if kind == "next":
@@ -194,21 +246,33 @@ def detect_sequence(
         if neg is not None:
             # latest negated-event ts strictly before this row; the link is
             # valid unless it lands strictly after the predecessor's ts
+            # (t{i-1} is never null here: parse rejects neg next to optional)
             cur = cur.withColumn(
                 f"_n{i}", F.last(F.col(f"_g{i}"), ignorenulls=True).over(w)
             )
             n = F.col(f"_n{i}")
             ok = ok & (n.isNull() | (n <= prev[f"t{i-1}"]))
-        cur = cur.withColumn(
-            f"_c{i}",
-            F.when(
-                ok,
-                F.struct(
-                    *[prev[f"t{j}"].alias(f"t{j}") for j in range(i)],
-                    F.col(ts_col).alias(f"t{i}"),
-                ),
-            ),
+        match_struct = F.struct(
+            *[prev[f"t{j}"].alias(f"t{j}") for j in range(i)],
+            F.col(ts_col).alias(f"t{i}"),
         )
+        if opt:
+            # pass-through: a row completing step i-1 also completes step i
+            # with a null t{i} — last(_c{i}) then greedily picks the most
+            # recent of {matched, skipped} chains for the next link
+            this = F.col(f"_c{i-1}")
+            skip_struct = F.struct(
+                *[this[f"t{j}"].alias(f"t{j}") for j in range(i)],
+                F.lit(None).cast(ts_type).alias(f"t{i}"),
+            )
+            cur = cur.withColumn(
+                f"_c{i}",
+                F.when(ok, match_struct).otherwise(
+                    F.when(this.isNotNull(), skip_struct)
+                ),
+            )
+        else:
+            cur = cur.withColumn(f"_c{i}", F.when(ok, match_struct))
     last = F.col(f"_c{k-1}")
     return (
         cur.where(
@@ -225,7 +289,7 @@ def detect_sequence(
         .select(
             key_col,
             *[last[f"t{i}"].alias(f"{name}_ts")
-              for i, (name, _, _, _) in enumerate(pos)],
+              for i, (name, _, _, _, _) in enumerate(pos)],
         )
     )
 
@@ -240,6 +304,7 @@ def detect_sequence_sql(
     order_col: str,
     step_kinds: Sequence[str] | None = None,
     neg_preds: Sequence[str | None] | None = None,
+    opt_steps: Sequence[bool] | None = None,
 ) -> str:
     """ANSI-SQL twin of :func:`detect_sequence` (the DuckDB oracle): the same
     latest-predecessor cascade via ``last_value(... IGNORE NULLS)`` window
@@ -249,12 +314,15 @@ def detect_sequence_sql(
     step ``i`` (``lag(ch, 1)`` instead of ``last_value`` for strict
     contiguity); ``neg_preds[i]`` is the ``notFollowedBy`` predicate guarding
     that link (latest negated ts must not land strictly after the
-    predecessor's ts)."""
+    predecessor's ts); ``opt_steps[i]`` marks an optional step (same-row
+    pass-through of the step ``i-1`` chain with a null ``t{i}``)."""
     k = len(step_names)
     assert k == len(step_preds) and k >= 2
     kinds = list(step_kinds) if step_kinds else ["followedBy"] * k
     negs = list(neg_preds) if neg_preds else [None] * k
-    assert len(kinds) == k and len(negs) == k
+    opts = list(opt_steps) if opt_steps else [False] * k
+    assert len(kinds) == k and len(negs) == k and len(opts) == k
+    assert not opts[0] and not opts[-1]
     has_next = "next" in kinds
     over_order = f"OVER (PARTITION BY {key_col} ORDER BY {ts_col}, {order_col}"
     over = over_order + " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
@@ -288,9 +356,17 @@ def detect_sequence_sql(
         if negs[i] is not None:
             inner += f", last_value(g{i} IGNORE NULLS) {over} AS n{i}"
             cond += f" AND (n{i} IS NULL OR n{i} <= p{i}.t{i-1})"
+        case = f"CASE WHEN {cond} THEN struct_pack({fields})"
+        if opts[i]:
+            skip_fields = ", ".join(
+                [f"t{j} := ch{i-1}.t{j}" for j in range(i)]
+                + [f"t{i} := CAST(NULL AS TIMESTAMP)"]
+            )
+            case += (f" WHEN ch{i-1} IS NOT NULL THEN "
+                     f"struct_pack({skip_fields})")
         sql += (
-            f", c{i} AS (SELECT *, CASE WHEN {cond} THEN "
-            f"struct_pack({fields}) END AS ch{i} FROM ({inner} FROM c{i-1}))"
+            f", c{i} AS (SELECT *, {case} END AS ch{i} "
+            f"FROM ({inner} FROM c{i-1}))"
         )
     outs = ", ".join(
         f"ch{k-1}.t{i} AS {n}_ts" for i, n in enumerate(step_names)
@@ -310,25 +386,29 @@ def detect_sequence_sql(
 def _cascade(
     ts: np.ndarray,
     masks: np.ndarray,
-    carry: list[np.ndarray | None],
+    carry: list[list | None],
     k: int,
     within_us: int,
     kinds: Sequence[str] | None = None,
     neg_bits: Sequence[int | None] | None = None,
     carry_neg: list[int] | None = None,
     last_comp: int = 0,
+    opts: Sequence[bool] | None = None,
 ):
     """Run the latest-predecessor NFA over one key's mature rows.
 
     ``ts`` sorted ascending (µs), ``masks`` int64 step bitmasks, ``carry``
     the per-step partial chains from prior batches (``carry[i]`` =
-    timestamps ``t0..ti`` of the latest completed step-i chain, or None).
+    timestamps ``t0..ti`` of the latest completed step-i chain — entries of
+    skipped optional steps are None — or None when absent).
     ``kinds[i]`` is the link kind into positive step i ("followedBy" /
     "next"); ``neg_bits[i]`` the mask bit of the notFollowedBy predicate
     guarding that link (None when unguarded); ``carry_neg[i]`` the latest
     already-processed negated-event ts; ``last_comp`` the completion
     bitmask of the previously-processed row (adjacency seed for "next"
-    across batch boundaries).  Vectorized: per step one masked
+    across batch boundaries); ``opts[i]`` marks optional steps (a row or
+    pseudo-row completing step i-1 also completes step i as a same-row
+    pass-through with a null t{i}).  Vectorized: per step one masked
     running-argmax (or shift, for "next"); Python only per emitted match /
     carried chain (O(k) each).  Returns (matches, new_carry,
     new_carry_neg, new_last_comp).
@@ -336,9 +416,15 @@ def _cascade(
     kinds = list(kinds) if kinds else ["followedBy"] * k
     neg_bits = list(neg_bits) if neg_bits else [None] * k
     carry_neg = list(carry_neg) if carry_neg else [-1] * k
+    opts = list(opts) if opts else [False] * k
+
+    def _anchor(c) -> int:
+        """Completion time of a chain = its last non-skipped timestamp."""
+        return int(next(v for v in reversed(c) if v is not None))
+
     # Materialize carried chains as pseudo-rows completing their step, sorted
     # before all real rows (their completion time <= previous watermark).
-    pseudo = [(int(c[-1]), i, c) for i, c in enumerate(carry) if c is not None]
+    pseudo = [(_anchor(c), i, c) for i, c in enumerate(carry) if c is not None]
     pseudo.sort(key=lambda p: p[0])
     np_ = len(pseudo)
     n = len(ts)
@@ -365,6 +451,7 @@ def _cascade(
         if n > 1:
             before[1:] = np.maximum(run[:-1], carry_neg[i])
         neg_run[i] = before
+    pass_mark = np.zeros((k, N), dtype=bool)
     for i in range(k):
         if i == 0:
             comp[0, np_:] |= m_real[0]
@@ -398,25 +485,37 @@ def _cascade(
             pred_ts = np.where(p >= 0, all_ts[np.maximum(p, 0)],
                                np.int64(-(1 << 62)))
             comp[i, np_:] &= neg_run[i] <= pred_ts
+        if opts[i]:
+            # optional step: every step-(i-1) completion (real or pseudo)
+            # doubles as a same-position skip of step i
+            pt = comp[i - 1] & ~comp[i]
+            comp[i] |= pt
+            pass_mark[i] = pt
         if i < k - 1 and kinds[i + 1] != "next":
             run = np.maximum.accumulate(np.where(comp[i], idxs, -1))
             preds[i, 1:] = run[:-1]
 
-    def chain_of(step_i: int, row: int) -> list[int] | None:
-        """Backtrack the greedy-latest chain ending at ``row`` (step_i)."""
-        out = [int(all_ts[row])]
+    def chain_of(step_i: int, row: int) -> list[int | None] | None:
+        """Backtrack the greedy-latest chain ending at ``row`` (step_i);
+        entries of skipped optional steps are None."""
+        out: list[int | None] = []
         cur, i = row, step_i
-        while i > 0:
-            if cur < np_:  # pseudo-row: full chain is known
-                return list(map(int, pseudo[cur][2][:i + 1])) + out[1:]
+        while True:
+            if pass_mark[i, cur]:
+                # this position's step-i is a skip: the step-(i-1) chain
+                # lives at the SAME row/pseudo
+                out.insert(0, None)
+                i -= 1
+                continue
+            if cur < np_:  # pseudo-row: full chain is known (i == its step)
+                return list(pseudo[cur][2][:i + 1]) + out
+            out.insert(0, int(all_ts[cur]))
+            if i == 0:
+                return out
             p = preds[i - 1, cur]
             if p < 0:
                 return None
-            out.insert(0, int(all_ts[p]))
             cur, i = p, i - 1
-        if cur < np_:
-            return list(map(int, pseudo[cur][2][:1])) + out[1:]
-        return out
 
     matches = []
     final = comp[k - 1].copy()
@@ -426,7 +525,7 @@ def _cascade(
         if ch is not None and ch[-1] - ch[0] <= within_us:
             matches.append(ch)
 
-    new_carry: list[np.ndarray | None] = [None] * k
+    new_carry: list[list | None] = [None] * k
     for i in range(k - 1):  # final-step chains are never predecessors
         run_last = -1
         hits = np.flatnonzero(comp[i])
@@ -435,7 +534,7 @@ def _cascade(
         if run_last >= 0:
             ch = chain_of(i, run_last)
             if ch is not None:
-                new_carry[i] = np.array(ch, dtype="int64")
+                new_carry[i] = ch
     new_carry_neg = list(carry_neg)
     for i, b in enumerate(neg_bits):
         if b is None:
@@ -475,7 +574,8 @@ def stateful_pattern_detect(
     """
     pos = _parse_pattern(steps)
     k = len(pos)
-    kinds = [kind for _, _, kind, _ in pos]
+    kinds = [kind for _, _, kind, _, _ in pos]
+    opts_flags = [opt for _, _, _, _, opt in pos]
     has_next = "next" in kinds
     within_us = dur_ms(within) * 1000
     retention_us = dur_ms(late_retention) * 1000
@@ -484,21 +584,21 @@ def stateful_pattern_detect(
 
     neg_bits: list[int | None] = []
     next_bit = k
-    for _, _, _, neg in pos:
+    for _, _, _, neg, _ in pos:
         if neg is None:
             neg_bits.append(None)
         else:
             neg_bits.append(next_bit)
             next_bit += 1
     relevant = pos[0][1]
-    for _, cond, _, neg in pos[1:]:
+    for _, cond, _, neg, _ in pos[1:]:
         relevant = relevant | cond
         if neg is not None:
             relevant = relevant | neg
     mask = F.lit(0).cast("long")
-    for i, (_, cond, _, _) in enumerate(pos):
+    for i, (_, cond, _, _, _) in enumerate(pos):
         mask = mask + F.when(cond, F.lit(1 << i)).otherwise(F.lit(0))
-    for i, (_, _, _, neg) in enumerate(pos):
+    for i, (_, _, _, neg, _) in enumerate(pos):
         if neg is not None:
             mask = mask + F.when(neg, F.lit(1 << neg_bits[i])).otherwise(F.lit(0))
     keep = F.col(key_col).isNotNull()
@@ -519,7 +619,7 @@ def stateful_pattern_detect(
     )
     key_sql = df.schema[key_col].dataType.simpleString()
     # fn must close over plain picklable data only (no pyspark Columns)
-    step_names = [name for name, _, _, _ in pos]
+    step_names = [name for name, _, _, _, _ in pos]
     out_ddl = f"{key_col} {key_sql}, " + ", ".join(
         f"{name}_ts timestamp" for name in step_names
     )
@@ -534,8 +634,10 @@ def stateful_pattern_detect(
         clamp = lambda t: max(t, wm_ms + 1, 1)
         if state.exists:
             thru, chains_raw, bts, bm, cneg, lcomp = state.get
+            # chains serialize skipped-optional entries as the _SKIP sentinel
             carry = [
-                np.array(c, dtype="int64") if c is not None and len(c) else None
+                [None if v == _SKIP else int(v) for v in c]
+                if c is not None and len(c) else None
                 for c in chains_raw
             ]
             buf_ts = np.array(bts, dtype="int64")
@@ -565,14 +667,20 @@ def stateful_pattern_detect(
             matches, carry, carry_neg, last_comp = _cascade(
                 buf_ts[mature][order], buf_m[mature][order], carry, k,
                 within_us, kinds=kinds, neg_bits=neg_bits,
-                carry_neg=carry_neg, last_comp=last_comp,
+                carry_neg=carry_neg, last_comp=last_comp, opts=opts_flags,
             )
             thru = max(thru, wm)
             if matches:
-                arr = np.array(matches, dtype="int64")
-                out = {key_col: pd.Series([key[0]] * len(arr))}
+                out = {key_col: pd.Series([key[0]] * len(matches))}
                 for i, name in enumerate(step_names):
-                    out[f"{name}_ts"] = _us_ts(arr[:, i])
+                    col = _us_ts(np.array(
+                        [0 if m[i] is None else m[i] for m in matches],
+                        dtype="int64",
+                    ))
+                    na = np.array([m[i] is None for m in matches])
+                    if na.any():
+                        col[na] = pd.NaT
+                    out[f"{name}_ts"] = col
                 yield pd.DataFrame(out)
             buf_ts, buf_m = buf_ts[~mature], buf_m[~mature]
         # prune chains that can no longer complete inside `within`
@@ -590,7 +698,8 @@ def stateful_pattern_detect(
             )
             state.update((
                 thru,
-                [c.tolist() if c is not None else [] for c in carry],
+                [[_SKIP if v is None else int(v) for v in c]
+                 if c is not None else [] for c in carry],
                 buf_ts.tolist(), buf_m.tolist(),
                 list(carry_neg), int(last_comp),
             ))

@@ -478,3 +478,142 @@ def test_rejects_bad_times():
     from engine.cep import _parse_pattern
     pos = _parse_pattern([("a", t, "followedBy", 1), ("b", t)])
     assert [p[0] for p in pos] == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# optional steps + times(m, n) range quantifier (FlinkCEP .optional())
+# ---------------------------------------------------------------------------
+
+
+def test_batch_optional_matches_duckdb(spark):
+    """view → click(optional) → purchase against the DuckDB cascade with the
+    same pass-through rule."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "optional"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = detect_sequence(ev, "user_id", "ts", steps, "48 hours",
+                          order_col="event_id").toPandas()
+    duckdb.sql(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = duckdb.sql(
+        detect_sequence_sql(
+            "user_id", "ts", ["view", "click", "purchase"],
+            ["event_type = 'view'", "event_type = 'click'",
+             "event_type = 'purchase'"],
+            "INTERVAL 48 HOUR", "events", "event_id",
+            opt_steps=[False, True, False],
+        )
+    ).df()
+    assert len(got) > 0
+    cols = ["user_id", "view_ts", "click_ts", "purchase_ts"]
+
+    def canon(df):
+        df = df[cols].copy()
+        for c in cols[1:]:  # unify dtype so NaT sorts identically
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        return df.sort_values(cols, na_position="last").reset_index(drop=True)
+
+    # a skipped optional step emits a null ts somewhere in the result
+    assert want["click_ts"].isna().any() and (~want["click_ts"].isna()).any()
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
+def test_optional_semantics_handcrafted(spark):
+    rows = [
+        # user 1: a, c (b skipped)  -> match with null b_ts
+        (1, 1, 0, "a"), (2, 1, 10, "c"),
+        # user 2: a, b, c           -> match with real b_ts
+        (3, 2, 0, "a"), (4, 2, 5, "b"), (5, 2, 10, "c"),
+        # user 3: b, c (no a)       -> no match (anchor step required)
+        (6, 3, 5, "b"), (7, 3, 10, "c"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), t)
+         for i, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    steps = [("a", F.col("event_type") == "a"),
+             ("b", F.col("event_type") == "b", "optional"),
+             ("c", F.col("event_type") == "c")]
+    got = detect_sequence(df, "user_id", "ts", steps, "5 minutes",
+                          order_col="event_id").toPandas().sort_values("user_id")
+    assert list(got["user_id"]) == [1, 2]
+    assert pd.isna(got["b_ts"].iloc[0])
+    assert got["b_ts"].iloc[1].second == 5
+
+
+def test_times_range_quantifier(spark):
+    """times(1, 2): one required + one optional replica."""
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 5, "b"), (3, 1, 10, "c"),            # 1 b
+        (4, 2, 0, "a"), (5, 2, 4, "b"), (6, 2, 7, "b"), (7, 2, 10, "c"),  # 2 bs
+        (8, 3, 0, "a"), (9, 3, 10, "c"),                            # 0 bs
+    ]
+    df = spark.createDataFrame(
+        [(i, u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), t)
+         for i, u, s, t in rows],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    steps = [("a", F.col("event_type") == "a"),
+             ("b", F.col("event_type") == "b", "followedBy", (1, 2)),
+             ("c", F.col("event_type") == "c")]
+    got = detect_sequence(df, "user_id", "ts", steps, "5 minutes",
+                          order_col="event_id").toPandas().sort_values("user_id")
+    # user 3 has zero b's -> no match; users 1-2 match
+    assert list(got["user_id"]) == [1, 2]
+    assert list(got.columns) == ["user_id", "a_ts", "b_1_ts", "b_2_ts", "c_ts"]
+    assert pd.isna(got["b_2_ts"].iloc[0])      # user 1: second b skipped
+    assert got["b_2_ts"].iloc[1].second == 7   # user 2: both b's bound
+
+
+def test_stream_optional_matches_batch(spark, tmp_path):
+    """Optional step through the streaming NFA across micro-batches —
+    including a skipped-step chain carried in state."""
+    steps = [("a", F.col("event_type") == "a"),
+             ("b", F.col("event_type") == "b", "optional"),
+             ("c", F.col("event_type") == "c")]
+    d = _mini_dir(tmp_path, [
+        [(1, 100, "a"), (2, 100, "a"), (2, 110, "b")],
+        [(9, 1_000, "x")],                 # watermark advances: chains carried
+        [(1, 1_200, "c"), (2, 1_200, "c")],
+        [(9, 50_000, "x")],
+    ])
+    got = _run_stream(
+        spark,
+        stateful_pattern_detect(_mini_stream(spark, d), "ts", "user_id",
+                                steps, "30 minutes", watermark="60 seconds"),
+    ).sort_values("user_id").reset_index(drop=True)
+    assert list(got["user_id"]) == [1, 2]
+    assert pd.isna(got["b_ts"].iloc[0])            # user 1 skipped b
+    assert not pd.isna(got["b_ts"].iloc[1])        # user 2 matched b
+    rows = [(1, 100, "a"), (2, 100, "a"), (2, 110, "b"),
+            (1, 1_200, "c"), (2, 1_200, "c")]
+    bdf = spark.createDataFrame(
+        [(u, datetime.datetime.utcfromtimestamp(s), t) for u, s, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    want = detect_sequence(bdf, "user_id", "ts", steps,
+                           "30 minutes").toPandas().sort_values("user_id")
+    assert got[["user_id", "a_ts", "b_ts", "c_ts"]].equals(
+        want[["user_id", "a_ts", "b_ts", "c_ts"]].reset_index(drop=True)
+    )
+
+
+def test_rejects_bad_optional():
+    t = F.lit(True)
+    for bad in (
+        [("a", t, "optional"), ("b", t)],                    # first optional
+        [("a", t), ("b", t, "optional")],                    # last optional
+        [("a", t), ("n", t, "notFollowedBy"),
+         ("b", t, "optional"), ("c", t)],                    # neg before opt
+        [("a", t), ("b", t, "optional"),
+         ("n", t, "notFollowedBy"), ("c", t)],               # neg after opt
+        [("a", t), ("b", t, "followedBy", (2, 1)), ("c", t)],  # bad range
+    ):
+        with pytest.raises(ValueError):
+            detect_sequence(None, "k", "ts", bad, "1 hour")
