@@ -241,3 +241,18 @@ def test_clip_fingerprints_deterministic(spark, clips_df):
     b = clip_fingerprints(sub).toPandas().sort_values(["clip_id", "fp_hash", "fp_t"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert (a.groupby("clip_id").size() > 0).all()
+
+
+def test_map_stages_no_shuffle(spark, clips_df):
+    """resample/loudness/segment are single map stages: no Exchange in the
+    plan before any caller-added aggregation."""
+    from engine.audio_ops import resample_clips, segment_clips, with_loudness
+
+    for df in (
+        resample_clips(clips_df, 8000),
+        with_loudness(clips_df),
+        segment_clips(clips_df, emit_bytes=False),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().treeString()
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan

@@ -617,3 +617,19 @@ def test_rejects_bad_optional():
     ):
         with pytest.raises(ValueError):
             detect_sequence(None, "k", "ts", bad, "1 hour")
+
+
+def test_quantified_plan_still_single_exchange(spark):
+    """times/optional expansion must not add shuffles: the cascade stays
+    ONE Exchange + ONE Sort regardless of quantifiers."""
+    ev = spark.read.parquet(SF + "/events.parquet")
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "followedBy", (1, 3)),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    out = detect_sequence(ev, "user_id", "ts", steps, "48 hours",
+                          order_col="event_id")
+    plan = out._jdf.queryExecution().executedPlan().treeString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("+- Sort") == 1
