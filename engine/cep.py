@@ -25,6 +25,13 @@ time, so it minimizes the span — a final event emits a match **iff any**
 valid chain satisfies ``within``, and the emitted chain is the unique
 latest-predecessor one.
 
+Quantifier coverage: ``times(n)``, ``times(m, n)`` ranges, ``optional`` —
+all by parse-time expansion, so neither engine grows new state shapes.
+FlinkCEP's unbounded ``oneOrMore`` is deliberately NOT offered: an unbounded
+greedy loop needs unbounded per-key chain state; express the bounded intent
+as ``times(1, N)`` (emits ``N`` columns, skipped tail nulled), which is what
+a 10^12-event deployment should run anyway.
+
 Scale posture (batch): the k-step cascade is k ``last(..., ignorenulls)``
 window passes over ONE partitioning ``(key, ordered by ts)`` — a single
 shuffle + sort, every pass whole-stage-codegen, no join, no state blowup.
