@@ -1107,6 +1107,87 @@ GROUP BY 1
 """
 
 
+def _q_det_sample(spark, sf_dir):
+    """Reproducible md5-threshold corpus sampling (engine/sampling.py):
+    identical output at any parallelism/engine, pure narrow filter, no
+    shuffle — the reproducible analogue of rand()-sampling for training-data
+    pipelines."""
+    from engine.sampling import deterministic_sample
+
+    out = deterministic_sample(
+        _read(spark, sf_dir, "documents"), fraction=0.25, salt="r3"
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_DET_SAMPLE = r"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5('r3' || doc_id), 1, 8) < '40000000'
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling (language rebalancing): one
+    CASE-folded hash threshold, single narrow filter, no join/shuffle."""
+    from engine.sampling import stratified_sample
+
+    out = stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        fractions={"en": 0.5, "es": 0.25, "fr": 0.125},
+        strata_col="lang",
+        salt="strat",
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_STRATIFIED_SAMPLE = r"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5('strat' || doc_id), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'es' THEN '40000000'
+                WHEN 'fr' THEN '20000000'
+                ELSE '00000000' END
+"""
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (engine/text.py tfidf_top_terms).
+    Scores rounded to 6 dp BEFORE ranking so ordering matches the oracle
+    bit-for-bit; ties broken by term asc."""
+    from engine.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+_SQL_TFIDF_TOPK = r"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS dfreq FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+         round(tf.tf * ln(n.n_docs * 1.0 / dfreq.dfreq), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, dfreq, tfidf, rn
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family over documents
 # ---------------------------------------------------------------------------
@@ -1846,6 +1927,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_boilerplate": _q_doc_boilerplate,
+        "det_sample": _q_det_sample,
+        "stratified_sample": _q_stratified_sample,
+        "tfidf_topk": _q_tfidf_topk,
         "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1914,6 +1998,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _SQL_DOC_LANG_ID,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_boilerplate": _SQL_DOC_BOILERPLATE,
+        "det_sample": _SQL_DET_SAMPLE,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "tfidf_topk": _SQL_TFIDF_TOPK,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_groups": _SQL_DEDUP_GROUPS,

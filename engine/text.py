@@ -247,3 +247,50 @@ def boilerplate_ratio(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Tokenizes to lowercase alpha runs (engine-agnostic ``[^a-z]+`` split),
+    computes tf per (doc, term) and document frequency per term, scores
+    ``tf * ln(N / df)`` and keeps the ``k`` best per doc (score desc, term
+    asc tie-break). Score is rounded to 6 dp *before* ranking so the
+    ordering — not just the output — is identical across engines.
+
+    Scale notes: two shuffles (tf groupBy and the df-side groupBy feeding a
+    term-keyed join) plus one per-doc window; token rows carry only
+    (id, term), never the document body. N is resolved once via a
+    metadata-cheap ``count()`` rather than a 1-row broadcast cross join,
+    keeping the plan free of nested-loop joins.
+    """
+    n_docs = df.count()
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "dfreq", "tfidf", "rn")
+    )

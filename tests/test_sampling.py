@@ -1,0 +1,131 @@
+"""Deterministic sampling + TF-IDF operator properties.
+
+Covers engine/sampling.py (md5-threshold reproducible sampling) and
+engine/text.py tfidf_top_terms: determinism under repartitioning, binomial
+plausibility of the realized fraction, per-stratum rates, salt independence,
+plan narrowness (no shuffle in the sample filter), and a hand-computed
+TF-IDF vector on a tiny corpus.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine.sampling import (
+    deterministic_sample,
+    fraction_to_hex_threshold,
+    stratified_sample,
+)
+from engine.text import tfidf_top_terms
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.concat(F.lit("doc_"), F.format_string("%05d", F.col("id"))).alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_threshold_mapping():
+    assert fraction_to_hex_threshold(0.0) == "00000000"
+    assert fraction_to_hex_threshold(0.25) == "40000000"
+    assert fraction_to_hex_threshold(0.5) == "80000000"
+    assert fraction_to_hex_threshold(1.0) == "gggggggg"
+    with pytest.raises(ValueError):
+        fraction_to_hex_threshold(1.5)
+
+
+def test_sample_fraction_and_determinism(spark):
+    df = _docs(spark)
+    s1 = deterministic_sample(df, 0.2, salt="s")
+    # 4-sigma binomial bound around 400 of 2000.
+    n = s1.count()
+    assert abs(n - 400) < 4 * math.sqrt(2000 * 0.2 * 0.8)
+    # Identical membership regardless of physical partitioning.
+    s2 = deterministic_sample(df.repartition(13), 0.2, salt="s")
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    # Matches a driver-side python md5 re-derivation row for row.
+    thr = fraction_to_hex_threshold(0.2)
+    expect = sorted(
+        f"doc_{i:05d}"
+        for i in range(2000)
+        if hashlib.md5(f"sdoc_{i:05d}".encode()).hexdigest()[:8] < thr
+    )
+    assert sorted(r.doc_id for r in s1.collect()) == expect
+
+
+def test_salt_gives_independent_draws(spark):
+    df = _docs(spark)
+    a = {r.doc_id for r in deterministic_sample(df, 0.3, salt="a").collect()}
+    b = {r.doc_id for r in deterministic_sample(df, 0.3, salt="b").collect()}
+    # Independent 30% draws overlap ~9%; anything far from |a| means the salt
+    # is actually changing the hash, and the intersection is plausible.
+    assert a != b
+    inter = len(a & b)
+    assert abs(inter - 0.09 * 2000) < 4 * math.sqrt(2000 * 0.09 * 0.91) + 20
+
+
+def test_fraction_one_keeps_everything(spark):
+    df = _docs(spark, 100)
+    assert deterministic_sample(df, 1.0).count() == 100
+    out = stratified_sample(df, {"0": 1.0}, "lang", default_fraction=0.0)
+    assert out.count() == 25
+    assert {r.lang for r in out.collect()} == {"0"}
+
+
+def test_stratified_rates(spark):
+    df = _docs(spark, 4000)  # 1000 per lang
+    out = stratified_sample(
+        df, {"0": 0.5, "1": 0.25, "2": 0.125}, "lang", salt="t"
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "3" not in got  # default_fraction=0
+    for lang, frac in [("0", 0.5), ("1", 0.25), ("2", 0.125)]:
+        assert abs(got[lang] - 1000 * frac) < 4 * math.sqrt(1000 * frac * (1 - frac))
+
+
+def test_sample_plan_is_narrow(spark):
+    df = _docs(spark)
+    plan = deterministic_sample(df, 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: no shuffle
+
+
+def test_tfidf_hand_computed(spark):
+    rows = [
+        ("d1", "apple banana apple"),
+        ("d2", "banana cherry"),
+        ("d3", "cherry durian cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.doc_id, r.term): (r.tf, r.dfreq, r.tfidf)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    ln = math.log
+    # apple: tf 2 in d1, df 1 -> 2*ln(3)
+    assert out[("d1", "apple")] == (2, 1, round(2 * ln(3.0), 6))
+    # banana appears in 2 docs -> ln(3/2)
+    assert out[("d1", "banana")] == (1, 2, round(ln(1.5), 6))
+    assert out[("d3", "cherry")] == (2, 2, round(2 * ln(1.5), 6))
+    assert out[("d3", "durian")] == (2, 1, round(2 * ln(3.0), 6))
+    # k=2 cap respected
+    assert len([k for k in out if k[0] == "d3"]) == 2
+
+
+def test_tfidf_tie_break_and_k(spark):
+    # Four equal-score terms; tie-break must be term-ascending.
+    df = spark.createDataFrame(
+        [("d1", "w x y z"), ("d2", "q r s t")], ["doc_id", "text"]
+    )
+    got = [
+        r.term
+        for r in tfidf_top_terms(df, k=3)
+        .filter(F.col("doc_id") == "d1")
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == ["w", "x", "y"]
