@@ -1152,6 +1152,38 @@ WHERE substr(md5('strat' || doc_id), 1, 8) <
 """
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-then-chunk sequence packing (engine/sampling.py
+    pack_sequences): corpus ordered by md5 hash, token counts prefix-summed
+    with the scalable two-phase plan (per-bucket window + 256-row offset
+    side broadcast back), each doc assigned to the 512-token chunk where it
+    starts. The oracle recomputes the same layout with one global window —
+    bit-identical because the bucket key is a prefix of the ordering key."""
+    from engine.sampling import pack_sequences
+
+    return pack_sequences(
+        _read(spark, sf_dir, "documents"), budget_tokens=512, salt="pack"
+    )
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5('pack' || doc_id) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_start
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_start, cum_start // 512 AS bin
+FROM c
+"""
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Top-3 TF-IDF terms per document (engine/text.py tfidf_top_terms).
     Scores rounded to 6 dp BEFORE ranking so ordering matches the oracle
@@ -1930,6 +1962,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
+        "pack_sequences": _q_pack_sequences,
         "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -2001,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_groups": _SQL_DEDUP_GROUPS,

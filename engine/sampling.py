@@ -84,3 +84,77 @@ def stratified_sample(
         thr = F.when(F.col(strata_col) == F.lit(value),
                      F.lit(fraction_to_hex_threshold(frac))).otherwise(thr)
     return df.filter(_hash_prefix(id_col, salt) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic concat-then-chunk sequence packing for LLM training.
+
+    Orders the corpus by ``md5(salt || id)`` (a stable, engine-agnostic
+    shuffle), concatenates token counts in that order, and assigns each
+    document to the ``budget_tokens``-sized chunk where it *starts*
+    (``bin = cum_start // budget``) — the classic pack-then-split layout
+    where a document may straddle a chunk boundary. Output columns:
+    ``id_col, n_tokens, cum_start, bin``.
+
+    Token counts come from ``token_col`` if given, else a whitespace split
+    of ``text_col`` (same definition as :func:`engine.text.token_count`).
+
+    Scale notes (100 TB): a single global ordered cumulative sum would be a
+    one-partition window. Instead this runs the textbook two-phase prefix
+    sum: rows are bucketed by the first 2 hex chars of their hash (256
+    buckets), the running sum is computed per bucket, and per-bucket grand
+    totals (256 rows) get their own running offset which is broadcast-joined
+    back. Because the bucket key is a *prefix* of the ordering key, per-
+    bucket order + bucket order == global hash order, so the result is
+    bit-identical to the naive global window (pytest-asserted parity).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    from pyspark.sql import Window
+
+    key = F.concat(F.lit(salt), F.col(id_col)) if salt else F.col(id_col)
+    tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    base = df.select(
+        F.col(id_col),
+        tokens.cast("long").alias("n_tokens"),
+        F.md5(key.cast("binary")).alias("_h"),
+    ).withColumn("_part", F.substring("_h", 1, 2))
+
+    w_in = (
+        Window.partitionBy("_part")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn(
+        "_prior", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+
+    # 256-row side: per-bucket totals and their running offset. The
+    # unpartitioned window is deliberate — it only ever sees <=256 rows.
+    w_parts = Window.orderBy("_part").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        base.groupBy("_part")
+        .agg(F.sum("n_tokens").alias("_ptot"))
+        .withColumn("_poff", F.coalesce(F.sum("_ptot").over(w_parts), F.lit(0)))
+        .select("_part", "_poff")
+    )
+
+    return (
+        within.join(F.broadcast(offsets), "_part")
+        .withColumn("cum_start", F.col("_poff") + F.col("_prior"))
+        .withColumn(
+            "bin", F.floor(F.col("cum_start") / F.lit(budget_tokens)).cast("long")
+        )
+        .select(id_col, "n_tokens", "cum_start", "bin")
+    )

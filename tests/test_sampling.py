@@ -129,3 +129,53 @@ def test_tfidf_tie_break_and_k(spark):
         .collect()
     ]
     assert got == ["w", "x", "y"]
+
+
+def test_pack_sequences_matches_naive_prefix_sum(spark):
+    import hashlib as _h
+
+    from engine.sampling import pack_sequences
+
+    rows = [(f"doc_{i:04d}", "w " * (i % 37 + 1)) for i in range(800)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(11)
+    got = {r.doc_id: (r.n_tokens, r.cum_start, r.bin)
+           for r in pack_sequences(df, 64, salt="s").collect()}
+    # Driver-side naive recomputation: global md5 order, running sum.
+    toks = {d: len(t.split(" ")) for d, t in rows}
+    order = sorted(toks, key=lambda d: _h.md5(f"s{d}".encode()).hexdigest())
+    cum = 0
+    for d in order:
+        assert got[d] == (toks[d], cum, cum // 64), d
+        cum += toks[d]
+    assert len(got) == 800
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    from engine.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "x " * 10) for i in range(500)], ["doc_id", "text"]
+    )
+    out = pack_sequences(df, 128).collect()
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin, []).append(r)
+    bins = sorted(by_bin)
+    assert bins == list(range(len(bins)))  # no gaps
+    for b in bins:
+        starts = [r.cum_start for r in by_bin[b]]
+        # every doc STARTS inside its bin's budget range
+        assert all(b * 128 <= s < (b + 1) * 128 for s in starts)
+
+
+def test_pack_sequences_token_col_and_validation(spark):
+    import pytest as _pt
+
+    from engine.sampling import pack_sequences
+
+    df = spark.createDataFrame([("a", 5), ("b", 7)], ["doc_id", "n_tok"])
+    out = pack_sequences(df, 8, token_col="n_tok").collect()
+    assert sorted(r.n_tokens for r in out) == [5, 7]
+    assert sum(r.cum_start == 0 for r in out) == 1
+    with _pt.raises(ValueError):
+        pack_sequences(df, 0, token_col="n_tok")
