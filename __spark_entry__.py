@@ -1107,6 +1107,28 @@ GROUP BY 1
 """
 
 
+def _q_percentile_stats(spark, sf_dir):
+    """Exact per-user value percentiles over events (engine/windows.py
+    keyed_percentiles) — the quantile extension of the A1-A4 stats family.
+    One partial+final aggregate on the user_id shuffle; swap to
+    approx_percentile for few-huge-group shapes (docstring)."""
+    from engine.windows import keyed_percentiles
+
+    return keyed_percentiles(
+        _read(spark, sf_dir, "events"), "user_id", "value", probs=(0.5, 0.9, 0.99)
+    )
+
+
+_SQL_PERCENTILE_STATS = r"""
+SELECT user_id, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
 def _q_det_sample(spark, sf_dir):
     """Reproducible md5-threshold corpus sampling (engine/sampling.py):
     identical output at any parallelism/engine, pure narrow filter, no
@@ -1959,6 +1981,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_boilerplate": _q_doc_boilerplate,
+        "percentile_stats": _q_percentile_stats,
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
@@ -2031,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _SQL_DOC_LANG_ID,
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_boilerplate": _SQL_DOC_BOILERPLATE,
+        "percentile_stats": _SQL_PERCENTILE_STATS,
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,

@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "ivf_knn",
     "store_upsert",
     "serving_transformed",
+    # round-3 additions: deterministic corpus sampling, TF-IDF term ranking,
+    # and concat-then-chunk sequence packing (two-phase prefix sum)
+    "det_sample",
+    "tfidf_topk",
+    "pack_sequences",
 ]
 
 

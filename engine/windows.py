@@ -188,3 +188,31 @@ def multi_width_aggs(
         width_label(w): tumbling_agg(df, ts_col, key_col, value_col, width=w, **kw)
         for w in widths
     }
+
+
+def keyed_percentiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per key (p50/p90/p99-style).
+
+    Extends the A1-A4 incremental-stats family (count/avg/stdev/min/max —
+    ``TransactionCountAggregate.java:21-38``) with the latency/amount
+    quantiles every monitoring pipeline adds next. Uses Spark's exact
+    ``percentile`` aggregate (same linear interpolation as ANSI
+    ``percentile_cont`` / DuckDB ``quantile_cont``), rounded to 6 dp so the
+    cross-engine oracle hash-matches bit-for-bit.
+
+    Scale notes: one hash-partial + one final aggregate on the key shuffle —
+    exact percentiles buffer per-group values, so at 100 TB cardinality
+    keeps memory bounded only if groups are numerous/small (true for
+    per-user stats); for few huge groups swap in ``approx_percentile``
+    (sketch-mergeable, bounded memory) at the same call site.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for p in probs:
+        label = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        aggs.append(F.round(F.percentile(value_col, F.lit(p)), 6).alias(label))
+    return df.groupBy(key_col).agg(*aggs)

@@ -152,3 +152,17 @@ def test_merge_associativity_property(tx_pdf):
     assert len(j) == len(full) == len(merged)
     np.testing.assert_allclose(j[f"avg_amt_per_{label}"], j["avg"], rtol=1e-12)
     np.testing.assert_array_equal(j[f"num_trans_per_{label}"], j["cnt"].astype(np.int64))
+
+
+def test_keyed_percentiles_hand_computed(spark):
+    from engine.windows import keyed_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)] + [("b", 10.0)],
+        ["k", "v"],
+    )
+    got = {r.k: r for r in keyed_percentiles(df, "k", "v", probs=(0.5, 0.25)).collect()}
+    # 1,2,3,4: p50 = 2.5 (linear midpoint), p25 = 1.75
+    assert got["a"].n == 4 and got["a"].p50 == 2.5 and got["a"].p25 == 1.75
+    # singleton group: every percentile is the value itself
+    assert got["b"].n == 1 and got["b"].p50 == 10.0 and got["b"].p25 == 10.0
