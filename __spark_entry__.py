@@ -1174,6 +1174,35 @@ WHERE substr(md5('strat' || doc_id), 1, 8) <
 """
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-token chunking for RAG/embedding prep
+    (engine/text.py chunk_documents): 64-token windows, 16-token overlap.
+    Pure narrow codegen plan (split/sequence/explode/slice) — no shuffle,
+    no Python."""
+    from engine.text import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start_token
+  FROM t
+)
+SELECT doc_id,
+       (start_token - 1) // 48 AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(toks[start_token : start_token + 63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_token : start_token + 63], ' ') AS chunk_text
+FROM s
+"""
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Deterministic concat-then-chunk sequence packing (engine/sampling.py
     pack_sequences): corpus ordered by md5 hash, token counts prefix-summed
@@ -1985,6 +2014,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
+        "chunk_documents": _q_chunk_documents,
         "pack_sequences": _q_pack_sequences,
         "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
@@ -2058,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

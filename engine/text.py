@@ -294,3 +294,55 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select(id_col, "term", "tf", "dfreq", "tfidf", "rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (RAG/embedding prep).
+
+    Whitespace tokens (same definition as :func:`token_count`); chunk ``i``
+    covers tokens ``[1 + i*step, 1 + i*step + chunk_tokens)`` with
+    ``step = chunk_tokens - overlap``, so consecutive chunks share
+    ``overlap`` tokens; the final chunk is clipped at the document end.
+    Output: ``id_col, chunk_idx, start_token, n_chunk_tokens, chunk_text``.
+
+    Scale notes: pure narrow plan — split / sequence / explode / slice are
+    all codegen'd JVM expressions, no Python, no shuffle; output rows carry
+    ~``1/(1-overlap/chunk_tokens)``× the corpus bytes (the overlap factor),
+    which is the algorithm's floor.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(step))
+            ).alias("start_token"),
+        )
+        .select(
+            id_col,
+            F.floor((F.col("start_token") - 1) / step).cast("long").alias("chunk_idx"),
+            F.col("start_token").cast("long"),
+            F.slice(F.col("_toks"), F.col("start_token"), chunk_tokens).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_token",
+            F.size("_c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

@@ -179,3 +179,46 @@ def test_pack_sequences_token_col_and_validation(spark):
     assert sum(r.cum_start == 0 for r in out) == 1
     with _pt.raises(ValueError):
         pack_sequences(df, 0, token_col="n_tok")
+
+
+def test_chunk_documents_hand_computed(spark):
+    from engine.text import chunk_documents
+
+    text = " ".join(str(i) for i in range(10))  # tokens "0".."9"
+    df = spark.createDataFrame([("d", text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # step=2 -> starts 1,3,5,7,9
+    assert [r.start_token for r in rows] == [1, 3, 5, 7, 9]
+    assert rows[0].chunk_text == "0 1 2 3"
+    assert rows[1].chunk_text == "2 3 4 5"
+    assert rows[-1].chunk_text == "8 9"  # clipped tail
+    assert rows[-1].n_chunk_tokens == 2
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a.chunk_text.split(" ")[-2:] == b.chunk_text.split(" ")[:2]
+
+
+def test_chunk_documents_covers_every_token_and_validates(spark):
+    import pytest as _pt
+
+    from engine.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(f"d{n}", " ".join("t%d" % i for i in range(n))) for n in (1, 5, 63, 64, 65, 200)],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, 64, 16).collect()
+    covered = {}
+    for r in out:
+        covered.setdefault(r.doc_id, set()).update(
+            range(r.start_token, r.start_token + r.n_chunk_tokens)
+        )
+    for n in (5, 63, 64, 65, 200):
+        assert covered[f"d{n}"] == set(range(1, n + 1)), n
+    with _pt.raises(ValueError):
+        chunk_documents(df, 0)
+    with _pt.raises(ValueError):
+        chunk_documents(df, 64, overlap=64)
