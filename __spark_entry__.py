@@ -1107,6 +1107,42 @@ GROUP BY 1
 """
 
 
+def _q_random_projection(spark, sf_dir):
+    """JL random projection 64→8 dims (engine/similarity.py
+    random_projection): map-only Arrow stage, seeded matrix, accumulation
+    ordered to match the generated-literal oracle bit-for-bit."""
+    from engine.similarity import random_projection
+
+    out = random_projection(
+        _read(spark, sf_dir, "embeddings"), out_dim=8, dim=64, seed=7
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at("proj", i + 1), 6).alias(f"p{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_random_projection() -> str:
+    """Generated-literal twin of the seeded 64x8 JL matrix (oracle-only:
+    at real dims this expression is exactly the plan-size blowup the Arrow
+    stage avoids)."""
+    from engine.similarity import projection_matrix
+
+    W = projection_matrix(64, 8, seed=7)
+    cols = []
+    for i in range(8):
+        terms = " + ".join(
+            f"({W[j, i]!r} * CAST(embedding[{j + 1}] AS DOUBLE))"
+            for j in range(64)
+        )
+        cols.append(f"round({terms}, 6) AS p{i}")
+    return "SELECT vec_id, label, " + ", ".join(cols) + " FROM embeddings"
+
+
 def _q_percentile_stats(spark, sf_dir):
     """Exact per-user value percentiles over events (engine/windows.py
     keyed_percentiles) — the quantile extension of the A1-A4 stats family.
@@ -2011,6 +2047,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_boilerplate": _q_doc_boilerplate,
         "percentile_stats": _q_percentile_stats,
+        "random_projection": _q_random_projection,
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
@@ -2085,6 +2122,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "doc_boilerplate": _SQL_DOC_BOILERPLATE,
         "percentile_stats": _SQL_PERCENTILE_STATS,
+        "random_projection": _sql_random_projection(),
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,

@@ -222,3 +222,38 @@ def test_chunk_documents_covers_every_token_and_validates(spark):
         chunk_documents(df, 0)
     with _pt.raises(ValueError):
         chunk_documents(df, 64, overlap=64)
+
+
+def test_random_projection_preserves_distances(spark):
+    import numpy as np
+
+    from engine.similarity import projection_matrix, random_projection
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_projection(df, out_dim=16, dim=64, seed=7).collect()
+    proj = {r.vec_id: np.array(r.proj) for r in out}
+    assert all(p.shape == (16,) for p in proj.values())
+    # JL: relative pairwise-distance distortion concentrated ~1/sqrt(16);
+    # assert a generous envelope over all pairs.
+    ratios = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d0 = np.linalg.norm(vecs[i].astype(np.float64) - vecs[j])
+            d1 = np.linalg.norm(proj[i] - proj[j])
+            ratios.append(d1 / d0)
+    assert 0.4 < min(ratios) and max(ratios) < 1.8, (min(ratios), max(ratios))
+    # Median distortion should be near 1 (unbiased projection).
+    assert abs(float(np.median(ratios)) - 1.0) < 0.15
+    # Deterministic: same seed -> same matrix -> same outputs on rerun.
+    again = {r.vec_id: np.array(r.proj)
+             for r in random_projection(df.repartition(7), 16, 64, seed=7).collect()}
+    assert all(np.array_equal(proj[i], again[i]) for i in proj)
+    # Seeded matrix is reproducible and scaled.
+    W = projection_matrix(64, 16, 7)
+    assert np.array_equal(W, projection_matrix(64, 16, 7))
+    assert abs(float(np.std(W)) * np.sqrt(16) - 1.0) < 0.1
