@@ -1210,6 +1210,74 @@ WHERE substr(md5('strat' || doc_id), 1, 8) <
 """
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """End-to-end corpus conditioning — the composed training-data pipeline:
+    quality filter (score >= 0.6) -> exact dedup on the whitespace-normalized
+    fingerprint (keep lowest doc_id) -> deterministic 50% sample -> 64-token
+    chunks with 16 overlap. Every stage is an existing operator; the point
+    is that they compose as plain DataFrames with the plan you'd want (one
+    fp-keyed window is the only shuffle before the narrow sample+chunk)."""
+    from pyspark.sql import Window
+
+    from engine.sampling import deterministic_sample
+    from engine.text import chunk_documents, fingerprint, quality_score
+
+    kept = quality_score(_read(spark, sf_dir, "documents")).filter(
+        F.col("quality") >= 0.6
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fingerprint(kept)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sampled = deterministic_sample(deduped, 0.5, salt="cp")
+    return chunk_documents(sampled, chunk_tokens=64, overlap=16)
+
+
+_SQL_CORPUS_PIPELINE = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+           + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b'))
+           + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
+           + len(regexp_extract_all(text, '\bis\b')) + len(regexp_extract_all(text, '\bit\b'))
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), kept AS (
+  SELECT doc_id, text,
+         md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+  FROM f
+  WHERE round(least(n_tokens / 64.0, 1.0) * 0.4
+              + least(stop_hits * 1.0 / n_tokens * 4.0, 1.0) * 0.3
+              + alpha_chars * 1.0 / n_chars * 0.3, 6) >= 0.6
+), deduped AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept)
+  WHERE rn = 1
+), sampled AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM deduped
+  WHERE substr(md5('cp' || doc_id), 1, 8) < '80000000'
+), s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start_token
+  FROM sampled
+)
+SELECT doc_id,
+       (start_token - 1) // 48 AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(toks[start_token : start_token + 63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_token : start_token + 63], ' ') AS chunk_text
+FROM s
+"""
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping fixed-token chunking for RAG/embedding prep
     (engine/text.py chunk_documents): 64-token windows, 16-token overlap.
@@ -2052,6 +2120,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "tfidf_topk": _q_tfidf_topk,
         "chunk_documents": _q_chunk_documents,
+        "corpus_pipeline": _q_corpus_pipeline,
         "pack_sequences": _q_pack_sequences,
         "winnow_near_dup": _q_winnow_near_dup,
         # dedup family
@@ -2127,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "corpus_pipeline": _SQL_CORPUS_PIPELINE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
