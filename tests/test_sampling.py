@@ -257,3 +257,15 @@ def test_random_projection_preserves_distances(spark):
     W = projection_matrix(64, 16, 7)
     assert np.array_equal(W, projection_matrix(64, 16, 7))
     assert abs(float(np.std(W)) * np.sqrt(16) - 1.0) < 0.1
+
+
+def test_corpus_pipeline_plans_single_exchange(spark):
+    """The composed conditioning chain must cost exactly its one necessary
+    shuffle (the fp-keyed dedup window); everything else stays narrow."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["corpus_pipeline"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
