@@ -1648,6 +1648,31 @@ def _q_audio_loudness(spark, sf_dir):
     return loud.join(speech, "speaker_id", "left").orderBy("speaker_id")
 
 
+def _q_audio_normalize(spark, sf_dir):
+    """Loudness normalization to -23 LUFS (engine/audio_ops.py
+    normalize_loudness): BS.1770-gated gain per clip, hard-clip guarded,
+    re-measured post-gain in the same pass to prove the target is hit.
+    Synthetic binary input → rows-only."""
+    from engine.audio_ops import normalize_loudness, with_loudness
+
+    clips = _clips_df(spark, n=200)
+    normed = normalize_loudness(clips, target_lufs=-23.0)
+    return (
+        with_loudness(normed)
+        .groupBy("speaker_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("gain_db"), 4).alias("avg_gain_db"),
+            F.round(F.avg("loudness_lufs"), 4).alias("avg_lufs_after"),
+            F.round(F.max(F.abs(F.col("loudness_lufs") - F.lit(-23.0))), 4).alias(
+                "max_lufs_err"
+            ),
+            F.round(F.max("clipped_frac"), 6).alias("max_clipped_frac"),
+        )
+        .orderBy("speaker_id")
+    )
+
+
 def _q_audio_resample(spark, sf_dir):
     """Corpus sample-rate normalization to 8 kHz via the polyphase
     windowed-sinc resampler (engine/audio_ops.py resample_poly; tone-SNR and
@@ -2139,6 +2164,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "speech_features": _q_speech_features,
         "audio_loudness": _q_audio_loudness,
+        "audio_normalize": _q_audio_normalize,
         "audio_resample": _q_audio_resample,
         "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "image_features": _q_image_features,

@@ -36,6 +36,7 @@ __all__ = [
     "k_weighting_coeffs",
     "loudness_lufs",
     "with_loudness",
+    "normalize_loudness",
     "vad_segments",
     "segment_clips",
     "clip_fingerprints",
@@ -514,3 +515,65 @@ def fingerprint_dedup(
         .agg(F.max("m").alias("aligned_matches"))
         .where(F.col("aligned_matches") >= min_matches)
     )
+
+
+# ---------------------------------------------------------------------------
+# loudness normalization
+# ---------------------------------------------------------------------------
+
+
+def normalize_loudness(
+    df: DataFrame,
+    target_lufs: float = -23.0,
+    max_gain_db: float = 40.0,
+    payload_col: str = "bytes",
+) -> DataFrame:
+    """Normalize each clip to a target integrated loudness (BS.1770 gating).
+
+    The standard TTS/ASR corpus-conditioning step after loudness
+    measurement: gain = ``target - measured`` LU (clamped to
+    ``±max_gain_db`` so near-silence is not blown up), samples scaled
+    linearly, hard-clipped at full scale, re-encoded PCM16. Clips whose
+    loudness is ungateable (shorter than one 400 ms block, or entirely
+    below the −70 LUFS absolute gate) pass through unchanged with
+    ``gain_db = 0``. Output replaces ``payload_col`` (codec becomes
+    ``pcm_s16le``) and appends ``gain_db`` and ``clipped_frac``.
+
+    Scale notes: same shape as every decode stage here — one Arrow-batched
+    ``mapInPandas``, no shuffle; measurement and gain share the single
+    decode.
+    """
+    passthrough = [c for c in df.columns if c not in (payload_col, "codec")]
+    out_schema = (
+        ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name not in (payload_col, "codec")
+        )
+        + f", `{payload_col}` binary, codec string, gain_db double, clipped_frac double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, gains, clipped = [], [], []
+            for b, c, s in zip(pdf[payload_col], pdf["codec"], pdf["sr_hz"]):
+                sr = int(s)
+                x = decode_payload(b, c, sr)
+                lufs = loudness_lufs(x, sr)
+                if math.isinf(lufs):
+                    g_db = 0.0
+                else:
+                    g_db = float(np.clip(target_lufs - lufs, -max_gain_db, max_gain_db))
+                y = x * (10.0 ** (g_db / 20.0))
+                clip_mask = np.abs(y) > 1.0
+                payloads.append(encode_wav_pcm16(y, sr))
+                gains.append(g_db)
+                clipped.append(float(clip_mask.mean()) if y.size else 0.0)
+            out = pdf[passthrough].copy()
+            out[payload_col] = payloads
+            out["codec"] = "pcm_s16le"
+            out["gain_db"] = gains
+            out["clipped_frac"] = clipped
+            yield out
+
+    return df.mapInPandas(op, schema=out_schema)

@@ -256,3 +256,49 @@ def test_map_stages_no_shuffle(spark, clips_df):
         plan = df._jdf.queryExecution().executedPlan().treeString()
         assert "Exchange" not in plan
         assert "MapInPandas" in plan
+
+
+def test_normalize_loudness_hits_target(spark):
+    import numpy as np
+
+    from engine.audio import encode_wav_pcm16
+    from engine.audio_ops import loudness_lufs, normalize_loudness
+    from engine.audio import decode_payload
+
+    sr = 8000
+    t = np.arange(sr) / sr  # 1 s
+    rows = []
+    for i, amp in enumerate([0.05, 0.2, 0.6]):
+        x = amp * np.sin(2 * np.pi * 440.0 * t)
+        rows.append((f"c{i}", encode_wav_pcm16(x, sr), sr, "pcm_s16le"))
+    # plus a too-short clip (ungateable -> passthrough, gain 0)
+    rows.append(("short", encode_wav_pcm16(np.zeros(100), sr), sr, "pcm_s16le"))
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string"
+    )
+    out = {r.clip_id: r for r in normalize_loudness(df, target_lufs=-23.0).collect()}
+    for i in range(3):
+        r = out[f"c{i}"]
+        got = loudness_lufs(decode_payload(bytes(r.bytes), r.codec, sr), sr)
+        assert abs(got - (-23.0)) < 0.3, (r.clip_id, got, r.gain_db)
+        assert r.clipped_frac < 0.01
+    # quiet clip boosted, loud clip attenuated
+    assert out["c0"].gain_db > 0 > out["c2"].gain_db
+    assert out["short"].gain_db == 0.0
+
+
+def test_normalize_loudness_gain_cap(spark):
+    import numpy as np
+
+    from engine.audio import encode_wav_pcm16
+    from engine.audio_ops import normalize_loudness
+
+    sr = 8000
+    # ~-54 LUFS whisper: reaching -16 would need ~+38 dB, cap at 30
+    x = 3e-3 * np.sin(2 * np.pi * 300.0 * np.arange(sr) / sr)
+    df = spark.createDataFrame(
+        [("w", encode_wav_pcm16(x, sr), sr, "pcm_s16le")],
+        "clip_id string, bytes binary, sr_hz int, codec string",
+    )
+    r = normalize_loudness(df, target_lufs=-16.0, max_gain_db=30.0).collect()[0]
+    assert r.gain_db == 30.0
