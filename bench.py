@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "det_sample",
     "tfidf_topk",
     "pack_sequences",
+    "percentile_stats",
+    "corpus_pipeline",
 ]
 
 
