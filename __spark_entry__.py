@@ -1999,6 +1999,26 @@ def _q_stateful_cep_funnel(spark, sf_dir):
     )
 
 
+def _q_stateful_cep_times(spark, sf_dir):
+    """Streaming CEP with the times(2) looping quantifier: the quantified
+    pattern expands to step replicas before the NFA is built, so the
+    streamed state layout is unchanged — this entry proves the round-3
+    quantifiers survive the real stream + watermark path end to end."""
+    from engine.cep import stateful_pattern_detect
+
+    steps = [
+        ("view", F.col("event_type") == "view"),
+        ("click", F.col("event_type") == "click", "followedBy", 2),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    src = _stream_events(spark, sf_dir)
+    return _run_stream_to_df(
+        spark,
+        stateful_pattern_detect(src, "ts", "user_id", steps,
+                                "48 hours", watermark="60 seconds"),
+    )
+
+
 _SQL_CLOSED_WM = "(SELECT max(ts) - INTERVAL 60 SECOND FROM events)"
 
 _SQL_STATEFUL_TUMBLING_10M = f"""
@@ -2093,6 +2113,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stateful_stream_join", _q_stateful_stream_join),
         "stateful_cep_funnel": _memo_stream(
             "stateful_cep_funnel", _q_stateful_cep_funnel),
+        "stateful_cep_times": _memo_stream(
+            "stateful_cep_times", _q_stateful_cep_times),
         # window family (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_1h_bugcompat": _q_tumbling_1h_bugcompat,
@@ -2186,6 +2208,10 @@ def oracle_sql() -> dict[str, str]:
         "cep_optional": _cep_optional_sql(),
         "stateful_cep_funnel": (
             f"SELECT * FROM ({_cep_sql()}) "
+            f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"
+        ),
+        "stateful_cep_times": (
+            f"SELECT * FROM ({_cep_times_sql()}) "
             f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"
         ),
         "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
