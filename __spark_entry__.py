@@ -1330,7 +1330,7 @@ WITH t AS (
 ), c AS (
   SELECT doc_id, n_tokens,
          CAST(coalesce(sum(n_tokens) OVER (
-             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ORDER BY h, n_tokens ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) AS BIGINT) AS cum_start
   FROM t
 )

@@ -131,9 +131,12 @@ def pack_sequences(
         F.md5(key.cast("binary")).alias("_h"),
     ).withColumn("_part", F.substring("_h", 1, 2))
 
+    # n_tokens as secondary sort key pins the order under duplicate ids
+    # (identical hash); remaining ties are exact-duplicate rows whose
+    # outputs are interchangeable.
     w_in = (
         Window.partitionBy("_part")
-        .orderBy("_h")
+        .orderBy("_h", "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = base.withColumn(
