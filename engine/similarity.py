@@ -463,6 +463,8 @@ def random_projection(
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _proj(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
         emb = np.stack(s.to_numpy()).astype(np.float64)  # rows × dim
         acc = np.zeros((emb.shape[0], out_dim))
         for j in range(dim):
