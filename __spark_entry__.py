@@ -1339,6 +1339,96 @@ FROM c
 """
 
 
+def _q_fixed_sample(spark, sf_dir):
+    """Exactly-N reproducible sample (engine/sampling.py fixed_size_sample):
+    lowest-N md5 order — plans as TakeOrderedAndProject (per-partition
+    top-N + single merge, no full sort/shuffle)."""
+    from engine.sampling import fixed_size_sample
+
+    out = fixed_size_sample(_read(spark, sf_dir, "documents"), n=100, salt="fx")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+_SQL_FIXED_SAMPLE = r"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+ORDER BY substr(md5('fx' || doc_id), 1, 8)
+LIMIT 100
+"""
+
+
+def _q_vocab(spark, sf_dir):
+    """Corpus vocabulary with ranks (engine/text.py build_vocab): term
+    counts >= 5, ranked (count desc, term asc) — the id-assignment step of
+    tokenizer construction. One term-keyed shuffle; the rank window runs
+    over the aggregated vocabulary, not the corpus."""
+    from engine.text import build_vocab
+
+    return build_vocab(_read(spark, sf_dir, "documents"), min_count=5)
+
+
+_SQL_VOCAB = r"""
+WITH tok AS (
+  SELECT t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+  WHERE t.term <> ''
+), c AS (
+  SELECT term, count(*) AS count FROM tok GROUP BY 1 HAVING count(*) >= 5
+)
+SELECT term, count,
+       row_number() OVER (ORDER BY count DESC, term ASC) AS rank
+FROM c
+"""
+
+
+def _q_top_quality_per_lang(spark, sf_dir):
+    """Curriculum/curation selection: top-20 documents per language by
+    quality score (doc_id tie-break) — quality scoring fused into the scan,
+    one lang-keyed window."""
+    from pyspark.sql import Window
+
+    from engine.text import quality_score
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        quality_score(_read(spark, sf_dir, "documents"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "rank", "doc_id", "quality")
+    )
+
+
+_SQL_TOP_QUALITY_PER_LANG = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+           + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b'))
+           + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
+           + len(regexp_extract_all(text, '\bis\b')) + len(regexp_extract_all(text, '\bit\b'))
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         round(least(n_tokens / 64.0, 1.0) * 0.4
+               + least(stop_hits * 1.0 / n_tokens * 4.0, 1.0) * 0.3
+               + alpha_chars * 1.0 / n_chars * 0.3, 6) AS quality
+  FROM f
+)
+SELECT lang, rank, doc_id, quality
+FROM (SELECT lang, doc_id, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id ASC) AS rank
+      FROM q)
+WHERE rank <= 20
+"""
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Top-3 TF-IDF terms per document (engine/text.py tfidf_top_terms).
     Scores rounded to 6 dp BEFORE ranking so ordering matches the oracle
@@ -2165,6 +2255,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
+        "fixed_sample": _q_fixed_sample,
+        "vocab": _q_vocab,
+        "top_quality_per_lang": _q_top_quality_per_lang,
         "tfidf_topk": _q_tfidf_topk,
         "chunk_documents": _q_chunk_documents,
         "corpus_pipeline": _q_corpus_pipeline,
@@ -2246,6 +2339,9 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _sql_random_projection(),
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "fixed_sample": _SQL_FIXED_SAMPLE,
+        "vocab": _SQL_VOCAB,
+        "top_quality_per_lang": _SQL_TOP_QUALITY_PER_LANG,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "corpus_pipeline": _SQL_CORPUS_PIPELINE,

@@ -161,3 +161,27 @@ def pack_sequences(
         )
         .select(id_col, "n_tokens", "cum_start", "bin")
     )
+
+
+def fixed_size_sample(
+    df: DataFrame, n: int, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Exactly-``n`` reproducible sample: the ``n`` rows whose ``md5(salt
+    || id)`` sorts lowest. Unlike :func:`deterministic_sample` (a fraction
+    with binomial jitter), this pins the sample *size*; membership is still
+    stable across engines, reruns, and partitionings.
+
+    Scale notes: plans as TakeOrderedAndProject — per-partition top-``n``
+    then a single merge of ``parts × n`` candidates on the driver side of
+    the exchange; no full sort, no full shuffle. Keep ``n`` driver-sized
+    (samples, not partitions of the corpus) — that is what "fixed-size
+    sample" means operationally.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    return (
+        df.withColumn("_h", _hash_prefix(id_col, salt))
+        .orderBy("_h")
+        .limit(n)
+        .drop("_h")
+    )

@@ -346,3 +346,34 @@ def chunk_documents(
             F.array_join("_c", " ").alias("chunk_text"),
         )
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: term -> total count + doc frequency + rank.
+
+    Tokenizes to lowercase alpha runs (the :func:`tfidf_top_terms`
+    definition), keeps terms with total count >= ``min_count``, ranks by
+    (count desc, term asc) — the id assignment step of tokenizer/vocab
+    construction. One shuffle (term groupBy) + one global rank over the
+    already-aggregated (small) term table.
+    """
+    tok = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("count"))
+    from pyspark.sql import Window
+
+    # Unpartitioned window over the aggregated term table — vocabulary
+    # sized, not corpus sized (and capped further by min_count).
+    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    return (
+        counts.filter(F.col("count") >= min_count)
+        .withColumn("rank", F.row_number().over(w))
+    )

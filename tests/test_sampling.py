@@ -269,3 +269,45 @@ def test_corpus_pipeline_plans_single_exchange(spark):
     df = em.queries()["corpus_pipeline"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange", plan)) == 1, plan
+
+
+def test_fixed_size_sample_exact_n_and_stable(spark):
+    from engine.sampling import fixed_size_sample
+
+    df = _docs(spark, 1000)
+    a = fixed_size_sample(df, 64, salt="f").collect()
+    assert len(a) == 64
+    b = fixed_size_sample(df.repartition(17), 64, salt="f").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # membership = lowest-64 md5, python-recomputed
+    import hashlib as _h
+
+    expect = sorted(
+        (f"doc_{i:05d}" for i in range(1000)),
+        key=lambda d: _h.md5(f"f{d}".encode()).hexdigest()[:8],
+    )[:64]
+    assert sorted(r.doc_id for r in a) == sorted(expect)
+    # n larger than table -> whole table; n=0 -> empty; negative raises
+    assert fixed_size_sample(df, 5000).count() == 1000
+    assert fixed_size_sample(df, 0).count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fixed_size_sample(df, -1)
+    # scale shape: per-partition top-n + merge, not a full sort shuffle
+    plan = (
+        fixed_size_sample(df, 64)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_build_vocab_counts_and_rank(spark):
+    from engine.text import build_vocab
+
+    df = spark.createDataFrame(
+        [("d1", "b b a c"), ("d2", "a b x")], ["doc_id", "text"]
+    )
+    rows = {r.term: (r["count"], r.rank) for r in build_vocab(df).collect()}
+    # b:3 a:2 c:1 x:1 -> ties rank by term asc
+    assert rows == {"b": (3, 1), "a": (2, 2), "c": (1, 3), "x": (1, 4)}
+    assert {r.term for r in build_vocab(df, min_count=2).collect()} == {"a", "b"}
