@@ -1339,6 +1339,46 @@ FROM c
 """
 
 
+def _q_collocations(spark, sf_dir):
+    """PMI bigram collocations (engine/text.py bigram_collocations):
+    adjacent-pair counts via one codegen arrays_zip (no token self-join),
+    corpus totals as metadata-cheap counts, PMI arithmetic ordered
+    identically to the oracle so doubles agree bit-for-bit."""
+    from engine.text import bigram_collocations
+
+    return bigram_collocations(_read(spark, sf_dir, "documents"), min_count=5)
+
+
+_SQL_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), uni AS (
+  SELECT u.term FROM t, unnest(w) AS u(term)
+), uc AS (
+  SELECT term, count(*) AS c FROM uni GROUP BY 1
+), pairs AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM (SELECT unnest([array_to_string(w[i + 1:i + 2], ' ')
+                       for i in range(len(w) - 1)]) AS bg
+        FROM t)
+), bc AS (
+  SELECT w1, w2, count(*) AS c_xy
+  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+), n AS (
+  SELECT (SELECT count(*) FROM uni) AS n_uni,
+         (SELECT count(*) FROM pairs) AS n_bi
+)
+SELECT bc.w1, bc.w2, bc.c_xy,
+       round(ln((bc.c_xy * CAST(n.n_uni AS DOUBLE) * CAST(n.n_uni AS DOUBLE))
+                / (CAST(n.n_bi AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+FROM bc
+JOIN uc ux ON bc.w1 = ux.term
+JOIN uc uy ON bc.w2 = uy.term, n
+"""
+
+
 def _q_fixed_sample(spark, sf_dir):
     """Exactly-N reproducible sample (engine/sampling.py fixed_size_sample):
     lowest-N md5 order — plans as TakeOrderedAndProject (per-partition
@@ -2255,6 +2295,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": _q_random_projection,
         "det_sample": _q_det_sample,
         "stratified_sample": _q_stratified_sample,
+        "collocations": _q_collocations,
         "fixed_sample": _q_fixed_sample,
         "vocab": _q_vocab,
         "top_quality_per_lang": _q_top_quality_per_lang,
@@ -2339,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _sql_random_projection(),
         "det_sample": _SQL_DET_SAMPLE,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "collocations": _SQL_COLLOCATIONS,
         "fixed_sample": _SQL_FIXED_SAMPLE,
         "vocab": _SQL_VOCAB,
         "top_quality_per_lang": _SQL_TOP_QUALITY_PER_LANG,

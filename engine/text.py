@@ -377,3 +377,62 @@ def build_vocab(
         counts.filter(F.col("count") >= min_count)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def bigram_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """PMI-scored bigram collocations (phrase mining).
+
+    Adjacent lowercase-alpha token pairs with total count >= ``min_count``,
+    scored ``pmi = ln(P(xy) / (P(x)P(y)))`` using corpus-wide unigram and
+    bigram totals. Output: ``w1, w2, c_xy, pmi`` (rounded 6 dp; the
+    arithmetic is ordered identically to the SQL oracle so the doubles —
+    not just the rounded values — agree).
+
+    Scale notes: bigrams come from one codegen'd ``arrays_zip`` of two
+    shifted slices (no self-join of the token stream); two keyed
+    aggregates (bigram, unigram) and two term-keyed joins of the bigram
+    table against the (much smaller) unigram table. The two corpus totals
+    are metadata-cheap ``count()`` actions, keeping 1-row cross joins out
+    of the plan.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    base = df.select(toks.alias("_t"))
+    tok = base.select(F.explode("_t").alias("term"))
+    n_uni = tok.count()
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+            )
+        ).alias("b")
+    ).select(F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    n_bi = pairs.count()
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    return (
+        bi.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+                    / (F.lit(float(n_bi)) * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -311,3 +311,22 @@ def test_build_vocab_counts_and_rank(spark):
     # b:3 a:2 c:1 x:1 -> ties rank by term asc
     assert rows == {"b": (3, 1), "a": (2, 2), "c": (1, 3), "x": (1, 4)}
     assert {r.term for r in build_vocab(df, min_count=2).collect()} == {"a", "b"}
+
+
+def test_bigram_collocations_hand_computed(spark):
+    import math
+
+    from engine.text import bigram_collocations
+
+    # "a b" appears 3x, tokens: a=3, b=3, x=2; bigrams total = 5
+    df = spark.createDataFrame(
+        [("d1", "a b x a b"), ("d2", "a b x")], ["doc_id", "text"]
+    )
+    rows = {(r.w1, r.w2): (r.c_xy, r.pmi)
+            for r in bigram_collocations(df, min_count=2).collect()}
+    n_uni, n_bi = 8, 6  # d1: 5 tokens/4 bigrams, d2: 3 tokens/2 bigrams
+    exp = round(math.log((3 * n_uni * n_uni) / (n_bi * 3 * 3)), 6)
+    assert rows[("a", "b")] == (3, exp)
+    assert ("b", "x") in rows and rows[("b", "x")][0] == 2
+    # bigrams never span documents
+    assert ("x", "a") not in rows or rows[("x", "a")][0] < 2
