@@ -2149,6 +2149,34 @@ def _q_stateful_cep_times(spark, sf_dir):
     )
 
 
+def _q_stateful_dedup(spark, sf_dir):
+    """Streaming exact dedup through the real stream path: every event is
+    doubled in-flight (explode over a 2-element array), then
+    dropDuplicatesWithinWatermark keeps the first arrival per event_id —
+    output must be each source event exactly once (engine/dedup.py
+    streaming_dedup; state bounded by the disorder window)."""
+    from engine.dedup import streaming_dedup
+
+    src = _stream_events(spark, sf_dir)
+    doubled = src.withColumn(
+        "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("_copy")
+    out = streaming_dedup(doubled, ["event_id"], ts_col="ts")
+    return _run_stream_to_df(
+        spark,
+        out.select(
+            "event_id", "user_id", "event_type",
+            F.round("value", 6).alias("value"),
+        ),
+    )
+
+
+_SQL_STATEFUL_DEDUP = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+"""
+
+
 _SQL_CLOSED_WM = "(SELECT max(ts) - INTERVAL 60 SECOND FROM events)"
 
 _SQL_STATEFUL_TUMBLING_10M = f"""
@@ -2245,6 +2273,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stateful_cep_funnel", _q_stateful_cep_funnel),
         "stateful_cep_times": _memo_stream(
             "stateful_cep_times", _q_stateful_cep_times),
+        "stateful_dedup": _memo_stream("stateful_dedup", _q_stateful_dedup),
         # window family (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_1h_bugcompat": _q_tumbling_1h_bugcompat,
@@ -2348,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_cep_times_sql()}) "
             f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"
         ),
+        "stateful_dedup": _SQL_STATEFUL_DEDUP,
         "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "filter_tree_orders": _SQL_FILTER_TREE_ORDERS,
