@@ -195,8 +195,10 @@ def keyed_percentiles(
     key_col: str,
     value_col: str,
     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact linear-interpolated percentiles per key (p50/p90/p99-style).
+    """Per-key percentiles, exact by default (p50/p90/p99-style).
 
     Extends the A1-A4 incremental-stats family (count/avg/stdev/min/max —
     ``TransactionCountAggregate.java:21-38``) with the latency/amount
@@ -205,14 +207,22 @@ def keyed_percentiles(
     ``percentile_cont`` / DuckDB ``quantile_cont``), rounded to 6 dp so the
     cross-engine oracle hash-matches bit-for-bit.
 
-    Scale notes: one hash-partial + one final aggregate on the key shuffle —
-    exact percentiles buffer per-group values, so at 100 TB cardinality
-    keeps memory bounded only if groups are numerous/small (true for
-    per-user stats); for few huge groups swap in ``approx_percentile``
-    (sketch-mergeable, bounded memory) at the same call site.
+    ``approx=True`` swaps in ``percentile_approx`` (Greenwald-Khanna
+    sketch, rank error <= group_size / accuracy): same call site, same
+    output columns, bounded memory per group — the 100 TB mode when a few
+    groups hold most of the rows. The rank-error bound is property-tested.
+
+    Scale notes (exact mode): one hash-partial + one final aggregate on the
+    key shuffle — exact percentiles buffer per-group values, so memory
+    stays bounded only while groups are numerous/small (true for per-user
+    stats); for few huge groups use ``approx=True``.
     """
     aggs = [F.count(F.lit(1)).alias("n")]
     for p in probs:
         label = f"p{str(p).replace('0.', '').ljust(2, '0')}"
-        aggs.append(F.round(F.percentile(value_col, F.lit(p)), 6).alias(label))
+        if approx:
+            expr = F.percentile_approx(value_col, F.lit(p), F.lit(accuracy))
+        else:
+            expr = F.percentile(value_col, F.lit(p))
+        aggs.append(F.round(expr, 6).alias(label))
     return df.groupBy(key_col).agg(*aggs)

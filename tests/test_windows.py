@@ -166,3 +166,23 @@ def test_keyed_percentiles_hand_computed(spark):
     assert got["a"].n == 4 and got["a"].p50 == 2.5 and got["a"].p25 == 1.75
     # singleton group: every percentile is the value itself
     assert got["b"].n == 1 and got["b"].p50 == 10.0 and got["b"].p25 == 10.0
+
+
+def test_keyed_percentiles_approx_rank_error_bound(spark):
+    from pyspark.sql import functions as F
+
+    from engine.windows import keyed_percentiles
+
+    # 10k skewed values in one group; GK guarantee: rank error <= n/accuracy
+    n, accuracy = 10_000, 100
+    df = spark.range(n).select(
+        F.lit("k").alias("k"), (F.col("id") * F.col("id")).cast("double").alias("v")
+    )
+    got = keyed_percentiles(df, "k", "v", probs=(0.5, 0.99), approx=True,
+                            accuracy=accuracy).collect()[0]
+    assert got.n == n
+    for label, p in (("p50", 0.5), ("p99", 0.99)):
+        v = got[label]
+        # v is an actual sample; its rank must be within n/accuracy of target
+        rank = int(round(v**0.5)) + 1  # values are id^2 -> rank = id + 1
+        assert abs(rank - p * n) <= n / accuracy + 1, (label, v, rank)
