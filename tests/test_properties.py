@@ -384,3 +384,76 @@ def test_jpeg_dispatch_and_unsupported():
         decode_jpeg(bytes(buf))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01notajpeg")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / packing / chunking spec properties (round 3)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_sample_thresholds_are_monotone_so_samples_nest(f1, f2):
+    """thr is monotone in the fraction -> sample(f1) ⊆ sample(f2) for
+    f1 <= f2 (nested samples: growing a sample never churns membership)."""
+    from engine.sampling import fraction_to_hex_threshold
+
+    lo, hi = sorted((f1, f2))
+    assert fraction_to_hex_threshold(lo) <= fraction_to_hex_threshold(hi)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=0.0, max_value=0.9999999, allow_nan=False))
+def test_sample_threshold_tracks_fraction(f):
+    from engine.sampling import fraction_to_hex_threshold
+
+    got = int(fraction_to_hex_threshold(f), 16) / 16**8
+    assert abs(got - f) < 2**-31
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=1000),
+)
+def test_packing_layout_spec(tokens, budget):
+    """The concat-then-chunk layout spec: bins are contiguous from 0, every
+    doc starts inside its bin, and token mass is conserved."""
+    cum = 0
+    last_bin = 0
+    prev_t = 0
+    for t in tokens:
+        b = cum // budget
+        assert b * budget <= cum < (b + 1) * budget
+        assert b >= last_bin  # bins never go backwards in pack order
+        # the jump is bounded by how far the PREVIOUS doc ran past its bin
+        assert b - last_bin <= prev_t // budget + 1
+        last_bin = b
+        prev_t = t
+        cum += t
+    assert cum == sum(tokens)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=0, max_value=63),
+)
+def test_chunking_covers_exactly_once_per_overlap_class(n, chunk, overlap):
+    """Chunk windows [s, s+chunk) for s in 1, 1+step, ... cover [1, n]
+    completely; each token is in at most ceil(chunk/step) chunks."""
+    if overlap >= chunk:
+        return
+    step = chunk - overlap
+    starts = list(range(1, n + 1, step))
+    covered = {}
+    for s in starts:
+        for t in range(s, min(s + chunk, n + 1)):
+            covered[t] = covered.get(t, 0) + 1
+    assert set(covered) == set(range(1, n + 1))
+    max_membership = -(-chunk // step)  # ceil
+    assert max(covered.values()) <= max_membership
