@@ -1422,6 +1422,36 @@ FROM c
 """
 
 
+def _q_tokenized(spark, sf_dir):
+    """Vocabulary applied to the corpus (engine/text.py
+    tokenize_with_vocab): (doc_id, pos, term_id) rows, OOV -> -1 — the
+    id-mapping step producing training-ready integer sequences. Plan:
+    scan -> posexplode -> broadcast vocab join, no shuffle."""
+    from engine.text import build_vocab, tokenize_with_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return tokenize_with_vocab(docs, build_vocab(docs, min_count=5))
+
+
+_SQL_TOKENIZED = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(r.i - 1 AS BIGINT) AS pos, w[r.i] AS term
+  FROM t, unnest(range(1, len(w) + 1)) AS r(i)
+), v AS (
+  SELECT term, CAST(row_number() OVER (ORDER BY count DESC, term ASC) AS BIGINT)
+           AS term_id
+  FROM (SELECT term, count(*) AS count FROM tok GROUP BY 1
+        HAVING count(*) >= 5)
+)
+SELECT tok.doc_id, tok.pos, coalesce(v.term_id, -1) AS term_id
+FROM tok LEFT JOIN v USING (term)
+"""
+
+
 def _q_top_quality_per_lang(spark, sf_dir):
     """Curriculum/curation selection: top-20 documents per language by
     quality score (doc_id tie-break) — quality scoring fused into the scan,
@@ -2327,6 +2357,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "fixed_sample": _q_fixed_sample,
         "vocab": _q_vocab,
+        "tokenized": _q_tokenized,
         "top_quality_per_lang": _q_top_quality_per_lang,
         "tfidf_topk": _q_tfidf_topk,
         "chunk_documents": _q_chunk_documents,
@@ -2413,6 +2444,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _SQL_COLLOCATIONS,
         "fixed_sample": _SQL_FIXED_SAMPLE,
         "vocab": _SQL_VOCAB,
+        "tokenized": _SQL_TOKENIZED,
         "top_quality_per_lang": _SQL_TOP_QUALITY_PER_LANG,
         "tfidf_topk": _SQL_TFIDF_TOPK,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,

@@ -436,3 +436,36 @@ def bigram_collocations(
             ).alias("pmi"),
         )
     )
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Apply a vocabulary to the corpus: one row per token position with its
+    assigned term id (``vocab``'s ``rank`` column) — the id-mapping step
+    that turns text into training-ready integer sequences. Out-of-vocabulary
+    tokens get ``oov_id``. Output: ``id_col, pos, term_id``.
+
+    Scale notes: posexplode carries only (id, pos, term); the vocabulary is
+    broadcast (even a 10^6-term vocab is tens of MB) so the id join adds no
+    shuffle — the whole plan is scan → explode → broadcast-join.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "term")
+    )
+    ids = vocab.select("term", F.col("rank").alias("term_id"))
+    return (
+        tok.join(F.broadcast(ids), "term", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(F.col("term_id"), F.lit(oov_id)).cast("long").alias("term_id"),
+        )
+    )

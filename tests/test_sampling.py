@@ -330,3 +330,21 @@ def test_bigram_collocations_hand_computed(spark):
     assert ("b", "x") in rows and rows[("b", "x")][0] == 2
     # bigrams never span documents
     assert ("x", "a") not in rows or rows[("x", "a")][0] < 2
+
+
+def test_tokenize_with_vocab_ids_and_oov(spark):
+    from engine.text import build_vocab, tokenize_with_vocab
+
+    df = spark.createDataFrame(
+        [("d1", "b b a c"), ("d2", "a b x")], ["doc_id", "text"]
+    )
+    vocab = build_vocab(df, min_count=2)  # b->1, a->2; c,x OOV
+    rows = sorted(
+        tokenize_with_vocab(df, vocab).collect(),
+        key=lambda r: (r.doc_id, r.pos),
+    )
+    seq = {d: [r.term_id for r in rows if r.doc_id == d] for d in ("d1", "d2")}
+    assert seq["d1"] == [1, 1, 2, -1]
+    assert seq["d2"] == [2, 1, -1]
+    # positions are dense from 0 per doc
+    assert [r.pos for r in rows if r.doc_id == "d1"] == [0, 1, 2, 3]
