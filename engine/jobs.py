@@ -357,6 +357,47 @@ def cmd_changes(args) -> dict:
             "rows": sum(d["read_rows"] for d in delivered)}
 
 
+def cmd_condition(args) -> dict:
+    """Batch corpus conditioning over a documents table: quality filter ->
+    exact fingerprint dedup -> deterministic sample -> overlapping token
+    chunks, written as one exactly-once ledger batch so downstream training
+    jobs read a consistent snapshot."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.sampling import deterministic_sample
+    from engine.session import get_spark
+    from engine.sink import ParquetLedgerSink
+    from engine.text import chunk_documents, fingerprint, quality_score
+
+    spark = get_spark("condition", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    kept = quality_score(docs).filter(F.col("quality") >= args.min_quality)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fingerprint(kept)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sampled = deterministic_sample(deduped, args.fraction, salt=args.salt)
+    chunks = chunk_documents(sampled, args.chunk_tokens, args.overlap)
+    sink = ParquetLedgerSink(args.out)
+    batch_id = max((r.batch_id for r in sink.committed_batches()), default=-1) + 1
+    sink.write_batch(chunks, batch_id)
+    n_out = sink.audit()["ledger_rows"]
+    spark.stop()
+    return {
+        "job": "condition", "input_docs": n_in, "output_chunks": n_out,
+        "min_quality": args.min_quality, "fraction": args.fraction,
+        "chunk_tokens": args.chunk_tokens, "overlap": args.overlap,
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="engine.jobs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -389,6 +430,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table", required=True, help="sink out dir to tail")
     _add_common(p)
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("condition", help="corpus conditioning: quality -> dedup -> sample -> chunk")
+    p.add_argument("--docs", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="sink dir (chunks + ledger)")
+    p.add_argument("--min-quality", type=float, default=0.6)
+    p.add_argument("--fraction", type=float, default=1.0)
+    p.add_argument("--salt", default="cond")
+    p.add_argument("--chunk-tokens", type=int, default=64)
+    p.add_argument("--overlap", type=int, default=16)
+    _add_common(p)
+    p.set_defaults(fn=cmd_condition)
 
     p = sub.add_parser("backfill", help="batch backfill of windowed feature groups")
     p.add_argument("--clips", required=True)
