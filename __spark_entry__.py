@@ -2179,6 +2179,59 @@ def _q_stateful_cep_times(spark, sf_dir):
     )
 
 
+def _q_stream_condition(spark, sf_dir):
+    """Documents through the streaming path: quality filter + overlapping
+    chunking are stateless codegen stages, so they stream as-is — this
+    entry proves the text-conditioning family runs under Structured
+    Streaming end to end, oracle-checked against the batch SQL."""
+    import tempfile
+
+    from engine.text import chunk_documents, quality_score
+
+    src_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(src_path).schema
+    if os.path.isdir(src_path):
+        path = src_path
+    else:
+        d = tempfile.mkdtemp(prefix="entry_docstream_")
+        os.symlink(os.path.abspath(src_path), os.path.join(d, "documents.parquet"))
+        path = d
+    src = spark.readStream.schema(schema).parquet(path)
+    kept = quality_score(src).filter(F.col("quality") >= 0.6)
+    return _run_stream_to_df(spark, chunk_documents(kept, 64, 16))
+
+
+_SQL_STREAM_CONDITION = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b'))
+           + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b'))
+           + len(regexp_extract_all(text, '\bto\b')) + len(regexp_extract_all(text, '\bin\b'))
+           + len(regexp_extract_all(text, '\bis\b')) + len(regexp_extract_all(text, '\bit\b'))
+           AS stop_hits,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), kept AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM f
+  WHERE round(least(n_tokens / 64.0, 1.0) * 0.4
+              + least(stop_hits * 1.0 / n_tokens * 4.0, 1.0) * 0.3
+              + alpha_chars * 1.0 / n_chars * 0.3, 6) >= 0.6
+), s AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start_token
+  FROM kept
+)
+SELECT doc_id,
+       (start_token - 1) // 48 AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(toks[start_token : start_token + 63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_token : start_token + 63], ' ') AS chunk_text
+FROM s
+"""
+
+
 def _q_stateful_dedup(spark, sf_dir):
     """Streaming exact dedup through the real stream path: every event is
     doubled in-flight (explode over a 2-element array), then
@@ -2304,6 +2357,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_cep_times": _memo_stream(
             "stateful_cep_times", _q_stateful_cep_times),
         "stateful_dedup": _memo_stream("stateful_dedup", _q_stateful_dedup),
+        "stream_condition": _memo_stream("stream_condition", _q_stream_condition),
         # window family (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_1h_bugcompat": _q_tumbling_1h_bugcompat,
@@ -2409,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE purchase_ts <= {_SQL_CLOSED_WM}"
         ),
         "stateful_dedup": _SQL_STATEFUL_DEDUP,
+        "stream_condition": _SQL_STREAM_CONDITION,
         "keyed_stats_orders": _SQL_KEYED_STATS_ORDERS,
         "lineitem_pricing": _SQL_LINEITEM_PRICING,
         "filter_tree_orders": _SQL_FILTER_TREE_ORDERS,
