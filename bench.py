@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "percentile_stats",
     "corpus_pipeline",
+    "collocations",
+    "tokenized",
 ]
 
 
