@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fraction_to_hex_threshold", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "fraction_to_hex_threshold",
+    "deterministic_sample",
+    "stratified_sample",
+    "pack_sequences",
+    "fixed_size_sample",
+]
 
 #: Number of leading hex chars compared; 8 chars = 32 bits of resolution,
 #: i.e. fraction granularity of ~2.3e-10 — ample for any sampling rate.
