@@ -1392,7 +1392,7 @@ def _q_fixed_sample(spark, sf_dir):
 _SQL_FIXED_SAMPLE = r"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
-ORDER BY substr(md5('fx' || doc_id), 1, 8)
+ORDER BY substr(md5('fx' || doc_id), 1, 8), doc_id
 LIMIT 100
 """
 

@@ -192,8 +192,14 @@ def detect_sequence(
     cannot pre-prune non-matching rows and ships the key's full stream
     through the exchange); ``(name, cond, "notFollowedBy")`` is negation —
     no event matching ``cond`` may fall strictly between the surrounding
-    matched timestamps (events at exactly the boundary timestamps do not
-    invalidate; negation is timestamp-granular); ``(name, cond,
+    matched timestamps. Boundary semantics: a negated event at exactly the
+    LOWER boundary (the predecessor's timestamp) never invalidates
+    (timestamp-granular: the ``n <= t_prev`` guard passes); the UPPER
+    boundary is order-granular — a negated event sharing the current
+    step's timestamp invalidates iff it sorts before the current row under
+    ``(ts, order_col)``, because it then falls inside the ROWS-preceding
+    window. The SQL oracle and streaming twin share this rule, so parity
+    holds; ``(name, cond,
     "optional")`` is FlinkCEP ``.optional()`` — the step may be skipped, in
     which case its emitted ``{name}_ts`` is null. Greedy selection treats a
     skip as a pass-through chain anchored at the event completing the

@@ -22,7 +22,11 @@ Distribution model: one output file per Spark partition (standard
 ``part-NNNNN`` layout), written executor-side inside ``mapInPandas`` — the
 driver only collects (path, row-count) manifests. Readers for both formats
 are included for verification; they are exact inverses on the supported
-type set (long/double/string/binary/bool + arrays thereof).
+type set (long/string/binary/bool + arrays thereof) EXCEPT doubles: the
+tf.train.Example wire format only has a 32-bit ``FloatList``, so double
+columns are truncated to float32 on write and ``parse_example`` returns
+float32-precision values — a lossy boundary inherent to the format, not
+to this implementation.
 """
 
 from __future__ import annotations

@@ -550,6 +550,16 @@ class IcebergTable:
         """Files ADDED by snapshots in ``(from, to]`` — the pullChanges /
         incremental-scan analogue (``engine/store.py pull_changes``)."""
         snaps = self.snapshots()
+        if from_snapshot_id is not None and not any(
+            s["snapshot-id"] == from_snapshot_id for s in snaps
+        ):
+            # mirror snapshot()'s behavior: a stale/unknown snapshot id is
+            # an error, not "no changes" — silently returning [] would be a
+            # data-miss path for the pullChanges analogue
+            raise KeyError(
+                f"from_snapshot_id {from_snapshot_id} not found in table "
+                f"snapshot history"
+            )
         started = from_snapshot_id is None
         out: list[DataFileInfo] = []
         for s in snaps:

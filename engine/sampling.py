@@ -185,9 +185,12 @@ def fixed_size_sample(
     """
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
+    # id_col as the final tie-break: rows whose 8-hex md5 prefixes collide
+    # at the size-n boundary would otherwise make membership depend on
+    # partition order, breaking the stable-across-reruns guarantee
     return (
         df.withColumn("_h", _hash_prefix(id_col, salt))
-        .orderBy("_h")
+        .orderBy("_h", id_col)
         .limit(n)
         .drop("_h")
     )

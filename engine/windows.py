@@ -219,7 +219,18 @@ def keyed_percentiles(
     """
     aggs = [F.count(F.lit(1)).alias("n")]
     for p in probs:
-        label = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        # name from the integer percent so labels are unambiguous SQL
+        # identifiers (p50/p90/p99, p=1.0 -> p100); reject probs the scheme
+        # cannot name rather than emit malformed/ambiguous columns
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"prob must be in (0, 1], got {p}")
+        pct = p * 100.0
+        if abs(pct - round(pct)) > 1e-9:
+            raise ValueError(
+                f"prob {p} is not a whole percent; the pNN label scheme "
+                f"cannot name it unambiguously — use a whole-percent prob"
+            )
+        label = f"p{int(round(pct)):02d}"
         if approx:
             expr = F.percentile_approx(value_col, F.lit(p), F.lit(accuracy))
         else:

@@ -274,3 +274,13 @@ def test_sink_streaming_end_to_end_with_restart(spark, tmp_path):
     got = sink.read_committed(spark)
     # update-mode re-emits keys; latest snapshot rows must cover all 40 keys
     assert got.select("k").distinct().count() == 40
+
+
+def test_incremental_unknown_from_snapshot_raises(spark, tmp_path):
+    import pytest
+
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 10))
+    # a stale/unknown snapshot id must be an error, not a silent "no changes"
+    with pytest.raises(KeyError):
+        t.incremental_files(123456789)

@@ -186,3 +186,21 @@ def test_keyed_percentiles_approx_rank_error_bound(spark):
         # v is an actual sample; its rank must be within n/accuracy of target
         rank = int(round(v**0.5)) + 1  # values are id^2 -> rank = id + 1
         assert abs(rank - p * n) <= n / accuracy + 1, (label, v, rank)
+
+
+def test_keyed_percentiles_label_scheme_and_validation(spark):
+    import pytest
+
+    from engine.windows import keyed_percentiles
+
+    df = spark.createDataFrame([("a", float(v)) for v in range(1, 5)], ["k", "v"])
+    # p=1.0 names cleanly as p100 (no dot in the identifier) and equals max
+    got = keyed_percentiles(df, "k", "v", probs=(1.0, 0.05)).collect()[0]
+    assert got.p100 == 4.0 and got.p05 == 1.15
+    # probs the pNN scheme cannot name unambiguously are rejected
+    with pytest.raises(ValueError):
+        keyed_percentiles(df, "k", "v", probs=(0.125,))
+    with pytest.raises(ValueError):
+        keyed_percentiles(df, "k", "v", probs=(0.0,))
+    with pytest.raises(ValueError):
+        keyed_percentiles(df, "k", "v", probs=(1.5,))
