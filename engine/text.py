@@ -352,14 +352,29 @@ def build_vocab(
     df: DataFrame,
     min_count: int = 1,
     text_col: str = "text",
+    top_v: int | None = None,
 ) -> DataFrame:
-    """Corpus vocabulary: term -> total count + doc frequency + rank.
+    """Corpus vocabulary: term -> total count + rank.
 
     Tokenizes to lowercase alpha runs (the :func:`tfidf_top_terms`
-    definition), keeps terms with total count >= ``min_count``, ranks by
-    (count desc, term asc) — the id assignment step of tokenizer/vocab
-    construction. One shuffle (term groupBy) + one global rank over the
-    already-aggregated (small) term table.
+    definition), keeps terms with total count >= ``min_count`` (and, when
+    ``top_v`` is given, only the ``top_v`` best terms — the usual
+    fixed-size-vocabulary cap), ranks by (count desc, term asc) — the id
+    assignment step of tokenizer/vocab construction.
+
+    Scale notes (100 TB): a web-scale vocabulary is 10^6-10^8 terms, so a
+    single unpartitioned ``row_number`` window over the term table would be
+    a one-executor sort. Instead the rank runs as a two-phase bucket rank
+    (the :func:`engine.sampling.pack_sequences` prefix-sum pattern applied
+    to ordering): terms are bucketed by ``(count, first two chars)`` — a
+    prefix of the global sort key ``(count desc, term asc)``, so per-bucket
+    order + bucket order == global order — ranked within their bucket, and
+    offset by broadcast running bucket totals. The only unpartitioned
+    window left runs over the *distinct count values* (inherently small:
+    integer counts concentrate under a heavy tail), and every partitioned
+    window sees at most one (count, prefix) group. ``top_v`` additionally
+    pre-caps via orderBy+limit, which plans as TakeOrderedAndProject
+    (per-partition top-N + single merge, no full sort).
     """
     tok = (
         df.select(
@@ -367,15 +382,37 @@ def build_vocab(
         )
         .filter(F.col("term") != "")
     )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("count"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("count")).filter(
+        F.col("count") >= min_count
+    )
+    if top_v is not None:
+        if top_v <= 0:
+            raise ValueError(f"top_v must be positive, got {top_v}")
+        counts = counts.orderBy(F.desc("count"), F.asc("term")).limit(top_v)
     from pyspark.sql import Window
 
-    # Unpartitioned window over the aggregated term table — vocabulary
-    # sized, not corpus sized (and capped further by min_count).
-    w = Window.orderBy(F.desc("count"), F.asc("term"))
+    b = counts.withColumn("_pfx", F.substring("term", 1, 2))
+    bt = b.groupBy("count", "_pfx").agg(F.count(F.lit(1)).alias("_nbp"))
+    # per-count block totals + running offset over count DESC — the one
+    # unpartitioned window, over distinct count values only
+    ct = bt.groupBy("count").agg(F.sum("_nbp").alias("_nc"))
+    w_c = Window.orderBy(F.desc("count")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ct = ct.withColumn("_coff", F.coalesce(F.sum("_nc").over(w_c), F.lit(0)))
+    # prefix offset within each count block (<= 26^2+ buckets per count)
+    w_p = Window.partitionBy("count").orderBy("_pfx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bt = bt.withColumn("_poff", F.coalesce(F.sum("_nbp").over(w_p), F.lit(0)))
+    offsets = bt.join(F.broadcast(ct), "count").select(
+        "count", "_pfx", (F.col("_coff") + F.col("_poff")).alias("_base")
+    )
+    w_in = Window.partitionBy("count", "_pfx").orderBy(F.asc("term"))
     return (
-        counts.filter(F.col("count") >= min_count)
-        .withColumn("rank", F.row_number().over(w))
+        b.join(F.broadcast(offsets), ["count", "_pfx"])
+        .withColumn("rank", (F.col("_base") + F.row_number().over(w_in)))
+        .select("term", "count", "rank")
     )
 
 

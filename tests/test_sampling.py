@@ -348,3 +348,61 @@ def test_tokenize_with_vocab_ids_and_oov(spark):
     assert seq["d2"] == [2, 1, -1]
     # positions are dense from 0 per doc
     assert [r.pos for r in rows if r.doc_id == "d1"] == [0, 1, 2, 3]
+
+
+def test_build_vocab_two_phase_rank_parity_and_plan(spark):
+    """The bucketed rank must be bit-identical to the naive global
+    row_number AND leave no unpartitioned row_number window over the term
+    table in the plan (the 100x-scale hazard: a one-executor vocab sort)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from engine.text import build_vocab
+
+    rng_words = [
+        f"w{i % 97:02d}" for i in range(4000)
+    ]  # heavy tie structure: 97 terms, many equal counts
+    docs = [
+        (f"d{i}", " ".join(rng_words[i * 40 : (i + 1) * 40]))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = build_vocab(df).toPandas().sort_values("rank").reset_index(drop=True)
+
+    # naive twin: global window over the aggregated term table
+    tok = df.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("count"))
+    naive = (
+        counts.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("count"), F.asc("term")))
+        )
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert got["term"].tolist() == naive["term"].tolist()
+    assert got["rank"].tolist() == naive["rank"].tolist()
+
+    # plan gate: every row_number window carries a partition spec (three
+    # bracket groups: [functions], [partition], [order]); the only
+    # unpartitioned window is the running SUM over distinct count values
+    plan = build_vocab(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            m = re.findall(r"\[[^\]]*\]", line)
+            assert len(m) >= 3, f"unpartitioned row_number window:\n{line}"
+
+    # top_v cap: plans as TakeOrderedAndProject and keeps the best v terms
+    capped = build_vocab(df, top_v=10)
+    cp = capped._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in cp, cp
+    cpdf = capped.toPandas().sort_values("rank")
+    assert cpdf["term"].tolist() == naive["term"].tolist()[:10]
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_vocab(df, top_v=0)
