@@ -255,6 +255,21 @@ class FeatureView:
 DATA_FORMATS = ("csv", "tsv", "parquet", "avro", "orc", "json", "tfrecord", "tfrecords")
 
 
+def split_statistics(
+    splits: dict[str, DataFrame],
+    config=None,
+) -> dict[str, dict]:
+    """Per-split descriptive statistics — the ``SplitStatistics`` analogue
+    (``base/metadata/SplitStatistics.java``: one (name, content-JSON) pair
+    per split; the reference computes them when a statistics-enabled
+    training dataset materializes). One single-pass aggregate per split
+    (:func:`engine.stats.compute_statistics`); returns split name →
+    statistics dict (the JSON ``content``)."""
+    from engine.stats import compute_statistics
+
+    return {name: compute_statistics(df, config) for name, df in splits.items()}
+
+
 def write_training_dataset(
     splits: dict[str, DataFrame],
     out_dir: str,
@@ -262,6 +277,7 @@ def write_training_dataset(
     coalesce: bool = False,
     overwrite: bool = True,
     options: dict | None = None,
+    statistics_config=None,
 ) -> dict[str, str]:
     """Materialize split DataFrames to ``<out_dir>/<split>/`` in the requested
     format (``TrainingDatasetBase.java:63-166``: coalesce flag, data formats
@@ -271,6 +287,11 @@ def write_training_dataset(
     (``coalesce``) — one output file per split; leave False at scale.
     avro/tfrecord write through the lib-free spec-layout writers in
     :mod:`engine.datafiles` (one part file per partition, executor-side).
+
+    ``statistics_config`` (a :class:`engine.stats.StatisticsConfig`, or
+    ``True`` for defaults) additionally computes per-split statistics and
+    persists each as ``<out_dir>/<split>_statistics.json`` beside the split
+    dir — the ``SplitStatistics.java`` (name, content) pair.
     """
     import os
 
@@ -319,4 +340,21 @@ def write_training_dataset(
 
                 write_tfrecord_dataset(df, path)
         paths[split] = path
+    if statistics_config is not None and statistics_config is not False:
+        import json as _json
+
+        from engine.stats import StatisticsConfig
+
+        cfg = (
+            StatisticsConfig()
+            if statistics_config is True
+            else statistics_config
+        )
+        for split, stats in split_statistics(
+            {s: d for s, d in splits.items()}, cfg
+        ).items():
+            with open(
+                os.path.join(out_dir, f"{split}_statistics.json"), "w"
+            ) as fh:
+                _json.dump({"name": split, "content": stats}, fh, default=str)
     return paths

@@ -1224,3 +1224,35 @@ def test_external_fg_image_and_binaryfile_sources(spark, store, tmp_path):
     img_df = store.read(spark, fg2)
     first = img_df.select("image.height", "image.width").collect()
     assert {(r.height, r.width) for r in first} == {(8, 10)}
+
+
+def test_write_training_dataset_split_statistics(spark, tmp_path):
+    """SplitStatistics.java analogue: statistics-enabled training-dataset
+    writes persist one (name, content) statistics JSON per split, and the
+    content matches a direct compute_statistics of the same split."""
+    import json
+
+    from engine.stats import StatisticsConfig, compute_statistics
+    from engine.views import split_statistics, write_training_dataset
+
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    splits = {"train": df.filter("id < 80"), "test": df.filter("id >= 80")}
+    out = str(tmp_path / "td_stats")
+    write_training_dataset(splits, out, statistics_config=True)
+    for name, part in splits.items():
+        p = f"{out}/{name}_statistics.json"
+        with open(p) as fh:
+            doc = json.load(fh)
+        assert doc["name"] == name
+        direct = compute_statistics(part, StatisticsConfig())
+        assert doc["content"]["row_count"] == direct["row_count"]
+        got_v = doc["content"]["columns"]["v"]
+        want_v = direct["columns"]["v"]
+        assert got_v["mean"] == want_v["mean"]
+        assert got_v["min"] == want_v["min"]
+    # helper returns the same dicts without writing
+    stats = split_statistics(splits)
+    assert stats["train"]["row_count"] == 80
+    assert stats["test"]["row_count"] == 20
