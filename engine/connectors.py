@@ -103,19 +103,106 @@ class JdbcConnector:
         return spark.read.format("jdbc").options(**self.options(**per_read)).load()
 
 
+class SecurityProtocol:
+    """Kafka security protocols (``base/SecurityProtocol.java``)."""
+
+    PLAINTEXT = "PLAINTEXT"
+    SASL_PLAINTEXT = "SASL_PLAINTEXT"
+    SASL_SSL = "SASL_SSL"
+    SSL = "SSL"
+    ALL = (PLAINTEXT, SASL_PLAINTEXT, SASL_SSL, SSL)
+
+
+class SslEndpointIdentificationAlgorithm:
+    """``base/SslEndpointIdentificationAlgorithm.java``: HTTPS or the empty
+    string (the enum's EMPTY serializes as ``""`` — its toString override)."""
+
+    HTTPS = "HTTPS"
+    EMPTY = ""
+    ALL = (HTTPS, EMPTY)
+
+    @classmethod
+    def from_string(cls, value: str) -> str:
+        v = value.upper()
+        if v in cls.ALL:
+            return v
+        raise ConnectorError(
+            "Invalid ssl endpoint identification algorithm provided"
+        )
+
+
 @dataclass
 class KafkaConnector:
     """Kafka connector (``StorageConnector.java:197-302``): bootstrap servers
-    + security options; streaming read validates format and subscription."""
+    + the reference's full SSL/SASL surface; streaming read validates format
+    and subscription.
+
+    ``spark_options()`` mirrors ``sparkOptions()`` (:239-268) key-for-key,
+    emitting the exact ``base/util/Constants.java:72-80`` option names:
+    ``kafka.bootstrap.servers``, ``kafka.security.protocol``,
+    ``kafka.ssl.truststore.location/.password``,
+    ``kafka.ssl.keystore.location/.password``, ``kafka.ssl.key.password``,
+    ``kafka.ssl.endpoint.identification.algorithm`` (which — matching the
+    reference comment — may be the empty string), plus free-form extra
+    ``options`` merged last. The live broker path stays sandbox-gated; the
+    option map is what a real ``readStream.format("kafka")`` consumes."""
 
     bootstrap_servers: str
-    security: dict = field(default_factory=dict)  # e.g. SSL/SASL option map
+    security: dict = field(default_factory=dict)  # legacy free-form map
+    security_protocol: str | None = None
+    ssl_truststore_location: str | None = None
+    ssl_truststore_password: str | None = None
+    ssl_keystore_location: str | None = None
+    ssl_keystore_password: str | None = None
+    ssl_key_password: str | None = None
+    ssl_endpoint_identification_algorithm: str | None = None
+    extra_options: dict = field(default_factory=dict)
 
     VALID_FORMATS = ("avro", "json")
 
+    def __post_init__(self) -> None:
+        if (
+            self.security_protocol is not None
+            and self.security_protocol not in SecurityProtocol.ALL
+        ):
+            raise ConnectorError(
+                f"invalid security protocol {self.security_protocol!r}; "
+                f"one of {SecurityProtocol.ALL}"
+            )
+        if self.ssl_endpoint_identification_algorithm is not None:
+            self.ssl_endpoint_identification_algorithm = (
+                SslEndpointIdentificationAlgorithm.from_string(
+                    self.ssl_endpoint_identification_algorithm
+                )
+            )
+
+    def spark_options(self) -> dict[str, str]:
+        """The reference's ``sparkOptions()`` twin — exact Constants keys,
+        same null/empty guards, ssl algorithm allowed to be ``""``."""
+        opts = {"kafka.bootstrap.servers": self.bootstrap_servers}
+        if self.security_protocol:
+            opts["kafka.security.protocol"] = self.security_protocol
+        if self.ssl_truststore_location:
+            opts["kafka.ssl.truststore.location"] = self.ssl_truststore_location
+        if self.ssl_truststore_password:
+            opts["kafka.ssl.truststore.password"] = self.ssl_truststore_password
+        if self.ssl_keystore_location:
+            opts["kafka.ssl.keystore.location"] = self.ssl_keystore_location
+        if self.ssl_keystore_password:
+            opts["kafka.ssl.keystore.password"] = self.ssl_keystore_password
+        if self.ssl_key_password:
+            opts["kafka.ssl.key.password"] = self.ssl_key_password
+        # can be empty string (StorageConnector.java:259-263)
+        if self.ssl_endpoint_identification_algorithm is not None:
+            opts["kafka.ssl.endpoint.identification.algorithm"] = (
+                self.ssl_endpoint_identification_algorithm
+            )
+        opts.update({f"kafka.{k}": v for k, v in self.security.items()})
+        opts.update(self.extra_options)
+        return opts
+
     def options(self, **kw) -> dict[str, str]:
-        return {"kafka.bootstrap.servers": self.bootstrap_servers,
-                **{f"kafka.{k}": v for k, v in self.security.items()}, **kw}
+        return {**self.spark_options(), **kw}
 
     def read_stream(
         self,

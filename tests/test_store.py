@@ -1256,3 +1256,148 @@ def test_write_training_dataset_split_statistics(spark, tmp_path):
     stats = split_statistics(splits)
     assert stats["train"]["row_count"] == 80
     assert stats["test"]["row_count"] == 20
+
+
+def test_kafka_connector_reference_option_parity():
+    """The generated option map must match the reference's sparkOptions()
+    key set and spellings exactly (StorageConnector.java:239-268 emitting
+    base/util/Constants.java:72-80) for SSL and SASL_SSL configurations,
+    including the may-be-empty endpoint-identification algorithm."""
+    import pytest
+
+    from engine.connectors import (
+        ConnectorError,
+        KafkaConnector,
+        SecurityProtocol,
+        SslEndpointIdentificationAlgorithm,
+    )
+
+    ssl = KafkaConnector(
+        "broker:9093",
+        security_protocol=SecurityProtocol.SSL,
+        ssl_truststore_location="/certs/trust.jks",
+        ssl_truststore_password="tpw",
+        ssl_keystore_location="/certs/key.jks",
+        ssl_keystore_password="kpw",
+        ssl_key_password="kkpw",
+        ssl_endpoint_identification_algorithm="",
+    )
+    assert ssl.spark_options() == {
+        "kafka.bootstrap.servers": "broker:9093",
+        "kafka.security.protocol": "SSL",
+        "kafka.ssl.truststore.location": "/certs/trust.jks",
+        "kafka.ssl.truststore.password": "tpw",
+        "kafka.ssl.keystore.location": "/certs/key.jks",
+        "kafka.ssl.keystore.password": "kpw",
+        "kafka.ssl.key.password": "kkpw",
+        "kafka.ssl.endpoint.identification.algorithm": "",
+    }
+
+    sasl = KafkaConnector(
+        "b1:9094,b2:9094",
+        security_protocol=SecurityProtocol.SASL_SSL,
+        ssl_truststore_location="/certs/trust.jks",
+        ssl_endpoint_identification_algorithm="https",  # upper-cased like fromString
+        extra_options={"kafka.sasl.mechanism": "PLAIN"},
+    )
+    assert sasl.spark_options() == {
+        "kafka.bootstrap.servers": "b1:9094,b2:9094",
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.ssl.truststore.location": "/certs/trust.jks",
+        "kafka.ssl.endpoint.identification.algorithm": "HTTPS",
+        "kafka.sasl.mechanism": "PLAIN",
+    }
+
+    # unset optionals are omitted, not emitted as empty (Strings.isNullOrEmpty)
+    plain = KafkaConnector("b:9092", security_protocol="PLAINTEXT")
+    assert plain.spark_options() == {
+        "kafka.bootstrap.servers": "b:9092",
+        "kafka.security.protocol": "PLAINTEXT",
+    }
+
+    with pytest.raises(ConnectorError):
+        KafkaConnector("b:9092", security_protocol="TLS")
+    with pytest.raises(ConnectorError):
+        KafkaConnector(
+            "b:9092", ssl_endpoint_identification_algorithm="bogus"
+        )
+    assert SslEndpointIdentificationAlgorithm.from_string("https") == "HTTPS"
+
+
+def test_sql_online_store_parity_point_and_batch(spark):
+    """The executed SQL online-store boundary (VectorServer.java:368-382
+    analogue, engine/online_store.py): point + batch lookups through real
+    prepared statements must be row-identical to the driver-snapshot and
+    Spark-job paths, including newest-commit upsert resolution, client-side
+    Avro decode of complex features, and attached transformations."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from engine.complexio import encode_feature_avro
+    from engine.online_store import SqlOnlineStore
+    from engine.serving import LookupError_, VectorServer
+    from engine.transform import fit_min_max
+
+    base = spark.range(1, 41).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.5).alias("v"),
+        F.concat(F.lit("n"), F.col("id")).alias("nm"),
+        F.lit(1).alias("batch_id"),
+    )
+    # second commit upserts keys 1-10 with new values — latest must win
+    upd = base.filter("k <= 10").withColumn("v", F.col("v") + 1000.0).withColumn(
+        "batch_id", F.lit(2)
+    )
+    multi = base.unionByName(upd)
+    schema = json.dumps(["null", {"type": "array", "items": "double"}])
+    online = encode_feature_avro(
+        multi.withColumn("stats", F.array("v", F.col("v") * 0.5)), "stats", schema
+    )
+    vs = VectorServer(
+        [("g", online, ["k"])],
+        transformations={"v": fit_min_max(multi, "v")},
+        complex_features={"stats": schema},
+    )
+    sql_store = SqlOnlineStore()
+    vs.init_sql_store(sql_store)
+
+    entries = [{"k": k} for k in (1, 5, 15, 40)]
+    for e in entries:
+        snap = vs.get_feature_vector(e)
+        spark_row = vs.get_feature_vector(e, use_snapshot=False)
+        sql_row = vs.get_feature_vector_sql(e)
+        for col in ("k", "v", "nm"):
+            assert snap[col] == sql_row[col] == spark_row[col], (e, col)
+        assert list(snap["stats"]) == list(sql_row["stats"]) == list(
+            spark_row["stats"]
+        ), e
+    # upserted key resolves to the NEW value on every path
+    assert vs.get_feature_vector_sql({"k": 1})["nm"] == "n1"
+    raw_v1 = dict(
+        multi.filter("k = 1 AND batch_id = 2").collect()[0].asDict()
+    )["v"]
+    assert abs(sql_store.get("g", {"k": 1})["v"]
+               - vs.get_feature_vector({"k": 1})["v"]) < 1e-12
+    assert raw_v1 == 1002.5  # sanity: the upserted raw value
+
+    # batch path: IN-tuple statement, stitched in entry order
+    got = vs.get_feature_vectors_sql(entries)
+    assert [r["k"] for r in got] == [1, 5, 15, 40]
+    snap_batch = [vs.get_feature_vector(e) for e in entries]
+    for a, b in zip(got, snap_batch):
+        assert a["v"] == b["v"] and list(a["stats"]) == list(b["stats"])
+
+    # miss raises on the SQL path like the others
+    import pytest
+
+    with pytest.raises(LookupError_):
+        vs.get_feature_vector_sql({"k": 9999})
+    # transformations on complex features are rejected in SQL-store mode
+    vs_bad = VectorServer(
+        [("g", online, ["k"])],
+        transformations={"stats": fit_min_max(multi, "v")},
+        complex_features={"stats": schema},
+    )
+    with pytest.raises(ValueError):
+        vs_bad.init_sql_store(SqlOnlineStore())
