@@ -59,18 +59,35 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark) -> dict[str, float]:
+# Quiet-window 32-thread capacity of this VM (scripts/hw_ceiling_probe.py,
+# BENCH/BASELINE.md: 8325-8504 iters/s across idle windows). Normalized
+# per-query times are t * hw_adjacent / HW_REF_QUIET — a busy co-tenant
+# window (probe low → queries slow) corrects toward quiet-window time, so
+# round-over-round comparisons see plan changes, not neighbors.
+HW_REF_QUIET = 8400.0
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Best-of-2 per query: this VM's co-tenant capacity swings ~2x between
+    windows, and best-of-2 keeps one noisy window from masquerading as a
+    plan regression (the r3 lesson — every r3 batch time read 10-50% slower
+    than r2 with byte-identical plans). Returns (best, all_runs)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    out = {}
+    best: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     # warmup: JVM + parquet footer caches
     _force(qs["tumbling_10m"](spark, SF_DIR).limit(1))
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _force(qs[name](spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-    return out
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            _force(qs[name](spark, SF_DIR))
+            ts.append(round(time.time() - t0, 3))
+        best[name] = min(ts)
+        runs[name] = ts
+    return best, runs
 
 
 def _stream_once(spark, clips_dir: str, rundir: str) -> dict:
@@ -158,21 +175,41 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     workdir = tempfile.mkdtemp(prefix="bench_")
     try:
-        queries = bench_queries(spark)
+        queries, query_runs = bench_queries(spark)
+        # capacity sample adjacent to the QUERY loop specifically (capacity
+        # can shift between the loop and the streaming pass)
+        try:
+            from scripts.hw_ceiling_probe import measure
+
+            hw_queries = round(measure(CPUS, 2.0), 1)
+        except Exception:
+            hw_queries = None
         streaming = bench_streaming(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
+    normalized = (
+        {
+            n: round(t * hw_queries / HW_REF_QUIET, 3)
+            for n, t in queries.items()
+        }
+        if hw_queries
+        else None
+    )
     result = {
         "metric": "clips_per_sec_sustained",
         "value": streaming["clips_per_sec"],
         "unit": "clips/sec",
         "queries": queries,
+        "queries_all_runs": query_runs,
+        "queries_normalized_to_quiet_hw": normalized,
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "cpus": CPUS,
         "streaming": streaming,
         "batch_total_sec": round(sum(queries.values()), 3),
         "hw_adjacent_iters_per_sec": hw_adjacent,
+        "hw_queries_iters_per_sec": hw_queries,
+        "hw_ref_quiet_iters_per_sec": HW_REF_QUIET,
     }
     print(json.dumps(result))
 
