@@ -302,3 +302,45 @@ def test_normalize_loudness_gain_cap(spark):
     )
     r = normalize_loudness(df, target_lufs=-16.0, max_gain_db=30.0).collect()[0]
     assert r.gain_db == 30.0
+
+
+def test_round_half_up_matches_spark_round(spark):
+    """engine/oracle_media.round_half_up must mirror Spark F.round
+    (BigDecimal-of-shortest-repr, HALF_UP) on doubles — including the
+    banker's-rounding divergence cases where Python round() differs."""
+    from pyspark.sql import functions as F
+
+    from engine.oracle_media import round_half_up
+
+    vals = [0.5, 1.5, 2.5, 0.125, 0.135, -0.5, -2.5, 1.0000005,
+            3.141592653589793, 2.675, -2.675, 0.0, 123456.789012349]
+    for nd in (0, 2, 5, 6):
+        df = spark.createDataFrame([(v,) for v in vals], ["v"])
+        got = [r[0] for r in df.select(F.round("v", nd)).collect()]
+        want = [round_half_up(v, nd) for v in vals]
+        assert got == want, (nd, list(zip(vals, got, want)))
+
+
+def test_values_sql_duckdb_round_trip():
+    """values_sql literals must come back from DuckDB exactly — floats
+    bit-for-bit, NULLs typed, strings with quotes escaped, timestamps µs."""
+    import duckdb
+    import pandas as pd
+
+    from engine.oracle_media import values_sql
+
+    rows = [
+        ("a'b", 1, 0.1 + 0.2, None, pd.Timestamp("2024-01-02 03:04:05.123456")),
+        ("c", None, None, -2.5, pd.Timestamp("2024-06-30 23:59:59")),
+    ]
+    cols = [("s", "str"), ("i", "int"), ("x", "float"), ("y", "float"),
+            ("t", "ts")]
+    out = duckdb.sql(values_sql(rows, cols)).df()
+    assert out["s"].tolist() == ["a'b", "c"]
+    assert out["i"].tolist()[0] == 1 and pd.isna(out["i"].tolist()[1])
+    assert out["x"].iloc[0] == 0.1 + 0.2  # exact repr round-trip
+    assert pd.isna(out["x"].iloc[1]) and out["y"].iloc[1] == -2.5
+    assert out["t"].iloc[0] == pd.Timestamp("2024-01-02 03:04:05.123456")
+    # empty row set still pins the schema
+    empty = duckdb.sql(values_sql([], cols)).df()
+    assert list(empty.columns) == ["s", "i", "x", "y", "t"] and len(empty) == 0
