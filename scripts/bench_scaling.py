@@ -237,8 +237,19 @@ Probe raw: `{json.dumps(probe)}`
 
 Raw: `{json.dumps(result)}`
 """
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Preserve the hand-maintained run-history / round-notes sections across
+    # regenerations: everything from the "## Run history" marker onward in the
+    # existing file is carried over verbatim.
+    out_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        marker = old.find("## Run history")
+        if marker != -1:
+            tail = "\n" + old[marker:]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(result))
 
 
