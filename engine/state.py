@@ -408,9 +408,12 @@ def stateful_window_agg(
             _acc_to_state(state, max(thru, wm), rest,
                           clamp(int(rest["start"].min() + width_ms) - shift_ms),
                           _ACC_COLS, key_pd)
-        elif emitted or folded or not state.exists:
-            # fresh activity (or first sight) → (re)store the frontier
-            # tombstone; it guards against stragglers for late_retention
+        elif not state.hasTimedOut or emitted or folded or not state.exists:
+            # any data invocation (even one whose rows were all dropped as
+            # finalized-window stragglers — removing here would forget the
+            # frontier and let a SECOND straggler re-emit the window),
+            # emission, or first sight → (re)store the frontier tombstone;
+            # it guards against stragglers for late_retention
             thru = max(thru, wm)
             _acc_to_state(state, thru, rest,
                           clamp(thru + retention_ms - shift_ms),
@@ -476,6 +479,28 @@ def merge_window_partials(
         F.col("_MN").alias(f"min_amt_per_{label}"),
         F.col("_MX").alias(f"max_amt_per_{label}"),
     )
+
+
+def _merge_session_islands(allc: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized gaps-and-islands merge of per-key ``[start, end)`` interval
+    accumulators (the ``F.session_window`` / Flink merge rule): overlapping
+    intervals of one key collapse into a single session accumulator."""
+    allc = allc.sort_values(["k", "start"], kind="mergesort",
+                            ignore_index=True)
+    s = allc["start"].to_numpy(dtype="int64")
+    karr = allc["k"].to_numpy()
+    cme = allc.groupby("k", sort=False)["end"].cummax().to_numpy(dtype="int64")
+    # new island iff new key, or interval starts at/after the running
+    # max end of this key's previous intervals
+    prev_cme = np.concatenate(([0], cme[:-1]))
+    same_k = np.concatenate(([False], karr[1:] == karr[:-1]))
+    new_isl = (~same_k) | (s >= prev_cme)
+    allc["grp"] = np.cumsum(new_isl)
+    return allc.groupby("grp", as_index=False, sort=True).agg(
+        k=("k", "first"), start=("start", "min"), end=("end", "max"),
+        cnt=("cnt", "sum"), nn=("nn", "sum"), sum=("sum", "sum"),
+        sumsq=("sumsq", "sum"), mn=("mn", "min"), mx=("mx", "max"),
+    )[list(_SESS_COLS)]
 
 
 def stateful_session_agg(
@@ -552,22 +577,7 @@ def stateful_session_agg(
         allc = pd.concat(contribs, ignore_index=True) if folded else acc
         # state is already merged islands; re-merge only when new rows folded
         if folded and len(allc):
-            allc = allc.sort_values(["k", "start"], kind="mergesort",
-                                    ignore_index=True)
-            s = allc["start"].to_numpy(dtype="int64")
-            karr = allc["k"].to_numpy()
-            cme = allc.groupby("k", sort=False)["end"].cummax().to_numpy(dtype="int64")
-            # new island iff new key, or interval starts at/after the running
-            # max end of this key's previous intervals
-            prev_cme = np.concatenate(([0], cme[:-1]))
-            same_k = np.concatenate(([False], karr[1:] == karr[:-1]))
-            new_isl = (~same_k) | (s >= prev_cme)
-            allc["grp"] = np.cumsum(new_isl)
-            acc = allc.groupby("grp", as_index=False, sort=True).agg(
-                k=("k", "first"), start=("start", "min"), end=("end", "max"),
-                cnt=("cnt", "sum"), nn=("nn", "sum"), sum=("sum", "sum"),
-                sumsq=("sumsq", "sum"), mn=("mn", "min"), mx=("mx", "max"),
-            )[list(_SESS_COLS)]
+            acc = _merge_session_islands(allc)
         else:
             acc = allc
         mature = acc["end"] <= wm
@@ -581,7 +591,9 @@ def stateful_session_agg(
             _acc_to_state(state, max(thru, wm), rest,
                           clamp((int(rest["end"].min()) - shift_us) // 1000 + 1),
                           _SESS_COLS, key_pd)
-        elif emitted or folded or not state.exists:
+        elif not state.hasTimedOut or emitted or folded or not state.exists:
+            # see stateful_window_agg: only a retention TIMEOUT may drop the
+            # frontier tombstone; an all-stale data invocation must keep it
             thru = max(thru, wm)
             _acc_to_state(state, thru, rest,
                           clamp((thru + retention_us - shift_us) // 1000 + 1),

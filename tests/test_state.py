@@ -322,6 +322,39 @@ def test_tombstone_prevents_duplicate_after_timeout_drain(spark, tmp_path):
     assert a_rows["num_trans_per_10m"].iloc[0] == 1  # straggler dropped
 
 
+def test_second_stale_straggler_cannot_duplicate_window(spark, tmp_path):
+    """Stragglers that PASS the exec-level late filter (ts within `width` of
+    the late watermark) while targeting an already-finalized window: the
+    first such all-stale invocation must not drop the frontier tombstone
+    (state.remove), or the second one re-emits the window — a duplicate the
+    built-in can never produce (review regression, fixed via hasTimedOut)."""
+    d = _mini_stream_dir(tmp_path, [
+        [(1, 100, 1.0)],                      # A in window [0,600)
+        [(2, 700, 1.0)],                      # wm → exposed 640 next batch
+        [(2, 710, 1.0)],                      # A's timeout fires → W0 emits
+        [(1, 580, 9.0), (2, 720, 1.0)],       # stale straggler #1 (passes
+                                              # exec filter: 580 ≥ late 50)
+        [(1, 590, 8.0), (2, 730, 1.0)],       # stale straggler #2
+        [(2, 5000, 1.0)],
+    ])
+    src = _mini_src(spark, d)
+    got = _run_stream(
+        spark,
+        stateful_window_agg(src, "ts", "k", "v", "10 minutes",
+                            watermark="60 seconds", late_retention="2 hours"),
+    )
+    a_rows = got[got["k"] == 1]
+    assert len(a_rows) == 1, a_rows            # exactly one (key, window) row
+    assert a_rows["num_trans_per_10m"].iloc[0] == 1   # both stragglers dropped
+    # and the built-in twin agrees row-for-row
+    want = _run_stream(
+        spark,
+        tumbling_agg(_mini_src(spark, d).withWatermark("ts", "60 seconds"),
+                     "ts", "k", "v", "10 minutes"),
+    )
+    _cmp(got, want, ["window_start", "k"])
+
+
 def test_null_values_match_builtin(spark, tmp_path):
     """Null measure values: cnt counts all rows, avg/stdev/min/max ignore
     nulls — identical to the built-in aggregate."""
