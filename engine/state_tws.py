@@ -72,17 +72,27 @@ from pyspark.sql.streaming.stateful_processor import (
 
 from engine.state import (
     _ACC_COLS,
+    _SESS_COLS,
     _THRU_NEG,
     _acc_dtype,
     _grouped,
     _key_meta,
+    _merge_session_islands,
     _out_ddl,
     _result_pdf,
     _ts_ms,
+    _ts_us,
+    _us_ts,
     dur_ms,
 )
 
-__all__ = ["stateful_window_agg_tws", "TwsWindowProcessor", "tws_runtime_available"]
+__all__ = [
+    "stateful_window_agg_tws",
+    "stateful_session_agg_tws",
+    "TwsWindowProcessor",
+    "TwsSessionProcessor",
+    "tws_runtime_available",
+]
 
 
 def tws_runtime_available() -> bool:
@@ -261,6 +271,144 @@ class TwsWindowProcessor(StatefulProcessor):
         pass
 
 
+class TwsSessionProcessor(StatefulProcessor):
+    """Session windows (static gap) as a StatefulProcessor — the timer-based
+    Flink session pattern: every event extends its session's ``[ts, ts+gap)``
+    interval, overlapping intervals merge (``engine.state``'s vectorized
+    gaps-and-islands rule), and the per-key timer sits at the earliest open
+    session end so the session fires the batch the watermark proves it can
+    no longer be extended.  All interval arithmetic in µs, matching
+    :func:`engine.state.stateful_session_agg`.
+    """
+
+    def __init__(
+        self,
+        ts_col: str,
+        key_col: str,
+        value_col: str,
+        gap_us: int,
+        label: str,
+        bug_compatible_stdev: bool,
+        retention_us: int,
+        shift_us: int,
+        key_sql: str,
+        key_pd: str | None,
+    ) -> None:
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.value_col = value_col
+        self.gap_us = gap_us
+        self.label = label
+        self.bug_compatible_stdev = bug_compatible_stdev
+        self.retention_us = retention_us
+        self.shift_us = shift_us
+        self.key_sql = key_sql
+        self.key_pd = key_pd
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.acc_state = handle.getValueState(
+            "sess",
+            f"thru long, tmr long, k array<{self.key_sql}>, "
+            "start array<long>, end array<long>, cnt array<long>, "
+            "nn array<long>, sum array<double>, sumsq array<double>, "
+            "mn array<double>, mx array<double>",
+        )
+
+    def _load(self) -> tuple[int, int, pd.DataFrame]:
+        v = self.acc_state.get()
+        if v is None:
+            thru, tmr, arrays = _THRU_NEG, 0, [[] for _ in _SESS_COLS]
+        else:
+            thru, tmr, arrays = v[0], v[1], v[2:]
+        out = {}
+        for c, vals in zip(_SESS_COLS, arrays):
+            dt = _acc_dtype(c, self.key_pd)
+            out[c] = pd.Series(vals) if dt is None else np.asarray(vals, dtype=dt)
+        return int(thru), int(tmr), pd.DataFrame(out)
+
+    def _store(self, thru: int, tmr_old: int, acc: pd.DataFrame, wm_raw_ms: int) -> None:
+        # deadlines in µs TRUE event time; registered timers in ms, shifted
+        if len(acc):
+            deadline_us = int(acc["end"].min())
+        else:
+            deadline_us = thru + self.retention_us
+        want = max((deadline_us - self.shift_us) // 1000 + 1, wm_raw_ms + 1, 1)
+        if tmr_old != want:
+            if tmr_old:
+                self.handle.deleteTimer(tmr_old)
+            self.handle.registerTimer(want)
+        vals = []
+        for c in _SESS_COLS:
+            dt = _acc_dtype(c, self.key_pd)
+            vals.append(acc[c].tolist() if dt is None else acc[c].astype(dt).tolist())
+        self.acc_state.update((int(thru), int(want)) + tuple(vals))
+
+    def _emit_and_store(
+        self, thru: int, tmr: int, acc: pd.DataFrame, wm_raw_ms: int, may_clear: bool
+    ) -> list[pd.DataFrame]:
+        wm = wm_raw_ms * 1000 + self.shift_us if wm_raw_ms > 0 else wm_raw_ms * 1000
+        mature = acc["end"] <= wm
+        outs: list[pd.DataFrame] = []
+        if bool(mature.any()):
+            outs.append(
+                _result_pdf(acc[mature], None, self.label,
+                            self.bug_compatible_stdev, self.key_col,
+                            to_ts=_us_ts)
+            )
+        rest = acc[~mature]
+        if may_clear and not len(rest) and not outs:
+            self.acc_state.clear()
+        else:
+            self._store(max(thru, wm), tmr, rest, wm_raw_ms)
+        return outs
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        thru, tmr, acc = self._load()
+        contribs = [acc]
+        folded = False
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            ts = _ts_us(pdf[self.ts_col])
+            v = pdf[self.value_col].to_numpy(dtype="float64")
+            live = ts + self.gap_us > thru  # drop rows for finalized sessions
+            if not live.any():
+                continue
+            folded = True
+            kv = pdf[self.key_col].reset_index(drop=True)[live]
+            tsl, vl = ts[live], v[live]
+            contribs.append(
+                pd.DataFrame(
+                    {"k": kv.reset_index(drop=True), "start": tsl,
+                     "end": tsl + self.gap_us, "cnt": 1,
+                     "nn": (~np.isnan(vl)).astype("int64"), "sum": vl,
+                     "sumsq": vl * vl, "mn": vl, "mx": vl}
+                )
+            )
+        if folded:
+            allc = pd.concat(contribs, ignore_index=True)
+            acc = _merge_session_islands(allc) if len(allc) else allc
+        outs = self._emit_and_store(
+            thru, tmr, acc, timerValues.getCurrentWatermarkInMs(), may_clear=False
+        )
+        return iter(outs)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        thru, tmr, acc = self._load()
+        outs = self._emit_and_store(
+            thru, tmr, acc, timerValues.getCurrentWatermarkInMs(), may_clear=True
+        )
+        return iter(outs)
+
+    def close(self) -> None:
+        pass
+
+
 def stateful_window_agg_tws(
     df: DataFrame,
     ts_col: str,
@@ -317,6 +465,57 @@ def stateful_window_agg_tws(
     proc = TwsWindowProcessor(
         ts_col, key_col, value_col, width_ms, slide_ms, label,
         bug_compatible_stdev, retention_ms, shift_ms, key_sql, key_pd,
+    )
+    return _grouped(df, key_col, n_buckets).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_out_ddl(key_col, key_sql, label),
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+def stateful_session_agg_tws(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    gap: str = "30 seconds",
+    label: str = "session",
+    bug_compatible_stdev: bool = False,
+    late_retention: str = "1 hour",
+    watermark: str | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Session windows (static gap) with state + event-time timers on
+    ``transformWithStateInPandas`` — output schema and rows identical to
+    :func:`engine.state.stateful_session_agg` and the built-in
+    ``F.session_window`` aggregate in append mode.  Same knobs and runtime
+    gate as :func:`stateful_window_agg_tws`.
+    """
+    from pyspark.sql import functions as F
+
+    if not tws_runtime_available():
+        raise RuntimeError(
+            "transformWithState needs the protobuf runtime (google.protobuf) "
+            "for its JVM<->Python state-server protocol; it is absent here. "
+            "Use engine.state.stateful_session_agg (applyInPandasWithState) "
+            "in this environment, or run on a cluster with a standard "
+            "PySpark install."
+        )
+    gap_us = dur_ms(gap) * 1000
+    retention_us = dur_ms(late_retention) * 1000
+    df = df.select(*[c for c in df.columns if c in {ts_col, key_col, value_col}])
+    shift_us = 0
+    if watermark is not None:
+        shift_us = gap_us
+        df = df.withWatermark(
+            ts_col, f"{dur_ms(watermark) + dur_ms(gap)} milliseconds"
+        )
+    df = df.where(F.col(key_col).isNotNull() | F.col(ts_col).isNull())
+    key_sql, key_pd = _key_meta(df, key_col)
+    proc = TwsSessionProcessor(
+        ts_col, key_col, value_col, gap_us, label, bug_compatible_stdev,
+        retention_us, shift_us, key_sql, key_pd,
     )
     return _grouped(df, key_col, n_buckets).transformWithStateInPandas(
         statefulProcessor=proc,

@@ -22,10 +22,16 @@ import pandas as pd
 import pytest
 from pyspark.sql.streaming.stateful_processor import ExpiredTimerInfo, TimerValues
 
-from engine.state import _ts_ms, stateful_window_agg
-from engine.state_tws import TwsWindowProcessor, stateful_window_agg_tws, tws_runtime_available
+from engine.state import _ts_ms, stateful_session_agg, stateful_window_agg
+from engine.state_tws import (
+    TwsSessionProcessor,
+    TwsWindowProcessor,
+    stateful_session_agg_tws,
+    stateful_window_agg_tws,
+    tws_runtime_available,
+)
 from engine.streams import read_clip_stream, write_clips_stream_dir
-from engine.windows import sliding_agg, tumbling_agg
+from engine.windows import session_agg, sliding_agg, tumbling_agg
 
 _MIN = 60_000
 
@@ -265,6 +271,56 @@ def test_sim_frontier_blocks_stragglers_and_retention_cleans_up(spark):
     assert not h.timers.get(1)
 
 
+def _sess_proc(gap_min=2, retention_min=60, shift_us=0):
+    return TwsSessionProcessor(
+        ts_col="ts", key_col="k", value_col="v",
+        gap_us=gap_min * _MIN * 1000, label="session",
+        bug_compatible_stdev=False, retention_us=retention_min * _MIN * 1000,
+        shift_us=shift_us, key_sql="bigint", key_pd="int64",
+    )
+
+
+def test_sim_session_matches_builtin(spark):
+    """Session processor row parity vs the built-in session_window
+    aggregate (disorder < delay, batch spacing > gap + disorder so no
+    mid-stream session splits are possible)."""
+    batches = _rand_batches(31)
+    out, h, wms = simulate(_sess_proc(), batches, _MIN, "k", "ts")
+    got = pd.concat([o for _, o in out], ignore_index=True)
+
+    allp = pd.concat(batches, ignore_index=True)
+    final_wm = int(_ts_ms(allp["ts"]).max()) - _MIN
+    want = session_agg(spark.createDataFrame(allp), "ts", "k", "v",
+                       "2 minutes").toPandas()
+    want = want[_ts_ms(want["window_end"]) <= final_wm].reset_index(drop=True)
+
+    keys = ["window_start", "k"]
+    got = got.sort_values(keys, ignore_index=True)[sorted(want.columns)]
+    want = want.sort_values(keys, ignore_index=True)[sorted(want.columns)]
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9,
+                                  check_dtype=False)
+
+
+def test_sim_session_timer_only_key_emits_and_extends(spark):
+    """A session extended across two batches must emit ONCE (merged) via the
+    per-key timer, re-armed at the extended end, once other keys advance the
+    watermark past it."""
+    t0 = 1_700_000_000_000
+    batches = [
+        _mk_batch([(1, t0, 4.0)]),
+        _mk_batch([(1, t0 + 90_000, 8.0)]),   # inside gap → extends session
+        _mk_batch([(2, t0 + 10 * _MIN, 1.0)]),
+        _mk_batch([(2, t0 + 20 * _MIN, 2.0)]),
+    ]
+    out, h, wms = simulate(_sess_proc(), batches, _MIN, "k", "ts")
+    key1 = pd.concat([o for _, o in out], ignore_index=True).query("k == 1")
+    assert len(key1) == 1
+    assert key1.iloc[0]["num_trans_per_session"] == 2
+    assert _ts_ms(key1["window_end"]).item() == t0 + 90_000 + 2 * _MIN
+    assert key1.iloc[0]["avg_amt_per_session"] == pytest.approx(6.0)
+
+
 def test_sim_single_timer_per_key_invariant(spark):
     """The processor keeps exactly one registered timer per live key."""
     proc = _proc()
@@ -370,6 +426,28 @@ def test_tws_matches_applyinpandaswithstate_backend(spark, clips_dir):
                             "10 minutes"),
     )
     _cmp(got, want, ["window_start", "speaker_id"])
+
+
+@needs_tws
+def test_tws_session_matches_builtin_and_twin(spark, clips_dir):
+    src = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    got = _run_stream(
+        spark,
+        stateful_session_agg_tws(src, "event_ts", "speaker_id", "dur_ms",
+                                 "2 minutes"),
+    )
+    src2 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    want = _run_stream(
+        spark, session_agg(src2, "event_ts", "speaker_id", "dur_ms", "2 minutes")
+    )
+    _cmp(got, want, ["window_start", "speaker_id"])
+    src3 = read_clip_stream(spark, clips_dir, max_files_per_trigger=2)
+    twin = _run_stream(
+        spark,
+        stateful_session_agg(src3, "event_ts", "speaker_id", "dur_ms",
+                             "2 minutes"),
+    )
+    _cmp(got, twin, ["window_start", "speaker_id"])
 
 
 @needs_tws
