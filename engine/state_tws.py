@@ -89,8 +89,10 @@ from engine.state import (
 __all__ = [
     "stateful_window_agg_tws",
     "stateful_session_agg_tws",
+    "stateful_stream_join_tws",
     "TwsWindowProcessor",
     "TwsSessionProcessor",
+    "TwsJoinProcessor",
     "tws_runtime_available",
 ]
 
@@ -520,6 +522,135 @@ def stateful_session_agg_tws(
     return _grouped(df, key_col, n_buckets).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=_out_ddl(key_col, key_sql, label),
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+class TwsJoinProcessor(StatefulProcessor):
+    """Symmetric hash stream-stream inner join as a StatefulProcessor — the
+    Flink ``connect``/``CoProcessFunction`` shape on arbitrary state v2:
+    the two streams arrive pre-tagged and unioned
+    (:func:`engine.state_join.tag_union`), per-key buffers of unmatched rows
+    from both sides live in one ``ValueState``, each batch emits
+    new-left x all-seen-right plus new-right x previously-buffered-left
+    (no double counting), and the per-key event-time timer sits at the
+    earliest buffered row's TTL deadline so eviction happens on watermark
+    progress even for keys receiving no further input.  All join semantics
+    (TTL, null keys, exact int64 payload preservation through nullable
+    Int64) come from the shared :class:`engine.state_join.JoinSpec`.
+    """
+
+    def __init__(self, spec) -> None:
+        self.spec = spec
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.buf_state = handle.getValueState(
+            "buf", f"tmr long, {self.spec.state_ddl}"
+        )
+
+    def _load(self):
+        v = self.buf_state.get()
+        if v is None:
+            tmr, vals = 0, None
+        else:
+            tmr, vals = v[0], v[1:]
+        old_l, old_r = self.spec.bufs_from_vals(vals)
+        return int(tmr), old_l, old_r
+
+    def _store_or_clear(self, tmr_old: int, all_l, all_r, wm_ms: int) -> None:
+        if len(all_l) == 0 and len(all_r) == 0:
+            if self.buf_state.get() is not None:
+                self.buf_state.clear()
+            return
+        lo = min(
+            ([int(all_l["__ts"].min())] if len(all_l) else [])
+            + ([int(all_r["__ts"].min())] if len(all_r) else [])
+        )
+        # timer in ms, strictly past the watermark
+        want = max((lo + self.spec.ttl_us) // 1000 + 1, wm_ms + 1, 1)
+        if tmr_old != want:
+            if tmr_old:
+                self.handle.deleteTimer(tmr_old)
+            self.handle.registerTimer(want)
+        self.buf_state.update((int(want),) + self.spec.vals_from_bufs(all_l, all_r))
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        spec = self.spec
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        wm = wm_ms * 1000  # µs
+        tmr, old_l, old_r = self._load()
+        new_l, new_r = spec.fold(rows, wm)
+        new_l = spec.coerce(new_l, spec.l_ct) if new_l is not None else old_l.iloc[0:0]
+        new_r = spec.coerce(new_r, spec.r_ct) if new_r is not None else old_r.iloc[0:0]
+        all_r = spec.concat2(old_r, new_r)
+        outs = []
+        if len(new_l) and len(all_r):
+            outs.append(spec.emit(new_l, all_r))
+        if len(new_r) and len(old_l):
+            outs.append(spec.emit(old_l, new_r))
+        out_frames = []
+        if outs:
+            out = pd.concat(outs, ignore_index=True)
+            if len(out):
+                out_frames.append(out[spec.out_cols])
+        all_l = spec.concat2(old_l, new_l)
+        all_l = spec.coerce(all_l[all_l["__ts"] + spec.ttl_us > wm], spec.l_ct)
+        all_r = spec.coerce(all_r[all_r["__ts"] + spec.ttl_us > wm], spec.r_ct)
+        self._store_or_clear(tmr, all_l, all_r, wm_ms)
+        return iter(out_frames)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        spec = self.spec
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        wm = wm_ms * 1000
+        tmr, old_l, old_r = self._load()
+        all_l = spec.coerce(old_l[old_l["__ts"] + spec.ttl_us > wm], spec.l_ct)
+        all_r = spec.coerce(old_r[old_r["__ts"] + spec.ttl_us > wm], spec.r_ct)
+        self._store_or_clear(tmr, all_l, all_r, wm_ms)
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_stream_join_tws(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "event_ts",
+    ttl: str = "10 minutes",
+    left_ts_name: str = "left_ts",
+    right_ts_name: str = "right_ts",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Stateful inner stream-stream equi-join on ``transformWithStateInPandas``
+    — identical semantics, options, and output schema to
+    :func:`engine.state_join.stateful_stream_join` (J6), including the
+    key-coarsened ``n_buckets`` layout.  Same runtime gate as the rest of
+    this module.
+    """
+    from engine.state_join import JoinSpec, tag_union
+
+    if not tws_runtime_available():
+        raise RuntimeError(
+            "transformWithState needs the protobuf runtime (google.protobuf) "
+            "for its JVM<->Python state-server protocol; it is absent here. "
+            "Use engine.state_join.stateful_stream_join "
+            "(applyInPandasWithState) in this environment, or run on a "
+            "cluster with a standard PySpark install."
+        )
+    spec = JoinSpec(left, right, key_col, ts_col, ttl,
+                    left_ts_name, right_ts_name)
+    both, group_col = tag_union(left, right, spec, n_buckets)
+    return both.groupBy(group_col).transformWithStateInPandas(
+        statefulProcessor=TwsJoinProcessor(spec),
+        outputStructType=spec.out_ddl,
         outputMode="append",
         timeMode="eventTime",
     )

@@ -483,3 +483,131 @@ def test_tws_bucketed_matches_builtin(spark, clips_dir):
         spark, tumbling_agg(src2, "event_ts", "speaker_id", "dur_ms", "10 minutes")
     )
     _cmp(got, want, ["window_start", "speaker_id"])
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join processor
+# ---------------------------------------------------------------------------
+
+
+def _join_spec(spark, ttl="1 hour"):
+    from engine.state_join import JoinSpec
+
+    ldf = spark.createDataFrame([], "k long, ts timestamp, l_v double")
+    rdf = spark.createDataFrame([], "k long, ts timestamp, r_v double")
+    return JoinSpec(ldf, rdf, "k", "ts", ttl, "left_ts", "right_ts")
+
+
+def _mk_join_batch(rows):
+    """rows: (key, ts_ms, side, value) — tagged-union shape."""
+    return pd.DataFrame(
+        {"k": np.array([r[0] for r in rows], dtype="int64"),
+         "ts": pd.to_datetime([r[1] for r in rows], unit="ms"),
+         "__side": np.array([r[2] for r in rows], dtype="int32"),
+         "l_v": np.array([r[3] if r[2] == 0 else 0.0 for r in rows]),
+         "r_v": np.array([r[3] if r[2] == 1 else 0.0 for r in rows])}
+    )
+
+
+def test_sim_join_emits_every_pair_exactly_once(spark):
+    """All left x right pairs per key emit exactly once, whichever side
+    arrives first and across any batch split (disorder < delay, TTL wide)."""
+    from engine.state_tws import TwsJoinProcessor
+
+    t0 = 1_700_000_000_000
+    batches = [
+        _mk_join_batch([(1, t0 + 1000, 0, 10.0), (2, t0 + 2000, 1, 20.0)]),
+        _mk_join_batch([(1, t0 + 60_000, 1, 11.0), (2, t0 + 61_000, 0, 21.0)]),
+        _mk_join_batch([(1, t0 + 120_000, 0, 12.0),       # second left for k1
+                        (2, t0 + 121_000, 1, 22.0)]),      # second right for k2
+        _mk_join_batch([(3, t0 + 300_000, 0, 30.0)]),      # left-only key
+    ]
+    proc = TwsJoinProcessor(_join_spec(spark))
+    out, h, wms = simulate(proc, batches, _MIN, "k", "ts")
+    got = pd.concat([o for _, o in out], ignore_index=True)
+
+    # oracle: full per-key cross join of the two sides
+    allp = pd.concat(batches, ignore_index=True)
+    lft = allp[allp["__side"] == 0][["k", "ts", "l_v"]].rename(
+        columns={"ts": "left_ts"})
+    rgt = allp[allp["__side"] == 1][["k", "ts", "r_v"]].rename(
+        columns={"ts": "right_ts"})
+    want = lft.merge(rgt, on="k")[["k", "left_ts", "right_ts", "l_v", "r_v"]]
+
+    keys = ["k", "left_ts", "right_ts"]
+    got = got.sort_values(keys, ignore_index=True)[sorted(want.columns)]
+    want = want.sort_values(keys, ignore_index=True)[sorted(want.columns)]
+    assert len(got) == len(want) > 0        # exactly once: no dups, none missing
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # single-timer invariant holds for the join state too
+    for k, ts in h.timers.items():
+        assert len(ts) <= 1, (k, ts)
+
+
+def test_sim_join_ttl_evicts_before_late_match(spark):
+    """A buffered left row must be evicted by its TTL timer on watermark
+    progress (no input for its key); a right row arriving after that finds
+    an empty buffer — no pair."""
+    from engine.state_tws import TwsJoinProcessor
+
+    t0 = 1_700_000_000_000
+    batches = [
+        _mk_join_batch([(1, t0, 0, 10.0)]),                 # L buffered
+        _mk_join_batch([(9, t0 + 180_000, 0, 1.0)]),        # wm → t0+2min
+        _mk_join_batch([(9, t0 + 181_000, 0, 1.0)]),        # k1 TTL timer fires
+        _mk_join_batch([(1, t0 + 180_000, 1, 11.0)]),       # R too late: no L
+    ]
+    proc = TwsJoinProcessor(_join_spec(spark, ttl="1 minute"))
+    out, h, wms = simulate(proc, batches, _MIN, "k", "ts")
+    pairs = pd.concat([o for _, o in out], ignore_index=True) if out else pd.DataFrame()
+    assert len(pairs) == 0
+    # the TTL timer dropped the left buffer; only the late right row remains
+    st = h.states.get(("buf", 1))
+    assert st is not None and st[1] == [] and len(st[4]) == 1
+
+
+@needs_tws
+def test_tws_join_matches_apply_backend(spark, tmp_path):
+    """Live parity: the transformWithState join emits the identical pair set
+    as the applyInPandasWithState join on the same dual file streams."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.state_join import stateful_stream_join
+    from engine.state_tws import stateful_stream_join_tws
+
+    rng = np.random.default_rng(17)
+    t0 = 1_700_000_000_000
+
+    def _mk_dir(name, payload_col):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        for i in range(4):
+            n = 50
+            pdf = pd.DataFrame({
+                "k": rng.integers(0, 20, n),
+                "ts": pd.to_datetime(
+                    t0 + i * 5 * _MIN + rng.integers(0, 5 * _MIN, n), unit="ms"),
+                payload_col: rng.normal(0, 1, n),
+            })
+            t = pa.Table.from_pandas(pdf, schema=pa.schema(
+                [("k", pa.int64()), ("ts", pa.timestamp("us")),
+                 (payload_col, pa.float64())]), preserve_index=False)
+            pq.write_table(t, f"{d}/p{i:03d}.parquet")
+            os.utime(f"{d}/p{i:03d}.parquet", (1_000_000 + i, 1_000_000 + i))
+        return d
+
+    ld, rd = _mk_dir("jl", "l_v"), _mk_dir("jr", "r_v")
+
+    def _src(d, payload_col):
+        return (spark.readStream.schema(f"k long, ts timestamp, {payload_col} double")
+                .option("maxFilesPerTrigger", 1).parquet(d)
+                .withWatermark("ts", "60 seconds"))
+
+    got = _run_stream(spark, stateful_stream_join_tws(
+        _src(ld, "l_v"), _src(rd, "r_v"), "k", "ts", ttl="10 minutes"))
+    want = _run_stream(spark, stateful_stream_join(
+        _src(ld, "l_v"), _src(rd, "r_v"), "k", "ts", ttl="10 minutes"))
+    _cmp(got, want, ["k", "left_ts", "right_ts"])
