@@ -385,8 +385,8 @@ class IcebergTable:
 
     def _manifest_list_entry(self, manifest_path: str, length: int, seq: int,
                              min_seq: int, snapshot_id: int,
-                             added: tuple[int, int], deleted: tuple[int, int]
-                             ) -> dict:
+                             added: tuple[int, int], deleted: tuple[int, int],
+                             existing: tuple[int, int] = (0, 0)) -> dict:
         return {
             "manifest_path": _to_uri(manifest_path),
             "manifest_length": length,
@@ -396,10 +396,10 @@ class IcebergTable:
             "min_sequence_number": min_seq,
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": added[0],
-            "existing_data_files_count": 0,
+            "existing_data_files_count": existing[0],
             "deleted_data_files_count": deleted[0],
             "added_rows_count": added[1],
-            "existing_rows_count": 0,
+            "existing_rows_count": existing[1],
             "deleted_rows_count": deleted[1],
             "partitions": [],
         }
@@ -464,15 +464,6 @@ class IcebergTable:
         else:
             total_files, total_rows = len(new_files), add_rows
 
-        list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
-        list_path = os.path.join(self.metadata_dir, list_name)
-        buf = write_avro_ocf_bytes(
-            manifests, MANIFEST_FILE_SCHEMA,
-            extra_meta={"format-version": b"2"},
-        )
-        with open(list_path, "wb") as fh:
-            fh.write(buf)
-
         summary = {
             "operation": operation,
             "added-data-files": str(len(new_files)),
@@ -484,6 +475,22 @@ class IcebergTable:
             summary["deleted-data-files"] = str(prev_total_files)
             summary["deleted-records"] = str(prev_total_rows)
         summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
+        return self._finalize_snapshot(
+            manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
+            prev,
+        )
+
+    def _finalize_snapshot(self, manifests, seq, snapshot_id, now_ms, summary,
+                           meta, base_version, prev) -> int:
+        """Write the manifest list, append the snapshot, publish metadata."""
+        list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+        list_path = os.path.join(self.metadata_dir, list_name)
+        buf = write_avro_ocf_bytes(
+            manifests, MANIFEST_FILE_SCHEMA,
+            extra_meta={"format-version": b"2"},
+        )
+        with open(list_path, "wb") as fh:
+            fh.write(buf)
         snap = {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": prev["snapshot-id"] if prev else None,
@@ -516,6 +523,162 @@ class IcebergTable:
     def commit_overwrite(self, files: list[DataFileInfo],
                          summary_extra: dict | None = None) -> int:
         return self._commit(files, "overwrite", summary_extra)
+
+    def commit_replace(self, new_files: list[DataFileInfo],
+                       replaced: list[DataFileInfo],
+                       survivors: list[DataFileInfo],
+                       summary_extra: dict | None = None) -> int:
+        """Commit a REPLACE snapshot (the ``rewrite_data_files`` /
+        compaction commit): ``replaced`` live files are swapped for
+        ``new_files`` holding the same rows; ``survivors`` are the
+        untouched live files, rewritten as EXISTING entries carrying their
+        original data sequence numbers so time travel and sequence-based
+        reasoning are unchanged.  Row counts must match exactly — a
+        compaction that changes the row count is corrupt and is rejected
+        before any metadata is written."""
+        new_rows = sum(f.record_count for f in new_files)
+        old_rows = sum(f.record_count for f in replaced)
+        if new_rows != old_rows:
+            raise ValueError(
+                f"replace row-count mismatch: new files hold {new_rows} rows, "
+                f"replaced files held {old_rows}"
+            )
+        meta = self.metadata()
+        base_version = self._current_version()
+        prev = self._resolve_snapshot(None, None)
+        if prev is None:
+            raise ValueError("cannot replace files in an empty table")
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        now_ms = int(time.time() * 1000)
+        spec_json = json.dumps({"spec-id": 0, "fields": []})
+
+        def entry(f: DataFileInfo, status: int, esq: int | None) -> dict:
+            return {
+                "status": status, "snapshot_id": snapshot_id,
+                "sequence_number": esq, "file_sequence_number": esq,
+                "data_file": {
+                    "content": 0, "file_path": _to_uri(f.file_path),
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_in_bytes),
+                },
+            }
+
+        manifests = []
+        apath, alen = self._write_manifest(
+            [entry(f, _STATUS_ADDED, None) for f in new_files], spec_json
+        )
+        manifests.append(self._manifest_list_entry(
+            apath, alen, seq, seq, snapshot_id,
+            (len(new_files), new_rows), (0, 0),
+        ))
+        if survivors:
+            epath, elen = self._write_manifest(
+                [entry(f, _STATUS_EXISTING, f.sequence_number)
+                 for f in survivors], spec_json
+            )
+            manifests.append(self._manifest_list_entry(
+                epath, elen, seq,
+                min(f.sequence_number for f in survivors), snapshot_id,
+                (0, 0), (0, 0),
+                (len(survivors), sum(f.record_count for f in survivors)),
+            ))
+        dpath, dlen = self._write_manifest(
+            [entry(f, _STATUS_DELETED, f.sequence_number)
+             for f in replaced], spec_json
+        )
+        manifests.append(self._manifest_list_entry(
+            dpath, dlen, seq,
+            min(f.sequence_number for f in replaced), snapshot_id,
+            (0, 0), (len(replaced), old_rows),
+        ))
+
+        total_files = len(new_files) + len(survivors)
+        total_rows = new_rows + sum(f.record_count for f in survivors)
+        summary = {
+            "operation": "replace",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(new_rows),
+            "deleted-data-files": str(len(replaced)),
+            "deleted-records": str(old_rows),
+            "total-data-files": str(total_files),
+            "total-records": str(total_rows),
+        }
+        summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
+        return self._finalize_snapshot(
+            manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
+            prev,
+        )
+
+    def compact_data_files(self, spark: SparkSession,
+                           target_file_bytes: int = 128 * 1024 * 1024,
+                           min_input_files: int = 2) -> int | None:
+        """Bin-pack small-file compaction — the ``rewrite_data_files``
+        maintenance action the exactly-once sink needs at scale.
+
+        Each streaming micro-batch commit adds one file per sink partition,
+        so a long-running job on many executors accretes thousands of small
+        files; scan cost becomes file-open-bound.  This action bin-packs
+        live files smaller than ``target_file_bytes`` into
+        ``ceil(total/target)`` outputs with ONE distributed Spark job (read
+        pinned to the input file list, ``repartition`` to the output count
+        — no driver-side row movement), verifies row-count invariance
+        against the parquet footers, and commits a REPLACE snapshot: the
+        logical table is bit-identical, time travel to pre-compaction
+        snapshots still plans the original files, and incremental/CDC reads
+        skip the replace snapshot entirely (no row is ever re-delivered).
+
+        Returns the new snapshot id, or None when fewer than
+        ``min_input_files`` live files are below the target (no-op).
+        """
+        import math
+
+        import pyarrow.parquet as pq
+
+        live = self.plan_files()
+        inputs = [f for f in live
+                  if f.file_size_in_bytes < target_file_bytes]
+        if len(inputs) < min_input_files:
+            return None
+        survivors = [f for f in live
+                     if f.file_size_in_bytes >= target_file_bytes]
+        total_bytes = sum(f.file_size_in_bytes for f in inputs)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+
+        ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
+        tmp = os.path.join(self.location, f".tmp-compact-{uuid.uuid4().hex[:8]}")
+        (spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
+         .repartition(n_out).write.mode("overwrite").parquet(tmp))
+        infos: list[DataFileInfo] = []
+        token = uuid.uuid4().hex[:8]
+        for i, name in enumerate(sorted(os.listdir(tmp))):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(tmp, name)
+            dst = os.path.join(self.data_dir, f"compact-{token}-{i:05d}.parquet")
+            os.rename(src, dst)
+            infos.append(DataFileInfo(
+                file_path=dst,
+                record_count=pq.read_metadata(dst).num_rows,
+                file_size_in_bytes=os.path.getsize(dst),
+            ))
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            return self.commit_replace(
+                infos, inputs, survivors,
+                summary_extra={"compaction-input-files": len(inputs)},
+            )
+        except ValueError:
+            # row-count invariance failed — abort and leave the table as-is
+            for f in infos:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
+            raise
 
     # -- planning / reading -------------------------------------------------
     def plan_files(self, snapshot_id: int | None = None,
@@ -565,6 +728,13 @@ class IcebergTable:
         for s in snaps:
             if not started:
                 started = s["snapshot-id"] == from_snapshot_id
+                continue
+            if s["summary"].get("operation") == "replace":
+                # compaction rewrites bytes, not rows — incremental readers
+                # must not re-deliver them (Iceberg's incremental append
+                # scan skips replace snapshots the same way)
+                if to_snapshot_id is not None and s["snapshot-id"] == to_snapshot_id:
+                    break
                 continue
             for m in self._read_manifest_list(s["manifest-list"]):
                 if m["added_snapshot_id"] != s["snapshot-id"]:

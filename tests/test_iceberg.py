@@ -284,3 +284,138 @@ def test_incremental_unknown_from_snapshot_raises(spark, tmp_path):
     # a stale/unknown snapshot id must be an error, not a silent "no changes"
     with pytest.raises(KeyError):
         t.incremental_files(123456789)
+
+
+# ---------------------------------------------------------------------------
+# compaction (rewrite_data_files analogue)
+# ---------------------------------------------------------------------------
+
+def test_compaction_preserves_rows_shrinks_files_keeps_history(spark, tmp_path):
+    """Bin-pack compaction: same rows, fewer live files, REPLACE snapshot,
+    and time travel to a pre-compaction snapshot still plans the original
+    small files."""
+    t = _mktable(spark, tmp_path, "comp")
+    for lo in range(0, 50, 10):                 # 5 small appends
+        t.write_dataframe(_df(spark, lo, lo + 10).repartition(2))
+    pre_snap = t.current_snapshot_id
+    pre_files = t.plan_files()
+    assert len(pre_files) == 10                  # 5 commits x 2 files
+
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert sid is not None and t.current_snapshot_id == sid
+    assert t.snapshot(sid)["summary"]["operation"] == "replace"
+
+    post_files = t.plan_files()
+    assert len(post_files) == 1                  # all packed into one bin
+    after = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(before, after)
+
+    # totals in the summary stay exact
+    s = t.snapshot(sid)["summary"]
+    assert s["total-records"] == "50" and s["total-data-files"] == "1"
+    # time travel: the pre-compaction snapshot still sees the 10 originals
+    old = t.plan_files(snapshot_id=pre_snap)
+    assert sorted(f.file_path for f in old) == sorted(
+        f.file_path for f in pre_files)
+    assert len(t.read(spark, snapshot_id=pre_snap).toPandas()) == 50
+
+
+def test_compaction_respects_target_and_survivors(spark, tmp_path):
+    """Files already at/above the target survive untouched (EXISTING
+    entries with their original sequence numbers)."""
+    t = _mktable(spark, tmp_path, "comp2")
+    t.write_dataframe(_df(spark, 0, 2000).coalesce(1))     # one big file
+    for lo in range(2000, 2030, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    live = t.plan_files()
+    big = max(live, key=lambda f: f.file_size_in_bytes)
+    target = big.file_size_in_bytes                         # big file survives
+    big_seq = big.sequence_number
+    sid = t.compact_data_files(spark, target_file_bytes=target)
+    assert sid is not None
+    post = t.plan_files()
+    by_path = {f.file_path: f for f in post}
+    assert big.file_path in by_path                          # survivor kept
+    assert by_path[big.file_path].sequence_number == big_seq # seq unchanged
+    assert len(post) == 2                                    # big + 1 packed
+    assert len(t.read(spark).toPandas()) == 2030
+
+
+def test_incremental_read_skips_replace_snapshot(spark, tmp_path):
+    """CDC/pullChanges must never re-deliver compacted rows: files added by
+    a replace snapshot are invisible to incremental_files, while appends
+    before and after it flow through."""
+    t = _mktable(spark, tmp_path, "comp3")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    s1 = t.current_snapshot_id
+    t.write_dataframe(_df(spark, 10, 20).coalesce(1))
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert sid is not None
+    t.write_dataframe(_df(spark, 20, 30).coalesce(1))
+
+    inc = t.incremental_files(s1)
+    rows = sum(f.record_count for f in inc)
+    # the append before compaction (10 rows) + the append after (10 rows);
+    # the 20 compacted rows are NOT re-delivered
+    assert rows == 20
+    # bounded at the replace snapshot itself: only the middle append
+    inc_to_replace = t.incremental_files(s1, to_snapshot_id=sid)
+    assert sum(f.record_count for f in inc_to_replace) == 10
+
+
+def test_compaction_noop_when_nothing_to_do(spark, tmp_path):
+    t = _mktable(spark, tmp_path, "comp4")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    n_snaps = len(t.snapshots())
+    assert t.compact_data_files(spark, target_file_bytes=1) is None  # all big
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30,
+                                min_input_files=2) is None           # 1 file
+    assert len(t.snapshots()) == n_snaps                             # no commit
+
+
+def test_append_after_compaction_plans_and_reads(spark, tmp_path):
+    """The table stays fully functional after a replace: appends commit,
+    plan_files sees compacted + new, overwrite still works."""
+    t = _mktable(spark, tmp_path, "comp5")
+    for lo in range(0, 30, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    t.write_dataframe(_df(spark, 30, 40).coalesce(1))
+    assert len(t.read(spark).toPandas()) == 40
+    assert len(t.plan_files()) == 2
+    t.write_dataframe(_df(spark, 0, 5), mode="overwrite")
+    assert len(t.read(spark).toPandas()) == 5
+
+
+def test_sink_compaction_after_streaming(spark, tmp_path):
+    """Maintenance on the exactly-once sink table: compaction after a
+    streamed write leaves read_committed byte-identical and the audit
+    green."""
+    import pandas as pd
+
+    from engine.streams import read_clip_stream, write_clips_stream_dir
+    from engine.windows import tumbling_agg
+
+    d = str(tmp_path / "clips_in")
+    write_clips_stream_dir(d, n_clips=400, n_files=4, seed=7, jitter_ms=10_000)
+    src = read_clip_stream(spark, d, max_files_per_trigger=1)
+    agg = tumbling_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    sink = IcebergSink(str(tmp_path / "sink_tbl"))
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(sink.foreach_batch()).start())
+    q.processAllAvailable()
+    q.stop()
+
+    t = sink.table()
+    before = sink.read_committed(spark).toPandas().sort_values(
+        ["window_start", "speaker_id"], ignore_index=True)
+    assert len(before) > 0 and len(t.plan_files()) > 1
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    after = sink.read_committed(spark).toPandas().sort_values(
+        ["window_start", "speaker_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    a = sink.audit()
+    assert a["consistent"] and a["unique_batch_ids"]
