@@ -680,6 +680,102 @@ class IcebergTable:
                     pass
             raise
 
+    def expire_snapshots(self, older_than_ms: int | None = None,
+                         retain_last: int = 1) -> dict:
+        """Expire snapshot history + garbage-collect unreachable files —
+        the ``expire_snapshots`` maintenance action.
+
+        A per-micro-batch exactly-once sink accretes one snapshot per
+        trigger forever, and compaction's replaced files stay on disk as
+        long as any pre-compaction snapshot can still plan them.  This
+        expires every snapshot older than ``older_than_ms`` (no age bound
+        when None) while always retaining the ``retain_last`` newest plus
+        the current snapshot, then deletes manifest lists, manifests, and
+        data files reachable ONLY from expired snapshots.
+
+        GC is reference-counted against the retained set, at two levels:
+
+        - a MANIFEST file survives if any retained snapshot's manifest list
+          references it (append commits share manifests with ancestors, and
+          ``plan_files`` must be able to open every manifest in a retained
+          list — including one holding only DELETED entries);
+        - a DATA file survives only if some retained snapshot references it
+          as LIVE (a non-DELETED entry).  A file a replace/overwrite
+          snapshot marked DELETED is never opened when reading that
+          snapshot, so once every snapshot where it was live expires, it is
+          deleted — Iceberg's rule, and what lets compaction's replaced
+          small files actually leave the disk.
+
+        Time travel to an expired snapshot raises KeyError afterwards; the
+        retained history is unchanged.  Returns counts:
+        ``{"expired_snapshots", "data_files", "manifests",
+        "manifest_lists"}``.
+        """
+        meta = self.metadata()
+        base_version = self._current_version()
+        snaps = meta.get("snapshots", [])
+        keep_ids = {s["snapshot-id"] for s in snaps[-max(retain_last, 1):]}
+        cur = self.current_snapshot_id
+        if cur is not None:
+            keep_ids.add(cur)
+        retained, expired = [], []
+        for s in snaps:
+            if (s["snapshot-id"] in keep_ids
+                    or (older_than_ms is not None
+                        and s["timestamp-ms"] >= older_than_ms)):
+                retained.append(s)
+            else:
+                expired.append(s)
+        if not expired:
+            return {"expired_snapshots": 0, "data_files": 0,
+                    "manifests": 0, "manifest_lists": 0}
+
+        keep_manifests: set[str] = set()
+        keep_paths: set[str] = set()
+        for s in retained:
+            for m in self._read_manifest_list(s["manifest-list"]):
+                mp = _from_uri(m["manifest_path"])
+                keep_manifests.add(mp)
+                for e in self._read_manifest(mp):
+                    if e["status"] != _STATUS_DELETED:
+                        keep_paths.add(_from_uri(e["data_file"]["file_path"]))
+        drop_lists: set[str] = set()
+        drop_manifests: set[str] = set()
+        drop_data: set[str] = set()
+        for s in expired:
+            drop_lists.add(_from_uri(s["manifest-list"]))
+            for m in self._read_manifest_list(s["manifest-list"]):
+                mp = _from_uri(m["manifest_path"])
+                if mp in keep_manifests:
+                    continue
+                drop_manifests.add(mp)
+                for e in self._read_manifest(mp):
+                    p = _from_uri(e["data_file"]["file_path"])
+                    if p not in keep_paths:
+                        drop_data.add(p)
+
+        expired_ids = {s["snapshot-id"] for s in expired}
+        meta = dict(meta)
+        meta["snapshots"] = retained
+        meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] not in expired_ids
+        ]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish(meta, base_version=base_version)
+        # physical deletes AFTER the metadata publish: a reader pinned to
+        # the new version never sees the dropped paths; readers of older
+        # metadata versions race the GC exactly as in Iceberg proper
+        for p in drop_lists | drop_manifests | drop_data:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return {"expired_snapshots": len(expired),
+                "data_files": len(drop_data),
+                "manifests": len(drop_manifests),
+                "manifest_lists": len(drop_lists)}
+
     # -- planning / reading -------------------------------------------------
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_ms: int | None = None) -> list[DataFileInfo]:

@@ -357,6 +357,37 @@ def cmd_changes(args) -> dict:
             "rows": sum(d["read_rows"] for d in delivered)}
 
 
+def cmd_maintain(args) -> dict:
+    """Iceberg table maintenance: bin-pack compaction of small data files
+    (REPLACE snapshot, CDC-invisible) and/or snapshot expiration with
+    reference-counted file GC — the scheduled housekeeping a per-batch
+    exactly-once sink needs to stay scan-efficient and disk-bounded."""
+    from engine.iceberg import IcebergTable
+    from engine.session import get_spark
+
+    t = IcebergTable(args.table)
+    out = {"job": "maintain", "table": args.table}
+    if args.compact_target_mb:
+        spark = get_spark("maintain", cores=args.cores,
+                          shuffle_partitions=args.shuffle_partitions)
+        pre = len(t.plan_files())
+        sid = t.compact_data_files(
+            spark, target_file_bytes=args.compact_target_mb * 1024 * 1024,
+            min_input_files=args.min_input_files,
+        )
+        spark.stop()
+        out["compaction"] = {
+            "snapshot_id": sid, "files_before": pre,
+            "files_after": len(t.plan_files()),
+        }
+    if args.expire_older_than_ms is not None or args.retain_last is not None:
+        out["expiration"] = t.expire_snapshots(
+            older_than_ms=args.expire_older_than_ms,
+            retain_last=args.retain_last if args.retain_last is not None else 1,
+        )
+    return out
+
+
 def cmd_condition(args) -> dict:
     """Batch corpus conditioning over a documents table: quality filter ->
     exact fingerprint dedup -> deterministic sample -> overlapping token
@@ -430,6 +461,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table", required=True, help="sink out dir to tail")
     _add_common(p)
     p.set_defaults(fn=cmd_changes)
+
+    p = sub.add_parser("maintain", help="Iceberg maintenance: compaction + snapshot expiration")
+    p.add_argument("--table", required=True, help="Iceberg table location")
+    p.add_argument("--compact-target-mb", type=int, default=0,
+                   help="bin-pack files below this size (0 = skip compaction)")
+    p.add_argument("--min-input-files", type=int, default=2)
+    p.add_argument("--expire-older-than-ms", type=int, default=None,
+                   help="expire snapshots older than this epoch-ms bound")
+    p.add_argument("--retain-last", type=int, default=None,
+                   help="always keep the N newest snapshots (enables expiration)")
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.set_defaults(fn=cmd_maintain)
 
     p = sub.add_parser("condition", help="corpus conditioning: quality -> dedup -> sample -> chunk")
     p.add_argument("--docs", required=True, help="documents parquet path")

@@ -419,3 +419,74 @@ def test_sink_compaction_after_streaming(spark, tmp_path):
     pd.testing.assert_frame_equal(before, after)
     a = sink.audit()
     assert a["consistent"] and a["unique_batch_ids"]
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiration (expire_snapshots analogue)
+# ---------------------------------------------------------------------------
+
+def test_expire_after_compaction_gcs_replaced_files(spark, tmp_path):
+    """The full maintenance cycle: compact, then expire pre-compaction
+    snapshots — the replaced small files are physically deleted, the
+    current read is untouched, expired time travel raises."""
+    t = _mktable(spark, tmp_path, "exp")
+    for lo in range(0, 40, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    pre_snap = t.current_snapshot_id
+    pre_paths = [f.file_path for f in t.plan_files()]
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 4          # the 4 append snapshots
+    assert res["data_files"] == 4                 # all replaced files GC'd
+    for p in pre_paths:
+        assert not os.path.exists(p), p
+    assert len(t.read(spark).toPandas()) == 40
+    assert len(t.snapshots()) == 1
+    with pytest.raises(KeyError):
+        t.plan_files(snapshot_id=pre_snap)
+
+
+def test_expire_retain_last_and_age_bound(spark, tmp_path):
+    """retain_last keeps the N newest even when older than the bound, and
+    a future bound expires nothing extra beyond the retained set."""
+    t = _mktable(spark, tmp_path, "exp2")
+    for lo in range(0, 30, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    # age bound in the future, retain_last=2 → only the oldest expires
+    res = t.expire_snapshots(older_than_ms=None, retain_last=2)
+    assert res["expired_snapshots"] == 1
+    assert len(t.snapshots()) == 2
+    # shared-manifest safety: the oldest append's manifest is still
+    # referenced by the retained snapshots' lists, so its DATA survives
+    assert len(t.read(spark).toPandas()) == 30
+
+
+def test_expire_keeps_shared_manifests_readable(spark, tmp_path):
+    """Append commits share manifests with ancestors — expiring ancestors
+    must not delete manifests (or data) the current snapshot still plans."""
+    t = _mktable(spark, tmp_path, "exp3")
+    for lo in range(0, 50, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 4 and res["data_files"] == 0
+    import pandas as pd
+    after = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_expire_noop_and_age_filter(spark, tmp_path):
+    t = _mktable(spark, tmp_path, "exp4")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    first_ts = t.snapshots()[0]["timestamp-ms"]
+    t.write_dataframe(_df(spark, 10, 20).coalesce(1))
+    # bound at the first snapshot's timestamp: nothing strictly older
+    res = t.expire_snapshots(older_than_ms=first_ts, retain_last=1)
+    assert res == {"expired_snapshots": 0, "data_files": 0,
+                   "manifests": 0, "manifest_lists": 0}
+    assert len(t.snapshots()) == 2
+    # bound after the first snapshot expires exactly it
+    res = t.expire_snapshots(older_than_ms=first_ts + 1, retain_last=1)
+    assert res["expired_snapshots"] == 1
+    assert len(t.read(spark).toPandas()) == 20
