@@ -1005,6 +1005,56 @@ FROM customer WHERE c_custkey <= 50
 """
 
 
+def _q_iceberg_maintenance(spark, sf_dir):
+    """Iceberg maintenance cycle (engine/iceberg.py compact_data_files +
+    expire_snapshots): five small appends → bin-pack compaction into one
+    file (REPLACE snapshot) → expiration of the pre-compaction snapshots
+    with file GC. Value-checks that the maintained table is row-identical
+    to the logical union of the appends — the rewrite_data_files /
+    expire_snapshots analogues a per-micro-batch exactly-once sink needs
+    (no reference seam: Hudi delegates maintenance to its own services)."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_maint_"), schema=cust.schema
+    )
+    for lo in range(0, 500, 100):
+        t.write_dataframe(
+            cust.filter(f"c_custkey > {lo} AND c_custkey <= {lo + 100}")
+            .coalesce(1)
+        )
+    n_before = len(t.plan_files())
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    gc = t.expire_snapshots(retain_last=1)
+    out = t.read(spark).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 6).alias("c_acctbal")
+    )
+    # maintenance telemetry as literal columns so the oracle pins it too:
+    # compaction happened (snapshot committed, single live file), and the
+    # five append snapshots were expired with their small files GC'd
+    return out.select(
+        "*",
+        F.lit(1 if sid is not None else 0).alias("compacted"),
+        F.lit(len(t.plan_files())).alias("live_files"),
+        F.lit(n_before).alias("files_before"),
+        F.lit(int(gc["expired_snapshots"])).alias("expired_snaps"),
+        F.lit(int(gc["data_files"])).alias("gc_files"),
+    )
+
+
+_SQL_ICEBERG_MAINTENANCE = """
+SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal,
+       1 AS compacted, 1 AS live_files, 5 AS files_before,
+       5 AS expired_snaps, 5 AS gc_files
+FROM customer WHERE c_custkey > 0 AND c_custkey <= 500
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis over documents
 # ---------------------------------------------------------------------------
@@ -2615,6 +2665,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "store_sql": _q_store_sql,
         "fg_statistics": _q_fg_statistics,
+        # iceberg maintenance (compaction + expiration, value-checked)
+        "iceberg_maintenance": _q_iceberg_maintenance,
         # curation long tail
         "vocab": _q_vocab,
         "collocations": _q_collocations,
@@ -2681,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "store_upsert": _SQL_STORE_UPSERT,
         "store_overwrite": _SQL_STORE_OVERWRITE,
         "iceberg_table": _SQL_ICEBERG_TABLE,
+        "iceberg_maintenance": _SQL_ICEBERG_MAINTENANCE,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,
