@@ -1047,6 +1047,44 @@ def _q_iceberg_maintenance(spark, sf_dir):
     )
 
 
+def _q_iceberg_partitioned(spark, sf_dir):
+    """Identity-partitioned Iceberg table (engine/iceberg.py partition_by):
+    customer written partitioned by c_mktsegment, then read through
+    MANIFEST-LEVEL partition pruning — the reader plans only the matching
+    partition's files (asserted: strictly fewer files than the table
+    holds) and never opens the rest. The 100 TB scan-cost lever the
+    reference delegates to Hudi partitioning."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_part_"), schema=cust.schema,
+        partition_by=["c_mktsegment"],
+    )
+    t.write_dataframe(cust.filter("c_custkey <= 300"))
+    t.write_dataframe(cust.filter("c_custkey > 300 AND c_custkey <= 600"))
+    n_total = len(t.plan_files())
+    flt = {"c_mktsegment": ["BUILDING", "MACHINERY"]}
+    n_pruned = len(t.plan_files(partition_filter=flt))
+    assert 0 < n_pruned < n_total, (n_pruned, n_total)
+    return t.read(spark, partition_filter=flt).select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.lit(1).alias("pruned"),
+    )
+
+
+_SQL_ICEBERG_PARTITIONED = """
+SELECT c_custkey, c_name, c_mktsegment, 1 AS pruned
+FROM customer
+WHERE c_custkey > 0 AND c_custkey <= 600
+  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+"""
+
+
 _SQL_ICEBERG_MAINTENANCE = """
 SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal,
        1 AS compacted, 1 AS live_files, 5 AS files_before,
@@ -2665,8 +2703,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_roundtrip": _q_avro_roundtrip,
         "store_sql": _q_store_sql,
         "fg_statistics": _q_fg_statistics,
-        # iceberg maintenance (compaction + expiration, value-checked)
+        # iceberg maintenance + partition pruning (value-checked)
         "iceberg_maintenance": _q_iceberg_maintenance,
+        "iceberg_partitioned": _q_iceberg_partitioned,
         # curation long tail
         "vocab": _q_vocab,
         "collocations": _q_collocations,
@@ -2734,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         "store_overwrite": _SQL_STORE_OVERWRITE,
         "iceberg_table": _SQL_ICEBERG_TABLE,
         "iceberg_maintenance": _SQL_ICEBERG_MAINTENANCE,
+        "iceberg_partitioned": _SQL_ICEBERG_PARTITIONED,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,

@@ -220,6 +220,7 @@ class DataFileInfo:
     record_count: int
     file_size_in_bytes: int
     sequence_number: int | None = None  # set when planned from a manifest
+    partition: dict | None = None       # identity-partition values (or None)
 
 
 def _to_uri(path: str) -> str:
@@ -230,17 +231,46 @@ def _from_uri(uri: str) -> str:
     return uri[len("file://"):] if uri.startswith("file://") else uri
 
 
+def _partition_match(part: dict, flt: dict) -> bool:
+    """Does a file's identity-partition tuple satisfy the filter?
+    Values: scalar equality, list/set membership, (lo, hi) inclusive range.
+    A null partition value (Hive default partition) matches nothing."""
+    for col, cond in flt.items():
+        v = part.get(col)
+        if v is None:
+            return False
+        if isinstance(cond, tuple) and len(cond) == 2:
+            lo, hi = cond
+            if not (lo <= v <= hi):
+                return False
+        elif isinstance(cond, (list, set, frozenset)):
+            if v not in cond:
+                return False
+        elif v != cond:
+            return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Table
 # ---------------------------------------------------------------------------
 
 
-class IcebergTable:
-    """One unpartitioned Iceberg v2 table at ``location`` (HadoopCatalog
-    layout: ``metadata/`` + ``data/``). Single-schema; append + overwrite
-    snapshots; snapshot/timestamp time travel; incremental read."""
+#: identity partitioning supports exactly the types whose Hive directory
+#: values round-trip losslessly through a path segment
+_PARTITIONABLE = {"int": int, "long": int, "float": float, "double": float,
+                  "string": str}
 
-    def __init__(self, location: str, schema=None, properties: dict | None = None):
+
+class IcebergTable:
+    """One Iceberg v2 table at ``location`` (HadoopCatalog layout:
+    ``metadata/`` + ``data/``). Single-schema; optional identity
+    partitioning with manifest-level partition pruning; append + overwrite
+    + replace snapshots; snapshot/timestamp time travel; incremental read;
+    compaction + snapshot expiration maintenance."""
+
+    def __init__(self, location: str, schema=None, properties: dict | None = None,
+                 partition_by: list[str] | None = None):
         self.location = os.path.abspath(location)
         self.metadata_dir = os.path.join(self.location, "metadata")
         self.data_dir = os.path.join(self.location, "data")
@@ -252,6 +282,21 @@ class IcebergTable:
                     f"no Iceberg table at {location!r} and no schema to create one"
                 )
             ice_schema, last_col = spark_schema_to_iceberg(schema)
+            spec_fields = []
+            for i, col in enumerate(partition_by or []):
+                src = next((f for f in ice_schema["fields"]
+                            if f["name"] == col), None)
+                if src is None:
+                    raise ValueError(f"partition column {col!r} not in schema")
+                if src["type"] not in _PARTITIONABLE:
+                    raise ValueError(
+                        f"identity partitioning supports {sorted(_PARTITIONABLE)} "
+                        f"columns, got {col!r}: {src['type']!r}"
+                    )
+                spec_fields.append({
+                    "name": col, "transform": "identity",
+                    "source-id": src["id"], "field-id": 1000 + i,
+                })
             meta = {
                 "format-version": 2,
                 "table-uuid": str(uuid.uuid4()),
@@ -262,8 +307,8 @@ class IcebergTable:
                 "current-schema-id": 0,
                 "schemas": [ice_schema],
                 "default-spec-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
-                "last-partition-id": 999,
+                "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+                "last-partition-id": 999 + len(spec_fields),
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
                 "properties": dict(properties or {}),
@@ -274,6 +319,51 @@ class IcebergTable:
                 "refs": {},
             }
             self._publish(meta, base_version=None)
+
+    # -- partition spec -----------------------------------------------------
+    def spec_fields(self) -> list[dict]:
+        """Default partition-spec fields (empty for unpartitioned tables)."""
+        meta = self.metadata()
+        for spec in meta.get("partition-specs", []):
+            if spec["spec-id"] == meta.get("default-spec-id", 0):
+                return spec.get("fields", [])
+        return []
+
+    def _spec_json(self) -> str:
+        meta = self.metadata()
+        for spec in meta.get("partition-specs", []):
+            if spec["spec-id"] == meta.get("default-spec-id", 0):
+                return json.dumps(spec, sort_keys=True)
+        return json.dumps({"spec-id": 0, "fields": []})
+
+    def _partition_col_types(self) -> dict[str, str]:
+        """partition column → iceberg primitive type (from the schema)."""
+        schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+        return {f["name"]: schema_fields[f["source-id"]]["type"]
+                for f in self.spec_fields()}
+
+    def _entry_schema(self) -> dict:
+        """Manifest-entry Avro schema with the partition struct typed by
+        this table's spec (Iceberg embeds the spec-typed r102 record the
+        same way; unpartitioned tables keep the empty struct)."""
+        fields = self.spec_fields()
+        if not fields:
+            return MANIFEST_ENTRY_SCHEMA
+        avro_of = {"int": "int", "long": "long", "float": "float",
+                   "double": "double", "string": "string"}
+        types = self._partition_col_types()
+        part_fields = [
+            {"name": f["name"], "field-id": f["field-id"], "default": None,
+             "type": ["null", avro_of[types[f["name"]]]]}
+            for f in fields
+        ]
+        schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))  # deep copy
+        for df_field in schema["fields"]:
+            if df_field["name"] == "data_file":
+                for f2 in df_field["type"]["fields"]:
+                    if f2["name"] == "partition":
+                        f2["type"]["fields"] = part_fields
+        return schema
 
     # -- metadata versions --------------------------------------------------
     def _version_path(self, v: int) -> str:
@@ -359,7 +449,7 @@ class IcebergTable:
         name = f"{uuid.uuid4().hex}-m0.avro"
         path = os.path.join(self.metadata_dir, name)
         buf = write_avro_ocf_bytes(
-            entries, MANIFEST_ENTRY_SCHEMA,
+            entries, self._entry_schema(),
             extra_meta={
                 "schema": json.dumps(
                     self.metadata()["schemas"][0], sort_keys=True).encode(),
@@ -412,7 +502,7 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)  # positive long
         now_ms = int(time.time() * 1000)
-        spec_json = json.dumps({"spec-id": 0, "fields": []})
+        spec_json = self._spec_json()
 
         def entry(f: DataFileInfo, status: int, esq: int | None) -> dict:
             return {
@@ -422,7 +512,8 @@ class IcebergTable:
                 "sequence_number": esq, "file_sequence_number": esq,
                 "data_file": {
                     "content": 0, "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET",
+                    "partition": dict(f.partition or {}),
                     "record_count": int(f.record_count),
                     "file_size_in_bytes": int(f.file_size_in_bytes),
                 },
@@ -551,7 +642,7 @@ class IcebergTable:
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         now_ms = int(time.time() * 1000)
-        spec_json = json.dumps({"spec-id": 0, "fields": []})
+        spec_json = self._spec_json()
 
         def entry(f: DataFileInfo, status: int, esq: int | None) -> dict:
             return {
@@ -559,7 +650,8 @@ class IcebergTable:
                 "sequence_number": esq, "file_sequence_number": esq,
                 "data_file": {
                     "content": 0, "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET", "partition": {},
+                    "file_format": "PARQUET",
+                    "partition": dict(f.partition or {}),
                     "record_count": int(f.record_count),
                     "file_size_in_bytes": int(f.file_size_in_bytes),
                 },
@@ -634,8 +726,6 @@ class IcebergTable:
         """
         import math
 
-        import pyarrow.parquet as pq
-
         live = self.plan_files()
         inputs = [f for f in live
                   if f.file_size_in_bytes < target_file_bytes]
@@ -648,21 +738,24 @@ class IcebergTable:
 
         ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
         tmp = os.path.join(self.location, f".tmp-compact-{uuid.uuid4().hex[:8]}")
-        (spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
-         .repartition(n_out).write.mode("overwrite").parquet(tmp))
-        infos: list[DataFileInfo] = []
-        token = uuid.uuid4().hex[:8]
-        for i, name in enumerate(sorted(os.listdir(tmp))):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(tmp, name)
-            dst = os.path.join(self.data_dir, f"compact-{token}-{i:05d}.parquet")
-            os.rename(src, dst)
-            infos.append(DataFileInfo(
-                file_path=dst,
-                record_count=pq.read_metadata(dst).num_rows,
-                file_size_in_bytes=os.path.getsize(dst),
-            ))
+        scan = spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
+        spec = self.spec_fields()
+        if spec:
+            # partitioned table: cluster the rewrite by partition columns so
+            # each output file holds one partition tuple (the partitionBy
+            # dirs re-derive the manifest partition values), bin-packing
+            # within partitions like Iceberg's binpack rewrite
+            from pyspark.sql import functions as F
+
+            pcols = [f["name"] for f in spec]
+            dup = [f"__p_{c}" for c in pcols]
+            for c, d in zip(pcols, dup):
+                scan = scan.withColumn(d, F.col(c))
+            (scan.repartition(n_out, *pcols)
+             .write.partitionBy(*dup).mode("overwrite").parquet(tmp))
+        else:
+            scan.repartition(n_out).write.mode("overwrite").parquet(tmp)
+        infos = self._register_written_files(tmp, name_prefix="compact-")
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
@@ -778,9 +871,23 @@ class IcebergTable:
 
     # -- planning / reading -------------------------------------------------
     def plan_files(self, snapshot_id: int | None = None,
-                   as_of_ms: int | None = None) -> list[DataFileInfo]:
+                   as_of_ms: int | None = None,
+                   partition_filter: dict | None = None) -> list[DataFileInfo]:
         """Live data files at a snapshot (current by default): one manifest
-        list + its manifests, no ``data/`` directory listing."""
+        list + its manifests, no ``data/`` directory listing.
+
+        ``partition_filter`` prunes identity-partitioned tables at the
+        MANIFEST level (no data file is opened): ``{col: value}`` keeps
+        files whose partition equals the value, ``{col: [v1, v2]}`` an
+        in-list, ``{col: (lo, hi)}`` an inclusive range.  Unknown columns
+        raise (a typo would silently scan everything otherwise)."""
+        if partition_filter:
+            valid = {f["name"] for f in self.spec_fields()}
+            bad = set(partition_filter) - valid
+            if bad:
+                raise ValueError(
+                    f"not partition columns of this table: {sorted(bad)} "
+                    f"(spec: {sorted(valid)})")
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -792,6 +899,10 @@ class IcebergTable:
                 if e["status"] == _STATUS_DELETED:
                     continue
                 df = e["data_file"]
+                part = df.get("partition") or {}
+                if partition_filter and not _partition_match(
+                        part, partition_filter):
+                    continue
                 out.append(DataFileInfo(
                     file_path=_from_uri(df["file_path"]),
                     record_count=df["record_count"],
@@ -800,6 +911,7 @@ class IcebergTable:
                     sequence_number=(
                         e["sequence_number"] if e["sequence_number"] is not None
                         else m["sequence_number"]),
+                    partition=part or None,
                 ))
         return out
 
@@ -844,16 +956,21 @@ class IcebergTable:
                             record_count=df["record_count"],
                             file_size_in_bytes=df["file_size_in_bytes"],
                             sequence_number=m["sequence_number"],
+                            partition=df.get("partition") or None,
                         ))
             if to_snapshot_id is not None and s["snapshot-id"] == to_snapshot_id:
                 break
         return out
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
-             as_of_ms: int | None = None) -> DataFrame:
+             as_of_ms: int | None = None,
+             partition_filter: dict | None = None) -> DataFrame:
         """Scan pinned to exactly the planned files, schema pinned from
-        table metadata (no inference / no extra listing job)."""
-        files = self.plan_files(snapshot_id, as_of_ms)
+        table metadata (no inference / no extra listing job).  With
+        ``partition_filter`` the scan reads ONLY the matching partitions'
+        files (manifest-level pruning — the reader never lists or opens
+        non-matching files)."""
+        files = self.plan_files(snapshot_id, as_of_ms, partition_filter)
         ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
         if not files:
             return spark.createDataFrame([], ddl)
@@ -869,29 +986,78 @@ class IcebergTable:
         and reads row counts from footers — O(#files) driver work."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"iceberg save mode must be append/overwrite, got {mode!r}")
-        import pyarrow.parquet as pq
-
         tmp = os.path.join(self.location, f".tmp-write-{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(tmp)
-        infos: list[DataFileInfo] = []
-        token = uuid.uuid4().hex[:8]
-        for i, name in enumerate(sorted(os.listdir(tmp))):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(tmp, name)
-            dst = os.path.join(self.data_dir, f"{token}-{i:05d}.parquet")
-            os.rename(src, dst)
-            infos.append(DataFileInfo(
-                file_path=dst,
-                record_count=pq.read_metadata(dst).num_rows,
-                file_size_in_bytes=os.path.getsize(dst),
-            ))
+        spec = self.spec_fields()
+        if spec:
+            # Iceberg keeps partition columns IN the data files (unlike the
+            # Hive layout); partitionBy would drop them, so write through
+            # duplicated __p_* columns — the dirs carry the values for the
+            # manifests, the files keep the full row
+            from pyspark.sql import functions as F
+
+            pcols = [f["name"] for f in spec]
+            dup = [f"__p_{c}" for c in pcols]
+            clash = set(dup) & set(df.columns)
+            if clash:
+                raise ValueError(f"column names reserved for the writer: {clash}")
+            for c, d in zip(pcols, dup):
+                df = df.withColumn(d, F.col(c))
+            df.write.partitionBy(*dup).mode("overwrite").parquet(tmp)
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        infos = self._register_written_files(tmp)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
         if mode == "append":
             return self.commit_append(infos, summary_extra)
         return self.commit_overwrite(infos, summary_extra)
+
+    def _register_written_files(self, tmp: str,
+                                name_prefix: str = "") -> list[DataFileInfo]:
+        """Move a parquet job's output tree into ``data/`` under
+        collision-free names, parsing identity-partition values from the
+        ``__p_col=value`` directory segments (Spark URL-encodes them;
+        ``__HIVE_DEFAULT_PARTITION__`` means null)."""
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        types = self._partition_col_types()
+        caster = {c: _PARTITIONABLE[t] for c, t in types.items()}
+        infos: list[DataFileInfo] = []
+        token = uuid.uuid4().hex[:8]
+        i = 0
+        for root, _dirs, names in sorted(os.walk(tmp)):
+            part: dict = {}
+            rel = os.path.relpath(root, tmp)
+            ok = True
+            for seg in ([] if rel == "." else rel.split(os.sep)):
+                if "=" not in seg or not seg.startswith("__p_"):
+                    ok = False
+                    break
+                col, raw = seg.split("=", 1)
+                col = col[len("__p_"):]
+                raw = unquote(raw)
+                part[col] = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                             else caster[col](raw))
+            if not ok:
+                continue
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                dst = os.path.join(
+                    self.data_dir, f"{name_prefix}{token}-{i:05d}.parquet")
+                i += 1
+                os.rename(src, dst)
+                infos.append(DataFileInfo(
+                    file_path=dst,
+                    record_count=pq.read_metadata(dst).num_rows,
+                    file_size_in_bytes=os.path.getsize(dst),
+                    partition=part or None,
+                ))
+        return infos
 
 
 # ---------------------------------------------------------------------------

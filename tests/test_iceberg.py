@@ -490,3 +490,121 @@ def test_expire_noop_and_age_filter(spark, tmp_path):
     res = t.expire_snapshots(older_than_ms=first_ts + 1, retain_last=1)
     assert res["expired_snapshots"] == 1
     assert len(t.read(spark).toPandas()) == 20
+
+
+# ---------------------------------------------------------------------------
+# identity partitioning + manifest-level pruning
+# ---------------------------------------------------------------------------
+
+def _pdf_sorted(df, keys=("k",)):
+    return df.toPandas().sort_values(list(keys), ignore_index=True)
+
+
+def _mk_part_table(spark, tmp_path, name="pt"):
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "cast(id AS double) AS v",
+        "cast(null AS string) AS region", "id AS bucket"
+    )
+    return IcebergTable(str(tmp_path / name), schema=df0.schema,
+                        partition_by=["region", "bucket"])
+
+
+def _part_rows(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "cast(id * 1.5 AS double) AS v",
+        "element_at(array('eu','us','ap'), cast(id % 3 AS int) + 1) AS region",
+        "id % 4 AS bucket"
+    )
+
+
+def test_partitioned_write_records_values_and_prunes(spark, tmp_path):
+    t = _mk_part_table(spark, tmp_path)
+    t.write_dataframe(_part_rows(spark, 0, 120))
+    t.write_dataframe(_part_rows(spark, 120, 240))
+    live = t.plan_files()
+    # every file carries its identity tuple, typed
+    assert all(f.partition and set(f.partition) == {"region", "bucket"}
+               for f in live)
+    assert all(isinstance(f.partition["bucket"], int) and
+               isinstance(f.partition["region"], str) for f in live)
+    # equality pruning: only eu files planned, and strictly fewer files
+    eu = t.plan_files(partition_filter={"region": "eu"})
+    assert 0 < len(eu) < len(live)
+    assert all(f.partition["region"] == "eu" for f in eu)
+    # rows through the pruned read == a plain filter over the full read
+    got = _pdf_sorted(t.read(spark, partition_filter={"region": "eu"}))
+    want = _pdf_sorted(t.read(spark).filter("region = 'eu'"))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 80                       # ids ≡ 0 mod 3 in [0, 240)
+    # in-list and range conditions compose across columns
+    sub = t.plan_files(partition_filter={"region": ["eu", "us"],
+                                         "bucket": (1, 2)})
+    assert all(f.partition["region"] in ("eu", "us")
+               and 1 <= f.partition["bucket"] <= 2 for f in sub)
+    got2 = t.read(spark, partition_filter={"region": ["eu", "us"],
+                                           "bucket": (1, 2)})
+    want2 = t.read(spark).filter(
+        "region IN ('eu','us') AND bucket BETWEEN 1 AND 2")
+    pd.testing.assert_frame_equal(_pdf_sorted(got2), _pdf_sorted(want2))
+
+
+def test_partitioned_full_read_and_time_travel(spark, tmp_path):
+    import pandas as pd
+    t = _mk_part_table(spark, tmp_path, "pt2")
+    t.write_dataframe(_part_rows(spark, 0, 60))
+    s1 = t.current_snapshot_id
+    t.write_dataframe(_part_rows(spark, 60, 120))
+    # files keep the partition columns (Iceberg layout, not Hive): the
+    # pinned-schema read returns them with real values
+    full = _pdf_sorted(t.read(spark))
+    assert len(full) == 120 and full["region"].notna().all()
+    want = _pdf_sorted(_part_rows(spark, 0, 120))
+    pd.testing.assert_frame_equal(full, want)
+    # time travel + pruning compose
+    old_eu = t.read(spark, snapshot_id=s1, partition_filter={"region": "eu"})
+    assert _pdf_sorted(old_eu)["k"].tolist() == [k for k in range(60) if k % 3 == 0]
+
+
+def test_partitioned_compaction_keeps_tuples_and_pruning(spark, tmp_path):
+    import pandas as pd
+    t = _mk_part_table(spark, tmp_path, "pt3")
+    for lo in range(0, 90, 30):
+        t.write_dataframe(_part_rows(spark, lo, lo + 30))
+    before = _pdf_sorted(t.read(spark))
+    n_before = len(t.plan_files())
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert sid is not None
+    post = t.plan_files()
+    assert len(post) < n_before
+    # every compacted file still holds exactly one partition tuple
+    assert all(f.partition and set(f.partition) == {"region", "bucket"}
+               for f in post)
+    pd.testing.assert_frame_equal(_pdf_sorted(t.read(spark)), before)
+    # pruning still works over the compacted layout
+    got = _pdf_sorted(t.read(spark, partition_filter={"region": "ap"}))
+    want = before[before["region"] == "ap"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # and expiration GCs the pre-compaction small files
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 3 and res["data_files"] == n_before
+    pd.testing.assert_frame_equal(_pdf_sorted(t.read(spark)), before)
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    df0 = spark.range(0).selectExpr("id AS k", "cast(id AS double) AS v",
+                                    "current_timestamp() AS ts")
+    with pytest.raises(ValueError, match="not in schema"):
+        IcebergTable(str(tmp_path / "bad1"), schema=df0.schema,
+                     partition_by=["nope"])
+    with pytest.raises(ValueError, match="identity partitioning supports"):
+        IcebergTable(str(tmp_path / "bad2"), schema=df0.schema,
+                     partition_by=["ts"])
+    t = _mk_part_table(spark, tmp_path, "pt4")
+    t.write_dataframe(_part_rows(spark, 0, 10))
+    with pytest.raises(ValueError, match="not partition columns"):
+        t.plan_files(partition_filter={"v": 1.0})
+    # spec round-trips through metadata on reopen
+    t2 = IcebergTable(t.location)
+    assert [f["name"] for f in t2.spec_fields()] == ["region", "bucket"]
+    assert len(t2.plan_files(partition_filter={"region": "eu"})) > 0
