@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -231,6 +232,32 @@ def _from_uri(uri: str) -> str:
     return uri[len("file://"):] if uri.startswith("file://") else uri
 
 
+def _to_epoch_days(cond):
+    """Normalize a day-partition filter condition to epoch-day ints:
+    accepts ints, datetime.date/datetime, pandas Timestamps, ISO 'YYYY-MM-DD'
+    strings, and the list/tuple condition forms thereof."""
+    import datetime as _dt
+
+    def one(v):
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v[:10])
+        if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+            v = v.to_pydatetime()
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        raise TypeError(f"cannot interpret {v!r} as a day partition value")
+
+    if isinstance(cond, tuple) and len(cond) == 2:
+        return (one(cond[0]), one(cond[1]))
+    if isinstance(cond, (list, set, frozenset)):
+        return [one(v) for v in cond]
+    return one(cond)
+
+
 def _partition_match(part: dict, flt: dict) -> bool:
     """Does a file's identity-partition tuple satisfy the filter?
     Values: scalar equality, list/set membership, (lo, hi) inclusive range.
@@ -283,15 +310,28 @@ class IcebergTable:
                 )
             ice_schema, last_col = spark_schema_to_iceberg(schema)
             spec_fields = []
-            for i, col in enumerate(partition_by or []):
+            for i, term in enumerate(partition_by or []):
+                m = re.fullmatch(r"days?\((\w+)\)", term.strip())
+                col = m.group(1) if m else term.strip()
                 src = next((f for f in ice_schema["fields"]
                             if f["name"] == col), None)
                 if src is None:
                     raise ValueError(f"partition column {col!r} not in schema")
+                if m:
+                    if src["type"] not in ("timestamp", "timestamptz", "date"):
+                        raise ValueError(
+                            f"days() needs a timestamp/date column, got "
+                            f"{col!r}: {src['type']!r}"
+                        )
+                    spec_fields.append({
+                        "name": f"{col}_day", "transform": "day",
+                        "source-id": src["id"], "field-id": 1000 + i,
+                    })
+                    continue
                 if src["type"] not in _PARTITIONABLE:
                     raise ValueError(
                         f"identity partitioning supports {sorted(_PARTITIONABLE)} "
-                        f"columns, got {col!r}: {src['type']!r}"
+                        f"columns (or days(ts)), got {col!r}: {src['type']!r}"
                     )
                 spec_fields.append({
                     "name": col, "transform": "identity",
@@ -337,10 +377,29 @@ class IcebergTable:
         return json.dumps({"spec-id": 0, "fields": []})
 
     def _partition_col_types(self) -> dict[str, str]:
-        """partition column → iceberg primitive type (from the schema)."""
+        """partition field → iceberg primitive type of the PARTITION VALUE
+        (identity → the source column's type; day → epoch-day int)."""
         schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
-        return {f["name"]: schema_fields[f["source-id"]]["type"]
+        return {f["name"]: ("int" if f.get("transform") == "day"
+                            else schema_fields[f["source-id"]]["type"])
                 for f in self.spec_fields()}
+
+    def _partition_exprs(self):
+        """[(partition field name, derivation Column)] for the writer: the
+        ``__p_*`` directory columns both write paths route through."""
+        from pyspark.sql import functions as F
+
+        schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+        out = []
+        for f in self.spec_fields():
+            src_name = schema_fields[f["source-id"]]["name"]
+            if f.get("transform") == "day":
+                col = F.datediff(F.col(src_name).cast("date"),
+                                 F.to_date(F.lit("1970-01-01")))
+            else:
+                col = F.col(src_name)
+            out.append((f["name"], col))
+        return out
 
     def _entry_schema(self) -> dict:
         """Manifest-entry Avro schema with the partition struct typed by
@@ -745,13 +804,11 @@ class IcebergTable:
             # each output file holds one partition tuple (the partitionBy
             # dirs re-derive the manifest partition values), bin-packing
             # within partitions like Iceberg's binpack rewrite
-            from pyspark.sql import functions as F
-
-            pcols = [f["name"] for f in spec]
-            dup = [f"__p_{c}" for c in pcols]
-            for c, d in zip(pcols, dup):
-                scan = scan.withColumn(d, F.col(c))
-            (scan.repartition(n_out, *pcols)
+            exprs = self._partition_exprs()
+            dup = [f"__p_{name}" for name, _ in exprs]
+            for d, (_, col) in zip(dup, exprs):
+                scan = scan.withColumn(d, col)
+            (scan.repartition(n_out, *dup)
              .write.partitionBy(*dup).mode("overwrite").parquet(tmp))
         else:
             scan.repartition(n_out).write.mode("overwrite").parquet(tmp)
@@ -882,12 +939,19 @@ class IcebergTable:
         in-list, ``{col: (lo, hi)}`` an inclusive range.  Unknown columns
         raise (a typo would silently scan everything otherwise)."""
         if partition_filter:
-            valid = {f["name"] for f in self.spec_fields()}
-            bad = set(partition_filter) - valid
+            fields = {f["name"]: f for f in self.spec_fields()}
+            bad = set(partition_filter) - set(fields)
             if bad:
                 raise ValueError(
                     f"not partition columns of this table: {sorted(bad)} "
-                    f"(spec: {sorted(valid)})")
+                    f"(spec: {sorted(fields)})")
+            # day-transform fields hold epoch-day ints; accept dates /
+            # timestamps / ISO strings in the filter and normalize
+            partition_filter = {
+                col: (_to_epoch_days(cond)
+                      if fields[col].get("transform") == "day" else cond)
+                for col, cond in partition_filter.items()
+            }
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -993,15 +1057,13 @@ class IcebergTable:
             # Hive layout); partitionBy would drop them, so write through
             # duplicated __p_* columns — the dirs carry the values for the
             # manifests, the files keep the full row
-            from pyspark.sql import functions as F
-
-            pcols = [f["name"] for f in spec]
-            dup = [f"__p_{c}" for c in pcols]
+            exprs = self._partition_exprs()
+            dup = [f"__p_{name}" for name, _ in exprs]
             clash = set(dup) & set(df.columns)
             if clash:
                 raise ValueError(f"column names reserved for the writer: {clash}")
-            for c, d in zip(pcols, dup):
-                df = df.withColumn(d, F.col(c))
+            for d, (_, col) in zip(dup, exprs):
+                df = df.withColumn(d, col)
             df.write.partitionBy(*dup).mode("overwrite").parquet(tmp)
         else:
             df.write.mode("overwrite").parquet(tmp)

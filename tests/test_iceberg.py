@@ -608,3 +608,64 @@ def test_partition_spec_validation(spark, tmp_path):
     t2 = IcebergTable(t.location)
     assert [f["name"] for f in t2.spec_fields()] == ["region", "bucket"]
     assert len(t2.plan_files(partition_filter={"region": "eu"})) > 0
+
+
+def test_day_partitioned_clip_shaped_table(spark, tmp_path):
+    """days(event_ts) partitioning — the clip-stream deployment shape:
+    two days of data, day-pruned plan + read (dates, ISO strings, and
+    epoch-day ints all accepted), compaction preserving day dirs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    df0 = spark.range(0).selectExpr(
+        "concat('c', id) AS clip_id", "current_timestamp() AS event_ts",
+        "id AS speaker_id", "cast(id AS double) AS dur"
+    )
+    t = IcebergTable(str(tmp_path / "daypt"), schema=df0.schema,
+                     partition_by=["days(event_ts)", "speaker_id"])
+    assert [(f["name"], f["transform"]) for f in t.spec_fields()] == [
+        ("event_ts_day", "day"), ("speaker_id", "identity")]
+
+    def day_rows(day_str, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('c', id) AS clip_id",
+            f"timestamp'{day_str} 06:00:00' + make_interval(0,0,0,0,0,0,id) AS event_ts",
+            "id % 3 AS speaker_id", "cast(id AS double) AS dur",
+        )
+
+    t.write_dataframe(day_rows("2024-03-01", 0, 30))
+    t.write_dataframe(day_rows("2024-03-02", 30, 60))
+    live = t.plan_files()
+    d1 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    assert {f.partition["event_ts_day"] for f in live} == {d1, d1 + 1}
+
+    # prune by date object, ISO string, and epoch-day int — same answer
+    for cond in (dt.date(2024, 3, 1), "2024-03-01", d1):
+        files = t.plan_files(partition_filter={"event_ts_day": cond})
+        assert files and all(f.partition["event_ts_day"] == d1 for f in files)
+    got = t.read(spark, partition_filter={"event_ts_day": "2024-03-01"})
+    assert sorted(r.clip_id for r in got.collect()) == sorted(
+        f"c{i}" for i in range(30))
+    # range over days + identity speaker filter compose
+    both = t.read(spark, partition_filter={
+        "event_ts_day": ("2024-03-01", "2024-03-02"), "speaker_id": 1})
+    want = t.read(spark).filter("speaker_id = 1")
+    pd.testing.assert_frame_equal(
+        both.toPandas().sort_values("clip_id", ignore_index=True),
+        want.toPandas().sort_values("clip_id", ignore_index=True))
+
+    # compaction keeps day dirs prunable and rows identical
+    before = t.read(spark).toPandas().sort_values("clip_id", ignore_index=True)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    after = t.read(spark).toPandas().sort_values("clip_id", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    files = t.plan_files(partition_filter={"event_ts_day": d1 + 1})
+    assert files and all(f.partition["event_ts_day"] == d1 + 1 for f in files)
+
+
+def test_day_partition_validation(spark, tmp_path):
+    df0 = spark.range(0).selectExpr("id AS k", "cast(id AS double) AS v")
+    with pytest.raises(ValueError, match="days.. needs a timestamp"):
+        IcebergTable(str(tmp_path / "dbad"), schema=df0.schema,
+                     partition_by=["days(v)"])
