@@ -1137,16 +1137,22 @@ class IcebergSink:
 
     BATCH_KEY = "streaming-batch-id"
 
-    def __init__(self, location: str, schema=None):
+    def __init__(self, location: str, schema=None,
+                 partition_by: list[str] | None = None):
+        """``partition_by`` (identity columns and/or ``days(ts)`` terms —
+        ``days(window_start)`` is the canonical sink layout) partitions the
+        sink table on first creation; an existing table keeps its spec."""
         self.location = location
         self.schema = schema
+        self.partition_by = partition_by
         self._table: IcebergTable | None = None
 
     def table(self, df: DataFrame | None = None) -> IcebergTable:
         if self._table is None:
             schema = self.schema if self.schema is not None else (
                 df.schema if df is not None else None)
-            self._table = IcebergTable(self.location, schema=schema)
+            self._table = IcebergTable(self.location, schema=schema,
+                                       partition_by=self.partition_by)
         return self._table
 
     def committed_batch_ids(self) -> set[int]:
@@ -1173,8 +1179,9 @@ class IcebergSink:
 
         return fn
 
-    def read_committed(self, spark: SparkSession) -> DataFrame:
-        return self.table().read(spark)
+    def read_committed(self, spark: SparkSession,
+                       partition_filter: dict | None = None) -> DataFrame:
+        return self.table().read(spark, partition_filter=partition_filter)
 
     def audit(self) -> dict:
         """Exactly-once audit mirroring ``ParquetLedgerSink.audit``:

@@ -669,3 +669,46 @@ def test_day_partition_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="days.. needs a timestamp"):
         IcebergTable(str(tmp_path / "dbad"), schema=df0.schema,
                      partition_by=["days(v)"])
+
+
+def test_day_partitioned_sink_streaming(spark, tmp_path):
+    """Exactly-once sink into a days(window_start)-partitioned table: the
+    streamed window rows land under day partitions, read_committed prunes
+    by day, and the audit stays green; maintenance composes on top."""
+    import pandas as pd
+
+    from engine.streams import read_clip_stream, write_clips_stream_dir
+    from engine.windows import tumbling_agg
+
+    d = str(tmp_path / "clips_in")
+    write_clips_stream_dir(d, n_clips=300, n_files=3, seed=13, jitter_ms=10_000)
+    src = read_clip_stream(spark, d, max_files_per_trigger=1)
+    agg = tumbling_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    sink = IcebergSink(str(tmp_path / "psink"),
+                       partition_by=["days(window_start)"])
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(sink.foreach_batch()).start())
+    q.processAllAvailable()
+    q.stop()
+
+    t = sink.table()
+    assert [f["transform"] for f in t.spec_fields()] == ["day"]
+    live = t.plan_files()
+    days = {f.partition["window_start_day"] for f in live}
+    assert len(days) >= 1 and all(isinstance(x, int) for x in days)
+    full = sink.read_committed(spark).toPandas()
+    assert len(full) > 0
+    one_day = sorted(days)[0]
+    pruned = sink.read_committed(
+        spark, partition_filter={"window_start_day": one_day}).toPandas()
+    want = full[pd.to_datetime(full["window_start"]).dt.normalize()
+                == pd.Timestamp("1970-01-01") + pd.Timedelta(days=one_day)]
+    assert len(pruned) == len(want) > 0
+    a = sink.audit()
+    assert a["consistent"] and a["unique_batch_ids"]
+    # maintenance on the partitioned sink: compact + expire, audit stays green
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    t.expire_snapshots(retain_last=1)
+    after = sink.read_committed(spark).toPandas()
+    assert len(after) == len(full)
