@@ -147,15 +147,21 @@ class SqlOnlineStore:
         entries = list(entries)
         if not entries:
             return []
-        tup = "(" + ", ".join("?" for _ in pks) + ")"
-        in_list = ", ".join(tup for _ in entries)
         lhs = "(" + ", ".join(f'"{k}"' for k in pks) + ")"
-        params = tuple(
-            _py(e[k]) for e in entries for k in pks
-        )
-        cur = self._con.execute(
-            f'SELECT * FROM "{name}" WHERE {lhs} IN (VALUES {in_list})',
-            params,
-        )
-        names = [d[0] for d in cur.description]
-        return [dict(zip(names, r)) for r in cur.fetchall()]
+        tup = "(" + ", ".join("?" for _ in pks) + ")"
+        # SQLite caps bound variables per statement (999 before 3.32,
+        # 32766 after); chunk the tuple list the way the reference rewrites
+        # oversized batch statements so any batch size works on any build
+        per_chunk = max(1, 900 // len(pks))
+        out: list[dict] = []
+        for i in range(0, len(entries), per_chunk):
+            chunk = entries[i:i + per_chunk]
+            in_list = ", ".join(tup for _ in chunk)
+            params = tuple(_py(e[k]) for e in chunk for k in pks)
+            cur = self._con.execute(
+                f'SELECT * FROM "{name}" WHERE {lhs} IN (VALUES {in_list})',
+                params,
+            )
+            names = [d[0] for d in cur.description]
+            out.extend(dict(zip(names, r)) for r in cur.fetchall())
+        return out

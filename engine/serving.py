@@ -211,6 +211,21 @@ class VectorServer:
                 order.append(F.asc("batch_id"))
             if order:
                 resolved = resolved.orderBy(*order)
+            else:
+                # no order columns: INSERT OR REPLACE would let an arbitrary
+                # partition-order-dependent row win — raise the same
+                # ambiguity error the snapshot/Spark paths raise instead of
+                # breaking row-identical parity nondeterministically
+                dup = (resolved.groupBy(*pks).count()
+                       .filter(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    key = {k: dup[0][k] for k in pks}
+                    raise LookupError_(
+                        f"key {key} has multiple rows in group '{name}' and "
+                        "no batch_id/ts_col to order by — reduce the online "
+                        "table to one row per key (latest window/commit) "
+                        "before serving"
+                    )
             store.write_group(name, resolved, pks)
 
     def _decode_complex_row(self, row: dict) -> dict:
@@ -253,16 +268,27 @@ class VectorServer:
         for name, _, pks in self.feature_groups:
             for e in entries:
                 self._check_keys(e, pks)
+            found: set[tuple] = set()
             for row in self._sql_store.get_batch(name, entries):
                 key = tuple(_norm_key(row[k]) for k in pks)
+                found.add(key)
                 dst = stitched.setdefault(key, {})
                 for k, v in self._decode_complex_row(row).items():
                     dst.setdefault(k, v)
-        return [
-            stitched[tuple(_norm_key(e[k]) for k in pks)]
-            for e in entries
-            if tuple(_norm_key(e[k]) for k in pks) in stitched
-        ]
+            # a key with no row in THIS group raises, like the point path
+            # (and the reference, which raises on missing PK entries) —
+            # silently dropping it would desync the output positions from
+            # `entries` and return partial vectors
+            missing = [
+                e for e in entries
+                if tuple(_norm_key(e[k]) for k in pks) not in found
+            ]
+            if missing:
+                raise LookupError_(
+                    f"No feature vector for {len(missing)} key(s) in group "
+                    f"'{name}': {missing[:5]}"
+                )
+        return [stitched[tuple(_norm_key(e[k]) for k in pks)] for e in entries]
 
     # -- driver-side snapshot (the in-sandbox "online store") ---------------
     def invalidate_snapshots(self) -> None:

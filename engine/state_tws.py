@@ -561,6 +561,11 @@ class TwsJoinProcessor(StatefulProcessor):
 
     def _store_or_clear(self, tmr_old: int, all_l, all_r, wm_ms: int) -> None:
         if len(all_l) == 0 and len(all_r) == 0:
+            # drop the registered timer WITH the state — leaving it would
+            # orphan a timer that later fires handleExpiredTimer against
+            # empty state (one-timer-tracked-in-state invariant)
+            if tmr_old:
+                self.handle.deleteTimer(tmr_old)
             if self.buf_state.get() is not None:
                 self.buf_state.clear()
             return

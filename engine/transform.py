@@ -127,6 +127,28 @@ def fit_robust(df: DataFrame, col: str, relative_error: float = 1e-4) -> Transfo
     return robust_scaler(p25, p50, p75)
 
 
-def fit_label_encoder(df: DataFrame, col: str) -> TransformationFunction:
-    vals = [r[0] for r in df.select(col).distinct().collect()]
+def fit_label_encoder(df: DataFrame, col: str,
+                      max_categories: int = 10_000) -> TransformationFunction:
+    """Fit a label encoder over the column's distinct values.
+
+    The fitted mapping becomes a ``create_map`` literal in the serving plan
+    (see :func:`label_encoder`), so it is driver-materialized BY DESIGN —
+    like the reference's categorical encoders, it targets bounded
+    categorical features.  ``max_categories`` bounds the driver pull: the
+    distinct scan stops at ``max_categories + 1`` rows and a cardinality
+    past the bound raises loudly instead of OOMing the driver (and
+    exploding the plan) on a high-cardinality column at scale.  For true
+    high-cardinality encodings keep the mapping distributed: build a
+    (value, code) DataFrame with a two-phase rank (``engine.text
+    build_vocab``'s bucket-rank trick) and join it instead."""
+    vals = [r[0] for r in
+            df.select(col).distinct().limit(max_categories + 1).collect()]
+    if len(vals) > max_categories:
+        raise ValueError(
+            f"fit_label_encoder({col!r}) found more than "
+            f"{max_categories} distinct values — a label-encoder literal "
+            "map at this cardinality would OOM the driver/plan; use a "
+            "distributed (value, code) mapping join instead, or raise "
+            "max_categories explicitly if the cardinality is intended"
+        )
     return label_encoder(vals)

@@ -611,3 +611,34 @@ def test_tws_join_matches_apply_backend(spark, tmp_path):
     want = _run_stream(spark, stateful_stream_join(
         _src(ld, "l_v"), _src(rd, "r_v"), "k", "ts", ttl="10 minutes"))
     _cmp(got, want, ["k", "left_ts", "right_ts"])
+
+
+def test_sim_join_clear_deletes_registered_timer(spark):
+    """ADVICE r4: when TTL eviction drains both buffers, the registered
+    timer must be deleted WITH the state — an orphan timer would later fire
+    handleExpiredTimer against empty state (one-timer-in-state invariant)."""
+    from engine.state_tws import TwsJoinProcessor
+
+    t0 = 1_700_000_000_000
+    proc = TwsJoinProcessor(_join_spec(spark, ttl="1 minute"))
+    h = FakeHandle()
+    proc.init(h)
+    h.cur = 1
+
+    # buffer one left row: state + one registered timer
+    tv0 = TimerValues(-1, 0)
+    list(proc.handleInputRows((1,), iter([_mk_join_batch(
+        [(1, t0, 0, 10.0)])]), tv0))
+    assert h.states.get(("buf", 1)) is not None
+    assert len(h.timers.get(1, ())) == 1
+
+    # watermark far past TTL; the key's input this batch is itself stale
+    # (fold drops it), so both buffers drain inside handleInputRows —
+    # state clears and the timer must go with it, BEFORE any timer firing
+    wm_ms = t0 + 8 * 60_000
+    tv1 = TimerValues(-1, wm_ms)
+    out = list(proc.handleInputRows((1,), iter([_mk_join_batch(
+        [(1, t0 + 60_000, 0, 11.0)])]), tv1))
+    assert not any(len(o) for o in out)
+    assert h.states.get(("buf", 1)) is None
+    assert not h.timers.get(1), "orphan timer left after state clear"
