@@ -45,6 +45,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from engine.datafiles import read_avro_ocf_bytes, write_avro_ocf_bytes
@@ -258,6 +259,156 @@ def _to_epoch_days(cond):
     return one(cond)
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm, Appleby 2011) —
+    the hash the Iceberg spec mandates for ``bucket[N]`` partition
+    transforms (spec §Appendix B: 32-bit Murmur3, seed 0).  Returns a
+    SIGNED 32-bit int like the Java reference, so spec test vectors match
+    exactly (e.g. bucket source 34 as a long → 2017239379)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n4:]
+    for i, b in enumerate(tail):
+        k |= b << (8 * i)
+    if tail:
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _murmur3_32_long_np(arr):
+    """Vectorized murmur3_x86_32 over int64 values hashed as their
+    little-endian 8-byte form (the spec's encoding for int/long/date/
+    timestamp bucket sources) — two 4-byte blocks, no tail.  numpy uint32
+    arithmetic wraps exactly like the scalar algorithm; this is what keeps
+    the bucket writer's hash column one vectorized expression per Arrow
+    batch instead of a per-row Python loop."""
+    import numpy as np
+
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    u = arr.astype(np.int64).view(np.uint64)
+    h = np.zeros(len(u), dtype=np.uint32)  # seed 0
+    with np.errstate(over="ignore"):
+        for blk in ((u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                    (u >> np.uint64(32)).astype(np.uint32)):
+            k = blk * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # byte length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h.view(np.int32)
+
+
+def bucket_value(v, source_type: str, n: int) -> int | None:
+    """``bucket[N]`` transform of one SOURCE value, per the Iceberg spec:
+    ``(murmur3(encoded) & Integer.MAX_VALUE) % N``.  Encodings: int/long/
+    date/timestamp hash their 8-byte little-endian long form (dates as
+    epoch days, timestamps as epoch microseconds), strings their UTF-8
+    bytes, binary raw bytes.  None → None (null partition)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if source_type in ("int", "long"):
+        h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
+    elif source_type == "date":
+        days = v if isinstance(v, int) else _to_epoch_days(v)
+        h = murmur3_32(int(days).to_bytes(8, "little", signed=True))
+    elif source_type in ("timestamp", "timestamptz"):
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        if isinstance(v, _dt.datetime):
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = round((v - epoch).total_seconds() * 1_000_000)
+        h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
+    elif source_type == "string":
+        h = murmur3_32(str(v).encode("utf-8"))
+    elif source_type == "binary":
+        h = murmur3_32(bytes(v))
+    else:
+        raise ValueError(f"bucket transform unsupported for {source_type!r}")
+    return (h & 0x7FFFFFFF) % n
+
+
+def truncate_value(v, source_type: str, width: int):
+    """``truncate[W]`` transform of one SOURCE value, per the Iceberg
+    spec: ints/longs floor to a multiple of W (``v - (((v % W) + W) % W)``
+    — Python's ``%`` is already floor-mod), strings keep the first W
+    CHARACTERS (not bytes)."""
+    if v is None:
+        return None
+    if source_type in ("int", "long"):
+        return int(v) - (int(v) % width)
+    if source_type == "string":
+        return str(v)[:width]
+    raise ValueError(f"truncate transform unsupported for {source_type!r}")
+
+
+def _bucket_udf(n: int, kind: str):
+    """Arrow-batched pandas UDF computing ``bucket[N]`` ordinals for the
+    writer's ``__p_*`` routing column.  ``kind`` is the canonical encoding
+    the caller pre-casts to: "long" (int/long/date-days/timestamp-micros —
+    fully numpy-vectorized, one pass per batch), "string" (UTF-8), or
+    "binary".  Nulls map to null (Hive default partition)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def fn(s: pd.Series) -> pd.Series:
+        if kind == "long":
+            mask = s.isna()
+            arr = s.fillna(0).to_numpy(dtype="int64")
+            h = _murmur3_32_long_np(arr).astype("int64")
+            out = pd.Series((h & 0x7FFFFFFF) % n, index=s.index,
+                            dtype="Int32")
+            out[mask] = pd.NA
+            return out
+
+        def one(v):
+            if v is None:
+                return None
+            b = v.encode("utf-8") if kind == "string" else bytes(v)
+            return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+        return s.map(one).astype("Int32")
+
+    return fn
+
+
+_TRANSFORM_RE = re.compile(
+    r"(?:days?\((\w+)\))"
+    r"|(?:bucket\(\s*(\d+)\s*,\s*(\w+)\s*\))"
+    r"|(?:truncate\(\s*(\d+)\s*,\s*(\w+)\s*\))"
+)
+
+
 def _partition_match(part: dict, flt: dict) -> bool:
     """Does a file's identity-partition tuple satisfy the filter?
     Values: scalar equality, list/set membership, (lo, hi) inclusive range.
@@ -311,13 +462,21 @@ class IcebergTable:
             ice_schema, last_col = spark_schema_to_iceberg(schema)
             spec_fields = []
             for i, term in enumerate(partition_by or []):
-                m = re.fullmatch(r"days?\((\w+)\)", term.strip())
-                col = m.group(1) if m else term.strip()
+                term = term.strip()
+                m = _TRANSFORM_RE.fullmatch(term)
+                if m and m.group(1):        # days(col)
+                    transform, param, col = "day", None, m.group(1)
+                elif m and m.group(2):      # bucket(N, col)
+                    transform, param, col = "bucket", int(m.group(2)), m.group(3)
+                elif m and m.group(4):      # truncate(W, col)
+                    transform, param, col = "truncate", int(m.group(4)), m.group(5)
+                else:                       # identity
+                    transform, param, col = "identity", None, term
                 src = next((f for f in ice_schema["fields"]
                             if f["name"] == col), None)
                 if src is None:
                     raise ValueError(f"partition column {col!r} not in schema")
-                if m:
+                if transform == "day":
                     if src["type"] not in ("timestamp", "timestamptz", "date"):
                         raise ValueError(
                             f"days() needs a timestamp/date column, got "
@@ -328,10 +487,39 @@ class IcebergTable:
                         "source-id": src["id"], "field-id": 1000 + i,
                     })
                     continue
+                if transform == "bucket":
+                    if param <= 0:
+                        raise ValueError(f"bucket(N, {col}): N must be > 0")
+                    if src["type"] not in ("int", "long", "date", "timestamp",
+                                           "timestamptz", "string", "binary"):
+                        raise ValueError(
+                            f"bucket() needs an int/long/date/timestamp/"
+                            f"string/binary column, got {col!r}: "
+                            f"{src['type']!r}"
+                        )
+                    spec_fields.append({
+                        "name": f"{col}_bucket", "transform": f"bucket[{param}]",
+                        "source-id": src["id"], "field-id": 1000 + i,
+                    })
+                    continue
+                if transform == "truncate":
+                    if param <= 0:
+                        raise ValueError(f"truncate(W, {col}): W must be > 0")
+                    if src["type"] not in ("int", "long", "string"):
+                        raise ValueError(
+                            f"truncate() needs an int/long/string column, "
+                            f"got {col!r}: {src['type']!r}"
+                        )
+                    spec_fields.append({
+                        "name": f"{col}_trunc", "transform": f"truncate[{param}]",
+                        "source-id": src["id"], "field-id": 1000 + i,
+                    })
+                    continue
                 if src["type"] not in _PARTITIONABLE:
                     raise ValueError(
                         f"identity partitioning supports {sorted(_PARTITIONABLE)} "
-                        f"columns (or days(ts)), got {col!r}: {src['type']!r}"
+                        f"columns (or days(ts) / bucket(N, col) / "
+                        f"truncate(W, col)), got {col!r}: {src['type']!r}"
                     )
                 spec_fields.append({
                     "name": col, "transform": "identity",
@@ -378,24 +566,60 @@ class IcebergTable:
 
     def _partition_col_types(self) -> dict[str, str]:
         """partition field → iceberg primitive type of the PARTITION VALUE
-        (identity → the source column's type; day → epoch-day int)."""
+        (identity/truncate → the source column's type; day → epoch-day
+        int; bucket → int ordinal)."""
         schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
-        return {f["name"]: ("int" if f.get("transform") == "day"
-                            else schema_fields[f["source-id"]]["type"])
-                for f in self.spec_fields()}
+
+        def value_type(f: dict) -> str:
+            tr = f.get("transform", "identity")
+            if tr == "day" or tr.startswith("bucket["):
+                return "int"
+            return schema_fields[f["source-id"]]["type"]
+
+        return {f["name"]: value_type(f) for f in self.spec_fields()}
 
     def _partition_exprs(self):
         """[(partition field name, derivation Column)] for the writer: the
-        ``__p_*`` directory columns both write paths route through."""
+        ``__p_*`` directory columns both write paths route through.
+        day/truncate/identity are pure built-in expressions (codegen);
+        bucket is the spec's murmur3 — numpy-vectorized inside one pandas
+        UDF per Arrow batch for long-backed sources, per-value murmur3 for
+        string/binary (no JVM murmur3_x86_32-over-little-endian-long
+        builtin exists — ``F.hash`` uses Spark's own seed/encoding)."""
         from pyspark.sql import functions as F
 
         schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
         out = []
         for f in self.spec_fields():
-            src_name = schema_fields[f["source-id"]]["name"]
-            if f.get("transform") == "day":
+            src = schema_fields[f["source-id"]]
+            src_name, src_type = src["name"], src["type"]
+            tr = f.get("transform", "identity")
+            if tr == "day":
                 col = F.datediff(F.col(src_name).cast("date"),
                                  F.to_date(F.lit("1970-01-01")))
+            elif tr.startswith("bucket["):
+                n = int(tr[len("bucket["):-1])
+                if src_type in ("int", "long"):
+                    col = _bucket_udf(n, "long")(F.col(src_name).cast("long"))
+                elif src_type == "date":
+                    col = _bucket_udf(n, "long")(F.datediff(
+                        F.col(src_name),
+                        F.to_date(F.lit("1970-01-01"))).cast("long"))
+                elif src_type in ("timestamp", "timestamptz"):
+                    col = _bucket_udf(n, "long")(
+                        F.unix_micros(F.col(src_name).cast("timestamp")))
+                elif src_type == "string":
+                    col = _bucket_udf(n, "string")(F.col(src_name))
+                else:  # binary
+                    col = _bucket_udf(n, "binary")(F.col(src_name))
+            elif tr.startswith("truncate["):
+                w = int(tr[len("truncate["):-1])
+                if src_type == "string":
+                    col = F.substring(F.col(src_name), 1, w)
+                else:  # int/long: floor to a multiple of W (pmod = floor-mod)
+                    col = (F.col(src_name)
+                           - F.pmod(F.col(src_name), F.lit(w))).cast(
+                               "int" if src_type == "int" else "long")
             else:
                 col = F.col(src_name)
             out.append((f["name"], col))
@@ -685,7 +909,19 @@ class IcebergTable:
         original data sequence numbers so time travel and sequence-based
         reasoning are unchanged.  Row counts must match exactly — a
         compaction that changes the row count is corrupt and is rejected
-        before any metadata is written."""
+        before any metadata is written.
+
+        Concurrent-writer validation (Iceberg's rewrite validation): the
+        live file set is re-planned at commit time against the metadata
+        this commit will build on.  ``replaced`` files no longer live (a
+        concurrent overwrite/expire removed one) fail the commit — the
+        rewrite's inputs are gone, its outputs would resurrect deleted
+        rows.  Files that appeared since the rewrite planned (e.g. the
+        streaming sink's micro-batch append landing mid-compaction) are
+        carried forward as EXISTING survivors instead of being silently
+        dropped from the replace snapshot's live view (and then GC'd by
+        ``expire_snapshots``) — the caller's ``survivors`` list is a
+        plan-time hint; the commit-time live set is authoritative."""
         new_rows = sum(f.record_count for f in new_files)
         old_rows = sum(f.record_count for f in replaced)
         if new_rows != old_rows:
@@ -698,6 +934,19 @@ class IcebergTable:
         prev = self._resolve_snapshot(None, None)
         if prev is None:
             raise ValueError("cannot replace files in an empty table")
+        live_now = self.plan_files()
+        live_paths = {f.file_path for f in live_now}
+        replaced_paths = {f.file_path for f in replaced}
+        gone = replaced_paths - live_paths
+        if gone:
+            raise RuntimeError(
+                f"concurrent commit invalidated this replace: {len(gone)} "
+                f"input file(s) are no longer live (e.g. {sorted(gone)[:2]}) "
+                "— re-plan the rewrite from current metadata"
+            )
+        # authoritative survivors: every currently-live file not being
+        # replaced (includes files committed after the rewrite planned)
+        survivors = [f for f in live_now if f.file_path not in replaced_paths]
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         now_ms = int(time.time() * 1000)
@@ -933,11 +1182,15 @@ class IcebergTable:
         """Live data files at a snapshot (current by default): one manifest
         list + its manifests, no ``data/`` directory listing.
 
-        ``partition_filter`` prunes identity-partitioned tables at the
-        MANIFEST level (no data file is opened): ``{col: value}`` keeps
-        files whose partition equals the value, ``{col: [v1, v2]}`` an
-        in-list, ``{col: (lo, hi)}`` an inclusive range.  Unknown columns
-        raise (a typo would silently scan everything otherwise)."""
+        ``partition_filter`` prunes partitioned tables at the MANIFEST
+        level (no data file is opened): ``{col: value}`` keeps files whose
+        partition equals the value, ``{col: [v1, v2]}`` an in-list,
+        ``{col: (lo, hi)}`` an inclusive range.  Filter VALUES are always
+        SOURCE-column values; transform fields normalize them (day →
+        epoch-day, bucket[N] → murmur3 ordinal, truncate[W] → truncated
+        value — ranges are valid on day/truncate, which preserve order,
+        and rejected on bucket, which doesn't).  Unknown columns raise (a
+        typo would silently scan everything otherwise)."""
         if partition_filter:
             fields = {f["name"]: f for f in self.spec_fields()}
             bad = set(partition_filter) - set(fields)
@@ -945,11 +1198,38 @@ class IcebergTable:
                 raise ValueError(
                     f"not partition columns of this table: {sorted(bad)} "
                     f"(spec: {sorted(fields)})")
-            # day-transform fields hold epoch-day ints; accept dates /
-            # timestamps / ISO strings in the filter and normalize
+            schema_fields = {
+                f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+
+            def norm(fld: dict, cond):
+                tr = fld.get("transform", "identity")
+                if tr == "day":
+                    return _to_epoch_days(cond)
+                if tr.startswith("bucket["):
+                    nb = int(tr[len("bucket["):-1])
+                    st = schema_fields[fld["source-id"]]["type"]
+                    if isinstance(cond, tuple) and len(cond) == 2:
+                        raise ValueError(
+                            f"range filter on bucket partition "
+                            f"{fld['name']!r} — hash ordinals carry no "
+                            "order; use equality or an in-list of source "
+                            "values")
+                    if isinstance(cond, (list, set, frozenset)):
+                        return [bucket_value(v, st, nb) for v in cond]
+                    return bucket_value(cond, st, nb)
+                if tr.startswith("truncate["):
+                    w = int(tr[len("truncate["):-1])
+                    st = schema_fields[fld["source-id"]]["type"]
+                    if isinstance(cond, tuple) and len(cond) == 2:
+                        return (truncate_value(cond[0], st, w),
+                                truncate_value(cond[1], st, w))
+                    if isinstance(cond, (list, set, frozenset)):
+                        return [truncate_value(v, st, w) for v in cond]
+                    return truncate_value(cond, st, w)
+                return cond
+
             partition_filter = {
-                col: (_to_epoch_days(cond)
-                      if fields[col].get("transform") == "day" else cond)
+                col: norm(fields[col], cond)
                 for col, cond in partition_filter.items()
             }
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)

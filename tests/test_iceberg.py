@@ -389,6 +389,53 @@ def test_append_after_compaction_plans_and_reads(spark, tmp_path):
     assert len(t.read(spark).toPandas()) == 5
 
 
+def test_replace_carries_concurrent_append_forward(spark, tmp_path):
+    """A snapshot committed between a rewrite's planning and its
+    commit_replace (the streaming sink's micro-batch append landing
+    mid-compaction) must stay live in the replace snapshot — and survive
+    snapshot expiration — instead of being silently dropped from the live
+    view (Iceberg's rewrite validation)."""
+    t = _mktable(spark, tmp_path, "ccr")
+    for lo in range(0, 20, 10):
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    planned = t.plan_files()                     # rewrite plans here...
+    tmp = str(tmp_path / "ccr-rewrite")
+    spark.read.parquet(*[f.file_path for f in planned]).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    new_files = t._register_written_files(tmp, name_prefix="compact-")
+    t.write_dataframe(_df(spark, 20, 30).coalesce(1))  # ...append lands...
+    appended = {f.file_path for f in t.plan_files()} - {
+        f.file_path for f in planned}
+    assert len(appended) == 1
+    sid = t.commit_replace(new_files, planned, [])     # ...commit wins CAS
+    live = {f.file_path for f in t.plan_files()}
+    assert appended <= live, "concurrent append dropped by replace"
+    assert len(t.read(spark).toPandas()) == 30
+    # the concurrently added file survives GC of the pre-replace history
+    t.expire_snapshots(retain_last=1)
+    assert all(os.path.exists(p) for p in appended)
+    assert len(t.read(spark).toPandas()) == 30
+    s = t.snapshot(sid)["summary"]
+    assert s["total-records"] == "30"
+
+
+def test_replace_raises_when_input_no_longer_live(spark, tmp_path):
+    """If a concurrent commit removed one of the rewrite's input files
+    (overwrite/expire), the replace must fail instead of resurrecting
+    deleted rows."""
+    t = _mktable(spark, tmp_path, "ccr2")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    planned = t.plan_files()
+    tmp = str(tmp_path / "ccr2-rewrite")
+    spark.read.parquet(*[f.file_path for f in planned]).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    new_files = t._register_written_files(tmp, name_prefix="compact-")
+    t.write_dataframe(_df(spark, 50, 60), mode="overwrite")  # inputs gone
+    with pytest.raises(RuntimeError, match="no longer live"):
+        t.commit_replace(new_files, planned, [])
+    assert len(t.read(spark).toPandas()) == 10  # overwrite result unchanged
+
+
 def test_sink_compaction_after_streaming(spark, tmp_path):
     """Maintenance on the exactly-once sink table: compaction after a
     streamed write leaves read_committed byte-identical and the audit
@@ -712,3 +759,160 @@ def test_day_partitioned_sink_streaming(spark, tmp_path):
     t.expire_snapshots(retain_last=1)
     after = sink.read_committed(spark).toPandas()
     assert len(after) == len(full)
+
+
+# ---------------------------------------------------------------------------
+# bucket[N] / truncate[W] partition transforms (Iceberg spec parity)
+# ---------------------------------------------------------------------------
+
+def test_murmur3_spec_vectors():
+    """The spec's Appendix-B test vectors — layouts must stay
+    jar-compatible, so the hash must be bit-exact."""
+    import numpy as np
+
+    from engine.iceberg import _murmur3_32_long_np, bucket_value, murmur3_32
+
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32((17486).to_bytes(8, "little", signed=True)) == -653330422
+    assert murmur3_32(
+        (1510871468000000).to_bytes(8, "little", signed=True)) == -2047944441
+    assert murmur3_32(b"iceberg") == 1210000089
+    assert murmur3_32(bytes([0, 1, 2, 3])) == -188683207
+    # numpy fast path == scalar path on a value sweep incl. negatives
+    vals = np.array([0, 1, -1, 34, 17486, -(1 << 40), (1 << 62)], dtype=np.int64)
+    want = [murmur3_32(int(v).to_bytes(8, "little", signed=True)) for v in vals]
+    assert _murmur3_32_long_np(vals).tolist() == want
+    # spec example: bucket[16] of int 34 reads hash 2017239379 → ordinal 3
+    assert bucket_value(34, "long", 16) == (2017239379 & 0x7FFFFFFF) % 16
+
+
+def test_bucket_partitioned_write_prune_read(spark, tmp_path):
+    """bucket(N, col) partitioning: writer routes by spec murmur3, the
+    manifest records int ordinals, and a point lookup plans strictly fewer
+    files via the SOURCE value (the clip_id/speaker_id point-lookup
+    pruning lever at 10^12 scale)."""
+    import pandas as pd
+
+    from engine.iceberg import bucket_value
+
+    df0 = spark.range(0).selectExpr(
+        "concat('c', id) AS clip_id", "id AS speaker_id",
+        "cast(id AS double) AS dur")
+    t = IcebergTable(str(tmp_path / "bk"), schema=df0.schema,
+                     partition_by=["bucket(8, clip_id)"])
+    assert [(f["name"], f["transform"]) for f in t.spec_fields()] == [
+        ("clip_id_bucket", "bucket[8]")]
+
+    rows = spark.range(0, 200).selectExpr(
+        "concat('c', id) AS clip_id", "id AS speaker_id",
+        "cast(id AS double) AS dur")
+    t.write_dataframe(rows)
+    t.write_dataframe(spark.range(200, 400).selectExpr(
+        "concat('c', id) AS clip_id", "id AS speaker_id",
+        "cast(id AS double) AS dur"))
+    live = t.plan_files()
+    # every file carries an int ordinal in [0, 8)
+    assert all(f.partition and 0 <= f.partition["clip_id_bucket"] < 8
+               for f in live)
+    # writer's UDF routing agrees with the spec transform: the file holding
+    # 'c7' sits in bucket_value('c7')'s partition
+    want_b = bucket_value("c7", "string", 8)
+    pruned = t.plan_files(partition_filter={"clip_id_bucket": "c7"})
+    assert 0 < len(pruned) < len(live)
+    assert all(f.partition["clip_id_bucket"] == want_b for f in pruned)
+    got = t.read(spark, partition_filter={"clip_id_bucket": "c7"})
+    assert "c7" in [r.clip_id for r in got.collect()]
+    # full read is row-identical to the input
+    full = t.read(spark).toPandas().sort_values("speaker_id",
+                                                ignore_index=True)
+    assert len(full) == 400 and full["clip_id"].iloc[7] == "c7"
+    # in-list of source values prunes too; range on bucket raises
+    several = t.plan_files(partition_filter={"clip_id_bucket": ["c1", "c2"]})
+    assert 0 < len(several) <= len(live)
+    with pytest.raises(ValueError, match="range filter on bucket"):
+        t.plan_files(partition_filter={"clip_id_bucket": ("c1", "c2")})
+    # compaction clusters by bucket and stays prunable
+    before = t.read(spark).toPandas().sort_values("clip_id",
+                                                  ignore_index=True)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    after = t.read(spark).toPandas().sort_values("clip_id",
+                                                 ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    post = t.plan_files(partition_filter={"clip_id_bucket": "c7"})
+    assert post and all(f.partition["clip_id_bucket"] == want_b for f in post)
+
+
+def test_bucket_long_source_matches_spec(spark, tmp_path):
+    """Long-source bucketing goes through the numpy-vectorized writer path;
+    its ordinals must equal the scalar spec transform."""
+    from engine.iceberg import bucket_value
+
+    df0 = spark.range(0).selectExpr("id AS k", "cast(id AS double) AS v")
+    t = IcebergTable(str(tmp_path / "bkl"), schema=df0.schema,
+                     partition_by=["bucket(4, k)"])
+    t.write_dataframe(_df(spark, 0, 100).select("k", "v"))
+    for f in t.plan_files():
+        rows = spark.read.parquet(f.file_path).select("k").collect()
+        assert all(bucket_value(r.k, "long", 4) == f.partition["k_bucket"]
+                   for r in rows)
+    one = t.plan_files(partition_filter={"k_bucket": 42})
+    assert one and all(
+        f.partition["k_bucket"] == bucket_value(42, "long", 4) for f in one)
+
+
+def test_truncate_partitioned_write_prune_read(spark, tmp_path):
+    """truncate(W, col) partitioning: string prefix + long floor variants,
+    order-preserving range pruning on the truncated source values."""
+    import pandas as pd
+
+    df0 = spark.range(0).selectExpr(
+        "concat('grp', id % 5, '-x', id) AS name", "id AS k",
+        "cast(id AS double) AS v")
+    t = IcebergTable(str(tmp_path / "tr"), schema=df0.schema,
+                     partition_by=["truncate(4, name)", "truncate(100, k)"])
+    assert [(f["name"], f["transform"]) for f in t.spec_fields()] == [
+        ("name_trunc", "truncate[4]"), ("k_trunc", "truncate[100]")]
+    rows = spark.range(0, 300).selectExpr(
+        "concat('grp', id % 5, '-x', id) AS name", "id AS k",
+        "cast(id AS double) AS v")
+    t.write_dataframe(rows)
+    live = t.plan_files()
+    assert all(f.partition["name_trunc"].startswith("grp")
+               and len(f.partition["name_trunc"]) == 4
+               and f.partition["k_trunc"] % 100 == 0 for f in live)
+    # source-value equality prunes to one string prefix
+    pruned = t.plan_files(partition_filter={"name_trunc": "grp2-x17"})
+    assert 0 < len(pruned) < len(live)
+    assert all(f.partition["name_trunc"] == "grp2" for f in pruned)
+    # order-preserving range on the long variant
+    rng = t.plan_files(partition_filter={"k_trunc": (100, 250)})
+    assert rng and all(100 <= f.partition["k_trunc"] <= 200 for f in rng)
+    got = t.read(spark, partition_filter={"k_trunc": (100, 250)})
+    # superset of the exact rows (partition-level pruning), no false drops
+    ks = sorted(r.k for r in got.collect())
+    assert set(range(100, 251)) <= set(ks) and min(ks) >= 100
+    # pruned read values match a plain filtered full read where exact
+    want = t.read(spark).filter("name LIKE 'grp2%'").toPandas()
+    got2 = t.read(spark, partition_filter={"name_trunc": "grp2"}).toPandas()
+    pd.testing.assert_frame_equal(
+        got2.sort_values("k", ignore_index=True),
+        want.sort_values("k", ignore_index=True))
+
+
+def test_bucket_truncate_validation(spark, tmp_path):
+    df0 = spark.range(0).selectExpr("id AS k", "cast(id AS double) AS v")
+    with pytest.raises(ValueError, match="bucket.. needs"):
+        IcebergTable(str(tmp_path / "bb1"), schema=df0.schema,
+                     partition_by=["bucket(8, v)"])
+    with pytest.raises(ValueError, match="truncate.. needs"):
+        IcebergTable(str(tmp_path / "bb2"), schema=df0.schema,
+                     partition_by=["truncate(8, v)"])
+    with pytest.raises(ValueError, match="N must be > 0"):
+        IcebergTable(str(tmp_path / "bb3"), schema=df0.schema,
+                     partition_by=["bucket(0, k)"])
+    # spec round-trips through metadata on reopen
+    t = IcebergTable(str(tmp_path / "bb4"), schema=df0.schema,
+                     partition_by=["bucket(8, k)", "truncate(10, k)"])
+    t2 = IcebergTable(t.location)
+    assert [f["transform"] for f in t2.spec_fields()] == [
+        "bucket[8]", "truncate[10]"]
