@@ -1170,6 +1170,14 @@ class IcebergTable:
                 os.remove(p)
             except OSError:
                 pass
+        # prune partition dirs the GC emptied (bottom-up; non-empty rmdir
+        # fails harmlessly if a racing writer landed a file)
+        for root, _dirs, _names in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
         return {"expired_snapshots": len(expired),
                 "data_files": len(drop_data),
                 "manifests": len(drop_manifests),
@@ -1358,9 +1366,13 @@ class IcebergTable:
     def _register_written_files(self, tmp: str,
                                 name_prefix: str = "") -> list[DataFileInfo]:
         """Move a parquet job's output tree into ``data/`` under
-        collision-free names, parsing identity-partition values from the
+        collision-free names, parsing partition values from the
         ``__p_col=value`` directory segments (Spark URL-encodes them;
-        ``__HIVE_DEFAULT_PARTITION__`` means null)."""
+        ``__HIVE_DEFAULT_PARTITION__`` means null).  Partitioned files KEEP
+        their ``__p_*`` directory placement under ``data/`` — the Iceberg
+        on-disk layout, which is also what lets the pruned STREAM source
+        (engine/streams.py iceberg_stream_source_path) glob exactly one
+        partition's files."""
         from urllib.parse import unquote
 
         import pyarrow.parquet as pq
@@ -1385,12 +1397,15 @@ class IcebergTable:
                              else caster[col](raw))
             if not ok:
                 continue
+            dst_dir = (self.data_dir if rel == "."
+                       else os.path.join(self.data_dir, rel))
             for name in sorted(names):
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
+                os.makedirs(dst_dir, exist_ok=True)
                 dst = os.path.join(
-                    self.data_dir, f"{name_prefix}{token}-{i:05d}.parquet")
+                    dst_dir, f"{name_prefix}{token}-{i:05d}.parquet")
                 i += 1
                 os.rename(src, dst)
                 infos.append(DataFileInfo(

@@ -53,8 +53,11 @@ def cmd_producer(args) -> dict:
             args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
             files_per_snapshot=args.files_per_snapshot,
             jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
+            mean_gap_ms=args.mean_gap_ms,
+            partition_by=(["days(event_ts)"] if args.partition_days else None),
         )
         out["iceberg_snapshots"] = len(table.snapshots())
+        out["partitioned"] = bool(args.partition_days)
     else:
         from engine.streams import write_clips_stream_dir
 
@@ -77,12 +80,36 @@ def cmd_pipeline(args) -> dict:
 
     # Iceberg source auto-detect: when --clips is an Iceberg table
     # (metadata/version-hint.text present), validate the append-only
-    # invariant via the manifest planner and stream its data/ dir — the
-    # north rule's "reads an Iceberg table ... as a rate-controlled stream"
+    # invariant via the manifest planner and stream its validated source
+    # path — the north rule's "reads an Iceberg table ... as a
+    # rate-controlled stream". --day / --day-range turn the run into a
+    # day-pruned streamed backfill over a days(event_ts)-partitioned topic:
+    # only the matching partitions' files are listed or replayed.
+    recursive = False
+    day_filter = None
+    if args.day or args.day_range:
+        if not os.path.exists(
+                os.path.join(args.clips, "metadata", "version-hint.text")):
+            raise SystemExit(
+                "--day/--day-range need an Iceberg topic partitioned by "
+                "days(event_ts) (producer --iceberg --partition-days)")
     if os.path.exists(os.path.join(args.clips, "metadata", "version-hint.text")):
-        from engine.streams import iceberg_stream_data_dir
+        from engine.iceberg import IcebergTable
+        from engine.streams import iceberg_stream_source_path
 
-        args.clips = iceberg_stream_data_dir(args.clips)
+        table = IcebergTable(args.clips)
+        if args.day or args.day_range:
+            day_fields = [f["name"] for f in table.spec_fields()
+                          if f.get("transform") == "day"]
+            if not day_fields:
+                raise SystemExit(
+                    f"topic {args.clips!r} has no days() partition field "
+                    "(spec: "
+                    f"{[f['name'] for f in table.spec_fields()]})")
+            cond = (tuple(args.day_range) if args.day_range else args.day)
+            day_filter = {day_fields[0]: cond}
+        args.clips, recursive = iceberg_stream_source_path(
+            table, partition_filter=day_filter)
 
     def extractor(sdf):
         from engine.audio import (
@@ -100,7 +127,10 @@ def cmd_pipeline(args) -> dict:
     if args.decode and args.warmup:
         # Spawn python workers + compile codegen before the clock starts, so
         # sustained throughput is measured, not JVM/worker cold start.
-        extractor(spark.read.parquet(args.clips).limit(256)).write.format(
+        wreader = spark.read
+        if recursive:
+            wreader = wreader.option("recursiveFileLookup", "true")
+        extractor(wreader.parquet(args.clips).limit(256)).write.format(
             "noop"
         ).mode("overwrite").save()
 
@@ -111,7 +141,7 @@ def cmd_pipeline(args) -> dict:
 
         src = read_clip_stream(
             spark, args.clips, max_files_per_trigger=args.max_files_per_trigger,
-            watermark=None,
+            watermark=None, recursive=recursive,
         )
         if args.decode:
             # end-to-end flagship: vectorized PCM decode feeds the aggregate.
@@ -170,10 +200,13 @@ def cmd_pipeline(args) -> dict:
             gap=args.gap, key_col=args.key, value_col=args.value,
             watermark=args.watermark,
             max_files_per_trigger=args.max_files_per_trigger,
-            sink=custom_sink,
+            sink=custom_sink, recursive=recursive,
         )
     elapsed = time.time() - t0
-    n_in = spark.read.parquet(args.clips).count()
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    n_in = reader.parquet(args.clips).count()
     audit = sink.audit()
     try:
         out_rows = sink.read_committed(spark).count()
@@ -182,6 +215,7 @@ def cmd_pipeline(args) -> dict:
     spark.stop()
     return {
         "job": "pipeline", "window": args.window, "stateful": args.stateful,
+        "day_filter": {k: str(v) for k, v in day_filter.items()} if day_filter else None,
         "decode": args.decode,
         "input_clips": n_in, "output_rows": out_rows,
         "elapsed_sec": round(elapsed, 3),
@@ -443,6 +477,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iceberg", action="store_true",
                    help="write the topic as an Iceberg v2 table "
                         "(manifest-planned snapshots over the same shards)")
+    p.add_argument("--partition-days", action="store_true",
+                   help="lay the Iceberg topic out partitioned by "
+                        "days(event_ts) — the 10^12-clip deployment shape")
+    p.add_argument("--mean-gap-ms", type=int, default=1000,
+                   help="mean inter-clip gap (stretches the topic across days)")
     p.add_argument("--files-per-snapshot", type=int, default=None,
                    help="shards per Iceberg append snapshot (default: all in one)")
     p.set_defaults(fn=cmd_producer)
@@ -531,6 +570,13 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--iceberg-sink", action="store_true",
                            help="commit results as Iceberg v2 snapshots "
                                 "instead of the parquet+ledger sink")
+            p.add_argument("--day", default=None,
+                           help="day-pruned streamed backfill: replay only "
+                                "this day (ISO date or epoch-day int) of a "
+                                "days(event_ts)-partitioned Iceberg topic")
+            p.add_argument("--day-range", nargs=2, default=None,
+                           metavar=("FROM", "TO"),
+                           help="inclusive day range for the streamed backfill")
         else:
             p.add_argument("--ttl", default="10 minutes")
         p.set_defaults(fn=fn)

@@ -46,10 +46,50 @@ _CLIP_PA_SCHEMA_FIELDS = (
 )
 
 
-def _write_clip_file(args) -> str:
+def _partition_values(pdf, spec: list[tuple]) -> dict:
+    """Partition-value columns for one shard pdf, per the table's spec
+    fields. ``spec``: [(field_name, transform, source_col, param)] — the
+    producer-side twin of ``IcebergTable._partition_exprs`` (numpy instead
+    of Spark columns; same transforms, same values)."""
+    import numpy as np
+
+    from engine.iceberg import bucket_value, truncate_value
+
+    out = {}
+    for field, transform, source, param in spec:
+        if transform == "day":
+            out[field] = (
+                pdf[source].to_numpy().astype("datetime64[D]").astype("int64")
+            )
+        elif transform == "identity":
+            out[field] = pdf[source].to_numpy()
+        elif transform == "bucket":
+            src = pdf[source]
+            if src.dtype.kind in "iu":
+                from engine.iceberg import _murmur3_32_long_np
+
+                h = _murmur3_32_long_np(src.to_numpy().astype(np.int64))
+                out[field] = (h.astype(np.int64) & 0x7FFFFFFF) % param
+            else:
+                out[field] = np.array([
+                    bucket_value(v, "string", param) for v in src])
+        elif transform == "truncate":
+            src = pdf[source]
+            kind = "long" if src.dtype.kind in "iu" else "string"
+            out[field] = np.array([
+                truncate_value(v, kind, param) for v in src])
+        else:
+            raise ValueError(f"unknown partition transform {transform!r}")
+    return out
+
+
+def _write_clip_file(args) -> list[tuple[str, dict | None]]:
     """One producer shard: generate [start, start+n) deterministically and
-    write a single parquet file. Top-level so multiprocessing can pickle it."""
-    dir_path, i, start, n, seed, kw = args
+    write parquet — a single flat file for unpartitioned topics, or one
+    file per partition tuple under ``__p_field=value/`` dirs (the Iceberg
+    partitioned layout) when ``spec`` is set. Top-level so multiprocessing
+    can pickle it. Returns [(path, partition_dict_or_None)]."""
+    dir_path, i, start, n, seed, kw, spec = args
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -57,26 +97,58 @@ def _write_clip_file(args) -> str:
 
     pdf = make_clips_pdf(n, seed=seed, start_index=start, **kw)
     schema = pa.schema([(name, pa.type_for_alias(t)) for name, t in _CLIP_PA_SCHEMA_FIELDS])
-    table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    out = os.path.join(dir_path, f"part-{i:05d}.parquet")
-    pq.write_table(table, out)
-    return out
+    if not spec:
+        table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        out = os.path.join(dir_path, f"part-{i:05d}.parquet")
+        pq.write_table(table, out)
+        return [(out, None)]
+    import pandas as _pd
+
+    pvals = _partition_values(pdf, spec)
+    key = _pd.MultiIndex.from_arrays(
+        [pvals[f] for f, *_ in spec], names=[f for f, *_ in spec])
+    written: list[tuple[str, dict]] = []
+    for j, (tup, g) in enumerate(sorted(
+            pdf.groupby(key, sort=True), key=lambda kv: str(kv[0]))):
+        tup = tup if isinstance(tup, tuple) else (tup,)
+        part = {f: (v.item() if hasattr(v, "item") else v)
+                for (f, *_), v in zip(spec, tup)}
+        sub = os.path.join(
+            dir_path, *[f"__p_{f}={v}" for f, v in part.items()])
+        os.makedirs(sub, exist_ok=True)
+        out = os.path.join(sub, f"part-{i:05d}-{j:03d}.parquet")
+        table = pa.Table.from_pandas(
+            g.reset_index(drop=True), schema=schema, preserve_index=False)
+        pq.write_table(table, out)
+        written.append((out, part))
+    return written
 
 
 def write_clips_stream_dir(
     dir_path: str, n_clips: int, n_files: int = 20, seed: int = 42,
-    parallelism: int | None = None, **kw
-) -> str:
+    parallelism: int | None = None, _spec: list | None = None, **kw
+):
     """Materialize the clip table as ``n_files`` parquet chunks in arrival
     order — the replayable 'topic'. (Producer job, ``SimProducer.java:24-47``.)
 
     Shards are generated in parallel processes; each shard's rng derives from
     ``(seed, start_index)`` (engine.synth.make_clips_pdf), so output is
-    deterministic regardless of parallelism."""
+    deterministic regardless of parallelism.
+
+    ``_spec`` (internal, set by :func:`write_clips_iceberg`) routes each
+    shard's rows into the Iceberg partitioned layout (``__p_field=value/``
+    subdirs, one file per partition tuple per shard) and switches the
+    return value to ``[(path, partition_dict)]``; without it the layout is
+    flat and the dir path is returned."""
+    import shutil
+
     os.makedirs(dir_path, exist_ok=True)
     for stale in os.listdir(dir_path):  # rewriting the topic: drop old shards
+        p = os.path.join(dir_path, stale)
         if stale.startswith("part-") and stale.endswith(".parquet"):
-            os.remove(os.path.join(dir_path, stale))
+            os.remove(p)
+        elif stale.startswith("__p_") and os.path.isdir(p):
+            shutil.rmtree(p)
     chunk = (n_clips + n_files - 1) // n_files
     tasks = []
     for i in range(n_files):
@@ -84,28 +156,33 @@ def write_clips_stream_dir(
         n = min(chunk, n_clips - start)
         if n <= 0:
             break
-        tasks.append((dir_path, i, start, n, seed, kw))
+        tasks.append((dir_path, i, start, n, seed, kw, _spec))
     if parallelism is None:
         parallelism = min(len(tasks), max(1, (os.cpu_count() or 4) // 2))
     if parallelism <= 1 or len(tasks) <= 1:
-        paths = [_write_clip_file(t) for t in tasks]
+        shards = [_write_clip_file(t) for t in tasks]
     else:
         import multiprocessing as mp
 
         with mp.Pool(parallelism) as pool:
-            paths = pool.map(_write_clip_file, tasks)
+            shards = pool.map(_write_clip_file, tasks)
+    results = [fp for shard in shards for fp in shard]
     # Spark's file stream source replays in modification-time order; parallel
     # shard writes finish out of order, so stamp monotone mtimes to preserve
-    # arrival order (the 'topic offset' order).
-    base = int(time.time()) - len(paths) - 10
-    for i, p in enumerate(sorted(paths)):
+    # arrival order (the 'topic offset' order). Basename order = (shard,
+    # within-shard partition group) — event order, since event_ts is
+    # monotone in the global clip index.
+    ordered = sorted((p for p, _ in results), key=os.path.basename)
+    base = int(time.time()) - len(ordered) - 10
+    for i, p in enumerate(ordered):
         os.utime(p, (base + i, base + i))
-    return dir_path
+    return results if _spec is not None else dir_path
 
 
 def write_clips_iceberg(
     location: str, n_clips: int, n_files: int = 20, seed: int = 42,
     files_per_snapshot: int | None = None, parallelism: int | None = None,
+    partition_by: list[str] | None = None,
     **kw,
 ):
     """The clip + transcript table AS an Iceberg v2 table (north rule:
@@ -116,7 +193,15 @@ def write_clips_iceberg(
     them ``files_per_snapshot`` at a time into append snapshots. Batch
     readers plan via manifests (``IcebergTable.read``); the rate-controlled
     stream replays the same committed files in arrival order via
-    :func:`read_clip_stream_iceberg`. Returns the ``IcebergTable``."""
+    :func:`read_clip_stream_iceberg`. Returns the ``IcebergTable``.
+
+    ``partition_by`` (e.g. ``["days(event_ts)"]`` — the 10^12-clip topic's
+    deployment shape; identity/bucket/truncate terms also accepted) lays
+    the topic out partitioned: producer shards split per partition tuple
+    into ``__p_field=value/`` subdirs, manifests carry the typed partition
+    values, and both the batch reader and the stream can day-prune
+    (reference analogue: the partition-key feature flag,
+    ``base/Feature.java:40-136``)."""
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
@@ -132,51 +217,172 @@ def write_clips_iceberg(
         T.StructField("event_ts", T.TimestampType()),
         T.StructField("speaker_id", T.LongType()),
     ])
-    table = IcebergTable(location, schema=spark_schema)
-    write_clips_stream_dir(table.data_dir, n_clips, n_files=n_files,
-                           seed=seed, parallelism=parallelism, **kw)
-    names = sorted(
-        n for n in os.listdir(table.data_dir)
-        if n.startswith("part-") and n.endswith(".parquet")
-    )
-    per_snap = files_per_snapshot or len(names) or 1
-    for i in range(0, len(names), per_snap):
+    table = IcebergTable(location, schema=spark_schema,
+                         partition_by=partition_by)
+    spec_fields = table.spec_fields()
+    if not spec_fields:
+        write_clips_stream_dir(table.data_dir, n_clips, n_files=n_files,
+                               seed=seed, parallelism=parallelism, **kw)
+        entries = [
+            (os.path.join(table.data_dir, n), None)
+            for n in sorted(
+                n for n in os.listdir(table.data_dir)
+                if n.startswith("part-") and n.endswith(".parquet"))
+        ]
+    else:
+        schema_by_id = {
+            f["id"]: f for f in table.metadata()["schemas"][0]["fields"]}
+        spec = []
+        for f in spec_fields:
+            tr = f.get("transform", "identity")
+            if tr.startswith("bucket["):
+                transform, param = "bucket", int(tr[len("bucket["):-1])
+            elif tr.startswith("truncate["):
+                transform, param = "truncate", int(tr[len("truncate["):-1])
+            else:
+                transform, param = tr, None
+            spec.append((f["name"], transform,
+                         schema_by_id[f["source-id"]]["name"], param))
+        entries = sorted(
+            write_clips_stream_dir(
+                table.data_dir, n_clips, n_files=n_files, seed=seed,
+                parallelism=parallelism, _spec=spec, **kw),
+            key=lambda e: os.path.basename(e[0]),
+        )
+    per_snap = files_per_snapshot or len(entries) or 1
+    for i in range(0, len(entries), per_snap):
         infos = []
-        for n in names[i:i + per_snap]:
-            p = os.path.join(table.data_dir, n)
+        for p, part in entries[i:i + per_snap]:
             infos.append(DataFileInfo(
                 file_path=p,
                 record_count=pq.read_metadata(p).num_rows,
                 file_size_in_bytes=os.path.getsize(p),
+                partition=part,
             ))
         table.commit_append(infos)
     return table
 
 
-def iceberg_stream_data_dir(table) -> str:
+_GLOB_UNSAFE = set("*?[]{},\\")
+
+
+def iceberg_stream_source_path(table, partition_filter: dict | None = None
+                               ) -> tuple[str, bool]:
     """Validate an Iceberg clip table for file-source streaming and return
-    its ``data/`` dir. For append-only tables every live data file sits in
-    ``data/`` exactly once (files are moved in atomically before their
-    snapshot commits), so the file source over ``data/`` replays precisely
-    the committed files; the manifest planner cross-checks that invariant
-    here."""
+    ``(source_path, recursive)`` for :func:`read_clip_stream`.
+
+    The file source replays whatever sits under the path, so exactness
+    requires planned files == on-disk files there.  Three layouts:
+
+    - **unpartitioned**: every live file sits flat in ``data/`` exactly
+      once (files are moved in before their snapshot commits) — returns
+      ``data/`` itself, non-recursive.
+    - **partitioned, no filter**: files live in ``__p_field=value/``
+      subdirs — returns ``data/`` with ``recursiveFileLookup`` (partition
+      values stay IN the files per the Iceberg layout, so directory
+      discovery is unnecessary).
+    - **partitioned + partition_filter**: manifest-level pruning picks the
+      matching partition dirs; returns a per-level brace glob (Hadoop glob
+      alternation) covering EXACTLY those dirs — the day-pruned streamed
+      backfill never lists, opens, or replays any other day's files.
+      The pruned dir set must be rectangular across levels (a glob is a
+      cross product) and each matched dir must hold only planned files;
+      both are validated here, failing fast rather than over-replaying."""
     from engine.iceberg import IcebergTable
 
     if isinstance(table, str):
         table = IcebergTable(table)
-    planned = {f.file_path for f in table.plan_files()}
-    on_disk = {
-        os.path.join(table.data_dir, n)
-        for n in os.listdir(table.data_dir) if n.endswith(".parquet")
-    }
-    if planned != on_disk:
+    planned = {f.file_path for f in
+               table.plan_files(partition_filter=partition_filter)}
+    spec = table.spec_fields()
+
+    def check_exact(on_disk: set[str], scope: str) -> None:
+        if planned != on_disk:
+            raise ValueError(
+                f"iceberg table {table.location!r} is not append-only-clean "
+                f"under {scope}: {len(on_disk - planned)} uncommitted and "
+                f"{len(planned - on_disk)} missing data files — stream "
+                "requires planned files == on-disk contents"
+            )
+
+    if not spec:
+        if partition_filter:
+            raise ValueError("partition_filter on an unpartitioned table")
+        on_disk = {
+            os.path.join(table.data_dir, n)
+            for n in os.listdir(table.data_dir) if n.endswith(".parquet")
+        }
+        check_exact(on_disk, "data/")
+        return table.data_dir, False
+
+    if partition_filter is None:
+        on_disk = {
+            os.path.join(root, n)
+            for root, _dirs, names in os.walk(table.data_dir)
+            for n in names if n.endswith(".parquet")
+        }
+        check_exact(on_disk, "data/ (recursive)")
+        return table.data_dir, True
+
+    if not planned:
         raise ValueError(
-            f"iceberg table {table.location!r} is not append-only-clean: "
-            f"{len(on_disk - planned)} uncommitted and "
-            f"{len(planned - on_disk)} missing data files — stream requires "
-            "planned files == data/ contents"
+            f"partition_filter {partition_filter!r} matches no files — "
+            "nothing to stream"
         )
-    return table.data_dir
+    dirs = {os.path.dirname(p) for p in planned}
+    on_disk = {
+        os.path.join(d, n)
+        for d in dirs for n in os.listdir(d) if n.endswith(".parquet")
+    }
+    check_exact(on_disk, "the pruned partition dirs")
+    rels = sorted(os.path.relpath(d, table.data_dir) for d in dirs)
+    comps = [r.split(os.sep) for r in rels]
+    depth = len(comps[0])
+    level_vals = [sorted({c[j] for c in comps}) for j in range(depth)]
+    for vals in level_vals:
+        for v in vals:
+            if _GLOB_UNSAFE & set(v):
+                raise ValueError(
+                    f"partition dir {v!r} contains glob metacharacters — "
+                    "stream this partition via its literal dir path instead"
+                )
+    # a glob is the cross product of its levels; refuse non-rectangular
+    # prunes (would silently replay partitions outside the filter)
+    from itertools import product
+
+    rect = {os.sep.join(t) for t in product(*level_vals)}
+    matched = {
+        r for r in (
+            os.path.relpath(root, table.data_dir)
+            for root, _dirs, names in os.walk(table.data_dir)
+            if any(n.endswith(".parquet") for n in names))
+        if r in rect
+    }
+    if matched != set(rels):
+        raise ValueError(
+            f"partition filter prunes a non-rectangular dir set "
+            f"({sorted(matched - set(rels))} also match the glob) — "
+            "stream per partition dir instead"
+        )
+    glob_parts = [
+        vals[0] if len(vals) == 1 else "{" + ",".join(vals) + "}"
+        for vals in level_vals
+    ]
+    return os.path.join(table.data_dir, *glob_parts), True
+
+
+def iceberg_stream_data_dir(table) -> str:
+    """Back-compat wrapper: the validated stream source path for the whole
+    table (see :func:`iceberg_stream_source_path`). Only valid for
+    unpartitioned tables, where the path needs no recursive lookup."""
+    path, recursive = iceberg_stream_source_path(table)
+    if recursive:
+        raise ValueError(
+            "partitioned table: use iceberg_stream_source_path() / "
+            "read_clip_stream_iceberg(), which carry the recursive-lookup "
+            "flag the file source needs for __p_*=value subdirs"
+        )
+    return path
 
 
 def read_clip_stream_iceberg(
@@ -185,15 +391,21 @@ def read_clip_stream_iceberg(
     max_files_per_trigger: int = 1,
     watermark: str = "60 seconds",
     ts_col: str = "event_ts",
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Rate-controlled stream over an Iceberg clip table (see
-    :func:`iceberg_stream_data_dir` for why the file source over ``data/``
-    is exact). With the Iceberg runtime jar present,
-    ``readStream.format("iceberg")`` replaces this source behind the same
-    table layout."""
-    return read_clip_stream(spark, iceberg_stream_data_dir(table),
+    :func:`iceberg_stream_source_path` for why the file source over the
+    validated path is exact). ``partition_filter`` streams ONLY the
+    matching partitions' files — the day-pruned streamed backfill over a
+    ``days(event_ts)``-partitioned topic. With the Iceberg runtime jar
+    present, ``readStream.format("iceberg")`` replaces this source behind
+    the same table layout."""
+    path, recursive = iceberg_stream_source_path(
+        table, partition_filter=partition_filter)
+    return read_clip_stream(spark, path,
                             max_files_per_trigger=max_files_per_trigger,
-                            watermark=watermark, ts_col=ts_col)
+                            watermark=watermark, ts_col=ts_col,
+                            recursive=recursive)
 
 
 def read_clip_stream(
@@ -202,14 +414,20 @@ def read_clip_stream(
     max_files_per_trigger: int = 1,
     watermark: str = "60 seconds",
     ts_col: str = "event_ts",
+    recursive: bool = False,
 ) -> DataFrame:
     """S1 analogue: subscribe to the clip 'topic' from the earliest offset with
-    a bounded out-of-orderness watermark (W2)."""
-    stream = (
+    a bounded out-of-orderness watermark (W2). ``recursive`` turns on
+    ``recursiveFileLookup`` for partitioned (``__p_*=value/``) topic
+    layouts — partition values stay in the files, so no directory
+    inference is needed."""
+    reader = (
         spark.readStream.schema(CLIP_SCHEMA_DDL)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(dir_path)
     )
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    stream = reader.parquet(dir_path)
     # watermark=None lets callers that insert a mapInPandas stage define the
     # watermark downstream instead (Spark requires it on the aggregation input
     # and forbids redefinition).
@@ -278,18 +496,21 @@ def run_window_pipeline(
     bug_compatible_stdev: bool = False,
     await_termination: bool = True,
     sink=None,
+    recursive: bool = False,
 ):
     """The flagship streaming job (TransactionFraudExample analogue):
     rate-controlled source → watermark → keyed window agg → exactly-once sink.
 
     ``sink`` overrides the default ``ParquetLedgerSink`` with any object
     exposing the same ``foreach_batch``/``audit``/``read_committed``
-    protocol (e.g. ``engine.iceberg.IcebergSink``).
+    protocol (e.g. ``engine.iceberg.IcebergSink``). ``recursive`` is the
+    partitioned-topic-layout flag (see :func:`read_clip_stream`).
 
     Returns (StreamingQuery, sink).
     """
     src = read_clip_stream(
-        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=watermark
+        spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
+        watermark=watermark, recursive=recursive,
     )
     if window_kind == "tumbling":
         agg = tumbling_agg(src, "event_ts", key_col, value_col, width,

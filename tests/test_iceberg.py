@@ -916,3 +916,105 @@ def test_bucket_truncate_validation(spark, tmp_path):
     t2 = IcebergTable(t.location)
     assert [f["transform"] for f in t2.spec_fields()] == [
         "bucket[8]", "truncate[10]"]
+
+
+def test_day_partitioned_topic_streams_and_prunes(spark, tmp_path):
+    """The round-4 flagship gap: a days(event_ts)-partitioned clip topic
+    must stream (full replay) AND support a day-pruned streamed backfill
+    that replays exactly the pruned day's committed files."""
+    from engine.streams import (
+        iceberg_stream_source_path,
+        read_clip_stream_iceberg,
+        write_clips_iceberg,
+    )
+
+    loc = str(tmp_path / "clips_pice")
+    # 400 clips x 450 s mean gap ≈ 2.08 days from the fixed 2024-01-01 base
+    t = write_clips_iceberg(loc, 400, n_files=8, seed=7,
+                            files_per_snapshot=4, mean_gap_ms=450_000,
+                            jitter_ms=10_000,
+                            partition_by=["days(event_ts)"])
+    live = t.plan_files()
+    days = sorted({f.partition["event_ts_day"] for f in live})
+    assert len(days) >= 2
+    batch = t.read(spark)
+    assert batch.count() == 400
+    # partition values in manifests agree with the rows in each file
+    for f in live:
+        rows = spark.read.parquet(f.file_path).selectExpr(
+            "min(datediff(cast(event_ts AS date), date'1970-01-01')) a",
+            "max(datediff(cast(event_ts AS date), date'1970-01-01')) b",
+        ).first()
+        assert rows.a == rows.b == f.partition["event_ts_day"]
+
+    # full-topic stream over the partitioned layout replays every row
+    sdf = read_clip_stream_iceberg(spark, t, max_files_per_trigger=4)
+    q = (sdf.writeStream.format("memory").queryName("pice_all")
+         .option("checkpointLocation", str(tmp_path / "ck_all"))
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    assert spark.sql("SELECT count(*) c FROM pice_all").first().c == 400
+
+    # day-pruned streamed backfill: plans strictly fewer files, replays
+    # exactly that day's rows
+    day = days[1]
+    flt = {"event_ts_day": day}
+    planned = t.plan_files(partition_filter=flt)
+    assert 0 < len(planned) < len(live)
+    path, recursive = iceberg_stream_source_path(t, flt)
+    assert recursive and f"__p_event_ts_day={day}" in path
+    sdf2 = read_clip_stream_iceberg(spark, t, max_files_per_trigger=2,
+                                    partition_filter=flt)
+    q2 = (sdf2.writeStream.format("memory").queryName("pice_day")
+          .option("checkpointLocation", str(tmp_path / "ck_day"))
+          .outputMode("append").start())
+    q2.processAllAvailable(); q2.stop()
+    got = {r.clip_id for r in
+           spark.sql("SELECT clip_id FROM pice_day").collect()}
+    want = {r.clip_id for r in
+            t.read(spark, partition_filter=flt).select("clip_id").collect()}
+    assert got == want and len(got) == sum(f.record_count for f in planned)
+
+    # a stray uncommitted file inside a pruned dir fails fast
+    stray = os.path.join(t.data_dir, f"__p_event_ts_day={day}",
+                         "stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    with pytest.raises(ValueError, match="append-only-clean"):
+        iceberg_stream_source_path(t, flt)
+    os.unlink(stray)
+    # filters that match nothing fail fast too
+    with pytest.raises(ValueError, match="matches no files"):
+        iceberg_stream_source_path(t, {"event_ts_day": days[-1] + 100})
+    # back-compat wrapper refuses partitioned tables (needs recursive flag)
+    from engine.streams import iceberg_stream_data_dir
+    with pytest.raises(ValueError, match="partitioned table"):
+        iceberg_stream_data_dir(t)
+
+
+def test_stream_glob_refuses_non_rectangular_prune(spark, tmp_path):
+    """A stale on-disk dir inside the glob's cross product (uncommitted
+    files in a partition the filter would cover) must fail fast — the
+    brace glob would silently replay it otherwise."""
+    from engine.streams import iceberg_stream_source_path
+
+    df0 = spark.range(0).selectExpr(
+        "id AS a", "cast(id AS string) AS b", "cast(id AS double) AS v")
+    t = IcebergTable(str(tmp_path / "rect"), schema=df0.schema,
+                     partition_by=["a", "b"])
+    t.write_dataframe(spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "a long, b string, v double"))
+    # stale uncommitted file in the (1, y) cell of the cross product
+    stale_dir = os.path.join(t.data_dir, "__p_a=1", "__p_b=y")
+    os.makedirs(stale_dir)
+    spark.createDataFrame([(1, "y", 9.0)], "a long, b string, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "sp"))
+    import glob as _g
+    import shutil
+    shutil.copy(_g.glob(str(tmp_path / "sp" / "*.parquet"))[0],
+                os.path.join(stale_dir, "stale.parquet"))
+    with pytest.raises(ValueError, match="non-rectangular"):
+        iceberg_stream_source_path(t, {"a": [1, 2]})
+    # pruning a single cell still works — the stale dir is outside its glob
+    path, recursive = iceberg_stream_source_path(t, {"a": 2})
+    assert recursive and path.endswith(os.path.join("__p_a=2", "__p_b=y"))

@@ -277,3 +277,74 @@ def test_producer_rewrite_clears_stale_shards(tmp_path):
     write_clips_stream_dir(d, 200, n_files=4, seed=1)
     files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     assert len(files) == 4  # old shards removed
+
+
+def test_day_pruned_backfill_kill_restart(spark, tmp_path):
+    """VERDICT r4 #7: the day-pruned streamed backfill must survive a
+    mid-stream kill — restart from the same checkpoint resumes the SAME
+    pruned day (no dupes, no gaps, ledger audit green), and the result
+    equals a batch aggregate over the pruned day's committed rows."""
+    import time as _time
+
+    from engine.streams import (
+        read_clip_stream,
+        iceberg_stream_source_path,
+        write_clips_iceberg,
+    )
+    from engine.windows import tumbling_agg
+
+    loc = str(tmp_path / "bf_topic")
+    # ~2 days of clips at 150 s mean gap
+    t = write_clips_iceberg(loc, 1200, n_files=10, seed=11,
+                            files_per_snapshot=5, mean_gap_ms=150_000,
+                            jitter_ms=10_000,
+                            partition_by=["days(event_ts)"])
+    day = sorted({f.partition["event_ts_day"]
+                  for f in t.plan_files()})[1]
+    flt = {"event_ts_day": day}
+    path, recursive = iceberg_stream_source_path(t, flt)
+    assert recursive
+
+    out = str(tmp_path / "bf_out")
+    ckpt = str(tmp_path / "bf_ckpt")
+    sink = ParquetLedgerSink(out, event_ts_col="window_start")
+    src = read_clip_stream(spark, path, max_files_per_trigger=1,
+                           recursive=True)
+    agg = tumbling_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(sink.foreach_batch()).start())
+    while len(sink.committed_batches()) < 2:
+        _time.sleep(0.2)
+    q.stop()  # kill mid-backfill
+
+    q2 = (agg.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch(sink.foreach_batch()).start())
+    q2.processAllAvailable()
+    q2.stop()
+
+    audit = sink.audit()
+    assert audit["unique_batch_ids"] and audit["consistent"]
+
+    # resumed pruned backfill == batch aggregate over that day's rows,
+    # restricted to watermark-closed windows (the stream never closes
+    # windows past the final watermark)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    day_rows = t.read(spark, partition_filter=flt)
+    want_full = tumbling_agg(
+        day_rows.withColumn("event_ts", F.col("event_ts").cast("timestamp")),
+        "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    final_wm = day_rows.agg(F.max("event_ts")).first()[0]
+    got = sink.read_committed(spark).orderBy(
+        "window_start", "speaker_id").toPandas().reset_index(drop=True)
+    want = (want_full
+            .filter(F.col("window_end")
+                    <= F.lit(final_wm) - F.expr("INTERVAL 60 seconds"))
+            .orderBy("window_start", "speaker_id")
+            .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
