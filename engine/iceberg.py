@@ -176,6 +176,10 @@ MANIFEST_ENTRY_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                # equality-delete key field ids (content=2 files only)
+                {"name": "equality_ids", "default": None, "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}]},
             ],
         }},
     ],
@@ -217,12 +221,17 @@ _STATUS_ADDED, _STATUS_EXISTING, _STATUS_DELETED = 1, 0, 2
 
 @dataclass
 class DataFileInfo:
-    """One parquet data file as tracked by the table metadata."""
+    """One parquet file as tracked by the table metadata — a data file
+    (content=0) or an equality-delete file (content=2, spec §Row-level
+    deletes: its rows are key tuples that mask any matching data row with
+    a STRICTLY SMALLER data sequence number)."""
     file_path: str          # absolute path (file:// URI in manifests)
     record_count: int
     file_size_in_bytes: int
     sequence_number: int | None = None  # set when planned from a manifest
     partition: dict | None = None       # identity-partition values (or None)
+    content: int = 0                    # 0 data, 2 equality deletes
+    equality_ids: list[int] | None = None  # delete key field ids (content=2)
 
 
 def _to_uri(path: str) -> str:
@@ -728,7 +737,8 @@ class IcebergTable:
         return None if cur is None else self.snapshot(cur)
 
     # -- manifest IO --------------------------------------------------------
-    def _write_manifest(self, entries: list[dict], spec_json: str) -> tuple[str, int]:
+    def _write_manifest(self, entries: list[dict], spec_json: str,
+                        content: str = "data") -> tuple[str, int]:
         name = f"{uuid.uuid4().hex}-m0.avro"
         path = os.path.join(self.metadata_dir, name)
         buf = write_avro_ocf_bytes(
@@ -739,7 +749,7 @@ class IcebergTable:
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
-                "content": b"data",
+                "content": content.encode(),
             },
         )
         with open(path, "wb") as fh:
@@ -759,12 +769,13 @@ class IcebergTable:
     def _manifest_list_entry(self, manifest_path: str, length: int, seq: int,
                              min_seq: int, snapshot_id: int,
                              added: tuple[int, int], deleted: tuple[int, int],
-                             existing: tuple[int, int] = (0, 0)) -> dict:
+                             existing: tuple[int, int] = (0, 0),
+                             content: int = 0) -> dict:
         return {
             "manifest_path": _to_uri(manifest_path),
             "manifest_length": length,
             "partition_spec_id": 0,
-            "content": 0,
+            "content": content,
             "sequence_number": seq,
             "min_sequence_number": min_seq,
             "added_snapshot_id": snapshot_id,
@@ -794,11 +805,14 @@ class IcebergTable:
                 # DELETED entries keep their original data sequence number
                 "sequence_number": esq, "file_sequence_number": esq,
                 "data_file": {
-                    "content": 0, "file_path": _to_uri(f.file_path),
+                    "content": int(f.content),
+                    "file_path": _to_uri(f.file_path),
                     "file_format": "PARQUET",
                     "partition": dict(f.partition or {}),
                     "record_count": int(f.record_count),
                     "file_size_in_bytes": int(f.file_size_in_bytes),
+                    "equality_ids": (list(f.equality_ids)
+                                     if f.equality_ids else None),
                 },
             }
 
@@ -901,7 +915,9 @@ class IcebergTable:
     def commit_replace(self, new_files: list[DataFileInfo],
                        replaced: list[DataFileInfo],
                        survivors: list[DataFileInfo],
-                       summary_extra: dict | None = None) -> int:
+                       summary_extra: dict | None = None,
+                       purged_deletes: list[DataFileInfo] | None = None,
+                       expected_rows: int | None = None) -> int:
         """Commit a REPLACE snapshot (the ``rewrite_data_files`` /
         compaction commit): ``replaced`` live files are swapped for
         ``new_files`` holding the same rows; ``survivors`` are the
@@ -921,13 +937,28 @@ class IcebergTable:
         carried forward as EXISTING survivors instead of being silently
         dropped from the replace snapshot's live view (and then GC'd by
         ``expire_snapshots``) — the caller's ``survivors`` list is a
-        plan-time hint; the commit-time live set is authoritative."""
+        plan-time hint; the commit-time live set is authoritative.
+
+        Equality deletes: new files take this snapshot's sequence number,
+        so pre-existing delete files would stop masking the rewritten rows
+        — a replace on a table with live deletes must APPLY them during
+        the rewrite and pass them as ``purged_deletes`` (removed in the
+        same commit, with ``expected_rows`` = the post-delete row count).
+        A live delete file neither purged nor expected fails the commit,
+        and so does a delete file committed concurrently since the rewrite
+        planned (its masking would be lost)."""
         new_rows = sum(f.record_count for f in new_files)
         old_rows = sum(f.record_count for f in replaced)
-        if new_rows != old_rows:
+        want_rows = expected_rows if expected_rows is not None else old_rows
+        if new_rows != want_rows:
             raise ValueError(
                 f"replace row-count mismatch: new files hold {new_rows} rows, "
-                f"replaced files held {old_rows}"
+                f"expected {want_rows}"
+            )
+        if expected_rows is not None and new_rows > old_rows:
+            raise ValueError(
+                f"replace with delete application grew the row count "
+                f"({old_rows} -> {new_rows})"
             )
         meta = self.metadata()
         base_version = self._current_version()
@@ -944,9 +975,37 @@ class IcebergTable:
                 f"input file(s) are no longer live (e.g. {sorted(gone)[:2]}) "
                 "— re-plan the rewrite from current metadata"
             )
+        live_dels = {f.file_path: f for f in self.plan_delete_files()}
+        purged_paths = {f.file_path for f in (purged_deletes or [])}
+        if purged_paths - set(live_dels):
+            raise RuntimeError(
+                "concurrent commit invalidated this replace: a purged "
+                "delete file is no longer live — re-plan the rewrite"
+            )
+        unexpected = set(live_dels) - purged_paths
+        if unexpected:
+            raise RuntimeError(
+                f"live equality-delete file(s) not covered by this replace "
+                f"({sorted(unexpected)[:2]}) — rewritten files take a new "
+                "sequence number, which would stop these deletes from "
+                "masking their rows; re-plan the rewrite applying them"
+            )
         # authoritative survivors: every currently-live file not being
         # replaced (includes files committed after the rewrite planned)
         survivors = [f for f in live_now if f.file_path not in replaced_paths]
+        if purged_paths:
+            # purging a delete resurrects the rows it masked in any file
+            # kept with an older sequence number — every maskable file must
+            # have been rewritten
+            max_dseq = max(live_dels[p].sequence_number for p in purged_paths)
+            masked_kept = [f for f in survivors
+                           if f.sequence_number < max_dseq]
+            if masked_kept:
+                raise RuntimeError(
+                    f"replace purges deletes but keeps {len(masked_kept)} "
+                    f"older file(s) they may mask (e.g. "
+                    f"{masked_kept[0].file_path}) — rewrite those too"
+                )
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
         now_ms = int(time.time() * 1000)
@@ -957,11 +1016,14 @@ class IcebergTable:
                 "status": status, "snapshot_id": snapshot_id,
                 "sequence_number": esq, "file_sequence_number": esq,
                 "data_file": {
-                    "content": 0, "file_path": _to_uri(f.file_path),
+                    "content": int(f.content),
+                    "file_path": _to_uri(f.file_path),
                     "file_format": "PARQUET",
                     "partition": dict(f.partition or {}),
                     "record_count": int(f.record_count),
                     "file_size_in_bytes": int(f.file_size_in_bytes),
+                    "equality_ids": (list(f.equality_ids)
+                                     if f.equality_ids else None),
                 },
             }
 
@@ -993,6 +1055,18 @@ class IcebergTable:
             min(f.sequence_number for f in replaced), snapshot_id,
             (0, 0), (len(replaced), old_rows),
         ))
+        if purged_paths:
+            purged = [live_dels[p] for p in sorted(purged_paths)]
+            xpath, xlen = self._write_manifest(
+                [entry(f, _STATUS_DELETED, f.sequence_number)
+                 for f in purged], spec_json, content="deletes")
+            manifests.append(self._manifest_list_entry(
+                xpath, xlen, seq,
+                min(f.sequence_number for f in purged), snapshot_id,
+                (0, 0),
+                (len(purged), sum(f.record_count for f in purged)),
+                content=1,
+            ))
 
         total_files = len(new_files) + len(survivors)
         total_rows = new_rows + sum(f.record_count for f in survivors)
@@ -1005,6 +1079,8 @@ class IcebergTable:
             "total-data-files": str(total_files),
             "total-records": str(total_rows),
         }
+        if purged_paths:
+            summary["removed-delete-files"] = str(len(purged_paths))
         summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
         return self._finalize_snapshot(
             manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
@@ -1029,24 +1105,43 @@ class IcebergTable:
         snapshots still plans the original files, and incremental/CDC reads
         skip the replace snapshot entirely (no row is ever re-delivered).
 
+        When the table carries live equality-delete files (uncompacted
+        upserts), the rewrite APPLIES them: every maskable file (data
+        sequence number below a delete's) joins the input set regardless
+        of size, the rewrite scan is the delete-resolved read, and the
+        REPLACE commit purges the delete files — afterwards
+        :meth:`read` plans a plain scan with no resolution join.
+
         Returns the new snapshot id, or None when fewer than
-        ``min_input_files`` live files are below the target (no-op).
+        ``min_input_files`` live files are below the target (no-op;
+        with live deletes, maskable files always trigger a rewrite).
         """
         import math
 
         live = self.plan_files()
+        dels = self.plan_delete_files()
+        max_dseq = max((d.sequence_number for d in dels), default=None)
         inputs = [f for f in live
-                  if f.file_size_in_bytes < target_file_bytes]
-        if len(inputs) < min_input_files:
+                  if f.file_size_in_bytes < target_file_bytes
+                  or (max_dseq is not None and f.sequence_number < max_dseq)]
+        if not dels and len(inputs) < min_input_files:
             return None
-        survivors = [f for f in live
-                     if f.file_size_in_bytes >= target_file_bytes]
+        if dels and not inputs:
+            if not live:
+                return None  # deletes mask nothing (no data files)
+            inputs = live  # nothing maskable/small: still fold deletes away
+        in_paths = {f.file_path for f in inputs}
+        survivors = [f for f in live if f.file_path not in in_paths]
         total_bytes = sum(f.file_size_in_bytes for f in inputs)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
         ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
         tmp = os.path.join(self.location, f".tmp-compact-{uuid.uuid4().hex[:8]}")
         scan = spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
+        expected_rows = None
+        if dels:
+            scan = self._apply_equality_deletes(spark, scan, inputs, dels)
+            expected_rows = scan.count()
         spec = self.spec_fields()
         if spec:
             # partitioned table: cluster the rewrite by partition columns so
@@ -1069,6 +1164,8 @@ class IcebergTable:
             return self.commit_replace(
                 infos, inputs, survivors,
                 summary_extra={"compaction-input-files": len(inputs)},
+                purged_deletes=dels or None,
+                expected_rows=expected_rows,
             )
         except ValueError:
             # row-count invariance failed — abort and leave the table as-is
@@ -1267,6 +1364,37 @@ class IcebergTable:
                 ))
         return out
 
+    def plan_delete_files(self, snapshot_id: int | None = None,
+                          as_of_ms: int | None = None) -> list[DataFileInfo]:
+        """Live equality-delete files at a snapshot (content=1 manifests).
+        Each masks data rows matching its key tuples in files with a
+        STRICTLY SMALLER data sequence number.  Global (unpartitioned)
+        application — partition pruning never skips a delete, so pruned
+        reads stay correct."""
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        if snap is None:
+            return []
+        out: list[DataFileInfo] = []
+        for m in self._read_manifest_list(snap["manifest-list"]):
+            if m.get("content", 0) != 1:
+                continue
+            for e in self._read_manifest(m["manifest_path"]):
+                if e["status"] == _STATUS_DELETED:
+                    continue
+                df = e["data_file"]
+                out.append(DataFileInfo(
+                    file_path=_from_uri(df["file_path"]),
+                    record_count=df["record_count"],
+                    file_size_in_bytes=df["file_size_in_bytes"],
+                    sequence_number=(
+                        e["sequence_number"] if e["sequence_number"] is not None
+                        else m["sequence_number"]),
+                    partition=df.get("partition") or None,
+                    content=2,
+                    equality_ids=list(df.get("equality_ids") or []),
+                ))
+        return out
+
     def incremental_files(self, from_snapshot_id: int | None,
                           to_snapshot_id: int | None = None
                           ) -> list[DataFileInfo]:
@@ -1299,6 +1427,12 @@ class IcebergTable:
             for m in self._read_manifest_list(s["manifest-list"]):
                 if m["added_snapshot_id"] != s["snapshot-id"]:
                     continue
+                if m.get("content", 0) != 0:
+                    # delete manifests are not row additions: CDC delivers
+                    # the upsert's new data rows; key retractions are the
+                    # reader's resolution concern (store-level pull_changes
+                    # resolves latest-per-pk the same way)
+                    continue
                 for e in self._read_manifest(m["manifest_path"]):
                     if (e["status"] == _STATUS_ADDED
                             and e["snapshot_id"] == s["snapshot-id"]):
@@ -1321,12 +1455,77 @@ class IcebergTable:
         table metadata (no inference / no extra listing job).  With
         ``partition_filter`` the scan reads ONLY the matching partitions'
         files (manifest-level pruning — the reader never lists or opens
-        non-matching files)."""
+        non-matching files).
+
+        When the snapshot carries live equality-delete files (an upsert
+        not yet compacted away), they are applied in-plan: one broadcast
+        basename→sequence attach on the data scan, then one broadcast
+        LEFT ANTI join per distinct delete-key set with the spec's
+        strictly-smaller-sequence predicate.  After
+        ``compact_data_files`` purges the deletes, this method plans a
+        PLAIN scan again — no resolution join survives compaction."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter)
         ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
         if not files:
             return spark.createDataFrame([], ddl)
-        return spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+        df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+        dels = self.plan_delete_files(snapshot_id, as_of_ms)
+        if not dels:
+            return df
+        return self._apply_equality_deletes(spark, df, files, dels)
+
+    def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
+                                files: list[DataFileInfo],
+                                dels: list[DataFileInfo]) -> DataFrame:
+        """Mask data rows per the v2 equality-delete rule: a row is deleted
+        iff some live delete file has a matching key tuple AND a data
+        sequence number strictly greater than the row's file's."""
+        from pyspark.sql import functions as F
+
+        cols = df.columns
+        schema_fields = self.metadata()["schemas"][0]["fields"]
+        id_to_name = {f["id"]: f["name"] for f in schema_fields}
+
+        def key_ddl(keys: list[str]) -> str:
+            by_name = {f["name"]: f for f in schema_fields}
+            return iceberg_schema_to_ddl(
+                {"fields": [by_name[k] for k in keys]})
+
+        base_seq = [(os.path.basename(f.file_path), f.sequence_number)
+                    for f in files]
+        if len({b for b, _ in base_seq}) != len(base_seq):
+            raise RuntimeError(
+                "data file basenames are not unique — cannot attach "
+                "sequence numbers for equality-delete application")
+        seq_df = spark.createDataFrame(base_seq, "__file_base string, __seq bigint")
+        df = df.withColumn(
+            "__file_base", F.regexp_extract(F.input_file_name(), "[^/]*$", 0)
+        ).join(F.broadcast(seq_df), "__file_base")
+
+        by_ids: dict[tuple, list[DataFileInfo]] = {}
+        for d in dels:
+            by_ids.setdefault(tuple(d.equality_ids or ()), []).append(d)
+        for ids, group in sorted(by_ids.items()):
+            if not ids:
+                raise RuntimeError("equality-delete file without key ids")
+            keys = [id_to_name[i] for i in ids]
+            dseq = [(os.path.basename(d.file_path), d.sequence_number)
+                    for d in group]
+            dseq_df = spark.createDataFrame(
+                dseq, "__dfile_base string, __dseq bigint")
+            del_df = (
+                spark.read.schema(key_ddl(keys))
+                .parquet(*[d.file_path for d in group])
+                .withColumn("__dfile_base",
+                            F.regexp_extract(F.input_file_name(), "[^/]*$", 0))
+                .join(F.broadcast(dseq_df), "__dfile_base")
+                .select(*[F.col(k).alias(f"__d_{k}") for k in keys], "__dseq")
+            )
+            cond = F.col("__dseq") > F.col("__seq")
+            for k in keys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__d_{k}"))
+            df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
+        return df.select(*cols)
 
     # -- writing DataFrames -------------------------------------------------
     def write_dataframe(self, df: DataFrame, mode: str = "append",
@@ -1362,6 +1561,147 @@ class IcebergTable:
         if mode == "append":
             return self.commit_append(infos, summary_extra)
         return self.commit_overwrite(infos, summary_extra)
+
+    def upsert(self, spark: SparkSession, df: DataFrame,
+               key_cols: list[str],
+               summary_extra: dict | None = None) -> int:
+        """PHYSICAL upsert — one row-delta snapshot (Iceberg v2 row-level
+        deletes; the reference's Hudi UPSERT seam,
+        ``base/HudiOperationType.java:20-23``): ``df``'s rows are written
+        as new data files AND one equality-delete file holding ``df``'s
+        key tuples is committed alongside.  Both carry this snapshot's
+        sequence number, so the delete masks matching rows in every OLDER
+        file while never touching the upsert's own rows (strictly-smaller
+        rule).  Readers resolve in-plan (:meth:`read`) until
+        :meth:`compact_data_files` folds the deletes into the data files —
+        after which reads plan a plain scan with no resolution window.
+
+        ``df`` must be unique per key (two rows with one key in a single
+        upsert would both survive — rejected loudly instead)."""
+        from pyspark.sql import functions as F
+
+        missing = [k for k in key_cols if k not in df.columns]
+        if missing:
+            raise ValueError(f"upsert key columns not in frame: {missing}")
+        dup = (df.groupBy(*key_cols).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            raise ValueError(
+                f"upsert frame has multiple rows for key "
+                f"{[dup[0][k] for k in key_cols]} — resolve to one row per "
+                "key before upserting")
+        name_to_id = {f["name"]: f["id"]
+                      for f in self.metadata()["schemas"][0]["fields"]}
+        eq_ids = [name_to_id[k] for k in key_cols]
+
+        # data files (partition-aware, same path as write_dataframe)
+        tmp = os.path.join(self.location, f".tmp-upsert-{uuid.uuid4().hex[:8]}")
+        spec = self.spec_fields()
+        wdf = df
+        if spec:
+            exprs = self._partition_exprs()
+            pdup = [f"__p_{name}" for name, _ in exprs]
+            for d, (_, col) in zip(pdup, exprs):
+                wdf = wdf.withColumn(d, col)
+            wdf.write.partitionBy(*pdup).mode("overwrite").parquet(tmp)
+        else:
+            wdf.write.mode("overwrite").parquet(tmp)
+        data_infos = self._register_written_files(tmp, name_prefix="upsert-")
+        # the equality-delete file: just the key tuples, one global file
+        tmp2 = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
+        df.select(*key_cols).coalesce(1).write.mode("overwrite").parquet(tmp2)
+        import glob as _glob
+        import shutil
+
+        src = _glob.glob(os.path.join(tmp2, "*.parquet"))[0]
+        del_path = os.path.join(
+            self.data_dir, f"eqdel-{uuid.uuid4().hex[:8]}.parquet")
+        os.rename(src, del_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp2, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        del_info = DataFileInfo(
+            file_path=del_path,
+            record_count=pq.read_metadata(del_path).num_rows,
+            file_size_in_bytes=os.path.getsize(del_path),
+            content=2, equality_ids=eq_ids,
+        )
+        try:
+            return self._commit_row_delta(data_infos, del_info, summary_extra)
+        except BaseException:
+            for f in data_infos + [del_info]:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
+            raise
+
+    def _commit_row_delta(self, data_files: list[DataFileInfo],
+                          delete_file: DataFileInfo,
+                          summary_extra: dict | None = None) -> int:
+        """Commit new data files + one equality-delete file as a single
+        'overwrite' snapshot (the v2 row-delta shape): an added data
+        manifest (content=0), an added delete manifest (content=1), and
+        the previous snapshot's manifests carried forward."""
+        meta = self.metadata()
+        base_version = self._current_version()
+        prev = self._resolve_snapshot(None, None)
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        now_ms = int(time.time() * 1000)
+        spec_json = self._spec_json()
+
+        def entry(f: DataFileInfo) -> dict:
+            return {
+                "status": _STATUS_ADDED, "snapshot_id": snapshot_id,
+                "sequence_number": None, "file_sequence_number": None,
+                "data_file": {
+                    "content": int(f.content),
+                    "file_path": _to_uri(f.file_path),
+                    "file_format": "PARQUET",
+                    "partition": dict(f.partition or {}),
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_in_bytes),
+                    "equality_ids": (list(f.equality_ids)
+                                     if f.equality_ids else None),
+                },
+            }
+
+        add_rows = sum(f.record_count for f in data_files)
+        mpath, mlen = self._write_manifest(
+            [entry(f) for f in data_files], spec_json)
+        manifests = [self._manifest_list_entry(
+            mpath, mlen, seq, seq, snapshot_id,
+            (len(data_files), add_rows), (0, 0),
+        )]
+        dpath, dlen = self._write_manifest(
+            [entry(delete_file)], spec_json, content="deletes")
+        manifests.append(self._manifest_list_entry(
+            dpath, dlen, seq, seq, snapshot_id,
+            (1, delete_file.record_count), (0, 0), content=1,
+        ))
+        prev_total_files = prev_total_rows = 0
+        if prev is not None:
+            manifests.extend(self._read_manifest_list(prev["manifest-list"]))
+            prev_total_files = int(prev["summary"].get("total-data-files", 0))
+            prev_total_rows = int(prev["summary"].get("total-records", 0))
+        summary = {
+            "operation": "overwrite",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(add_rows),
+            "added-delete-files": "1",
+            "added-equality-delete-records": str(delete_file.record_count),
+            # totals are metadata-level (pre-delete-application), like
+            # Iceberg's total-records on row-delta snapshots
+            "total-data-files": str(prev_total_files + len(data_files)),
+            "total-records": str(prev_total_rows + add_rows),
+        }
+        summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
+        return self._finalize_snapshot(
+            manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
+            prev,
+        )
 
     def _register_written_files(self, tmp: str,
                                 name_prefix: str = "") -> list[DataFileInfo]:

@@ -1018,3 +1018,136 @@ def test_stream_glob_refuses_non_rectangular_prune(spark, tmp_path):
     # pruning a single cell still works — the stale dir is outside its glob
     path, recursive = iceberg_stream_source_path(t, {"a": 2})
     assert recursive and path.endswith(os.path.join("__p_a=2", "__p_b=y"))
+
+
+# ---------------------------------------------------------------------------
+# physical upsert: equality-delete files (Iceberg v2 row-level deletes)
+# ---------------------------------------------------------------------------
+
+def test_upsert_equality_deletes_read_and_time_travel(spark, tmp_path):
+    """upsert() commits new rows + an equality-delete file: reads resolve
+    latest-per-key in-plan, older snapshots still see pre-upsert values,
+    and stacked upserts resolve newest-wins by sequence number."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "up")
+    t.write_dataframe(_df(spark, 0, 50).coalesce(2))
+    s1 = t.current_snapshot_id
+
+    up = spark.range(10, 20).selectExpr(
+        "id AS k", "cast(id * 100.0 AS double) AS v",
+        "concat('new-', id) AS s"
+    ).unionByName(spark.range(50, 55).selectExpr(
+        "id AS k", "cast(id * 1.5 AS double) AS v",
+        "concat('row-', id) AS s"))
+    t.upsert(spark, up, ["k"])
+
+    got = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert len(got) == 55                      # 50 base - 10 replaced + 15
+    assert (got.loc[got.k.between(10, 19), "s"].str.startswith("new-")).all()
+    assert (got.loc[got.k < 10, "v"] == got.loc[got.k < 10, "k"] * 1.5).all()
+    # time travel: pre-upsert snapshot unaffected
+    old = t.read(spark, snapshot_id=s1).toPandas()
+    assert len(old) == 50 and not old["s"].str.startswith("new-").any()
+    # delete file planned with the key's field id
+    dels = t.plan_delete_files()
+    assert len(dels) == 1 and dels[0].equality_ids == [1]
+    assert t.plan_delete_files(snapshot_id=s1) == []
+
+    # stacked upsert: newest sequence wins for overlapping keys
+    up2 = spark.range(15, 25).selectExpr(
+        "id AS k", "cast(id * 1000.0 AS double) AS v",
+        "concat('newer-', id) AS s")
+    t.upsert(spark, up2, ["k"])
+    got2 = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert len(got2) == 55
+    assert (got2.loc[got2.k.between(15, 24), "s"].str.startswith("newer-")).all()
+    assert (got2.loc[got2.k.between(10, 14), "s"].str.startswith("new-")).all()
+    assert len(t.plan_delete_files()) == 2
+
+    # duplicate keys within one upsert frame are rejected loudly
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b")], "k long, v double, s string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        t.upsert(spark, dup, ["k"])
+
+
+def test_upsert_compaction_purges_deletes_plain_scan(spark, tmp_path):
+    """After compact_data_files the deletes are folded into the data files:
+    plan_delete_files is empty, the read is row-identical, and the plan
+    carries NO resolution join (the 'no read-side window forever' fix)."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "upc")
+    t.write_dataframe(_df(spark, 0, 40).coalesce(2))
+    up = spark.range(0, 10).selectExpr(
+        "id AS k", "cast(id * 100.0 AS double) AS v",
+        "concat('new-', id) AS s")
+    t.upsert(spark, up, ["k"])
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert "Join" in t.read(spark)._jdf.queryExecution().executedPlan().toString()
+
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert sid is not None
+    assert t.plan_delete_files() == []
+    after_df = t.read(spark)
+    after = after_df.toPandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan            # plain scan, no resolution window
+    s = t.snapshot(sid)["summary"]
+    assert s["removed-delete-files"] == "1"
+    assert s["total-records"] == "40"
+
+    # expiration GCs the masked originals AND the delete file
+    res = t.expire_snapshots(retain_last=1)
+    assert res["data_files"] > 0
+    pd.testing.assert_frame_equal(
+        t.read(spark).toPandas().sort_values("k", ignore_index=True), after)
+
+
+def test_replace_refuses_unapplied_deletes(spark, tmp_path):
+    """A plain rewrite on a table with live deletes must fail: rewritten
+    files take a new sequence number and would escape the masking."""
+    t = _mktable(spark, tmp_path, "upr")
+    t.write_dataframe(_df(spark, 0, 20).coalesce(1))
+    t.upsert(spark, spark.range(0, 5).selectExpr(
+        "id AS k", "cast(0.0 AS double) AS v", "concat('u', id) AS s"),
+        ["k"])
+    live = t.plan_files()
+    tmp = str(tmp_path / "upr-rewrite")
+    spark.read.parquet(*[f.file_path for f in live]).coalesce(1) \
+        .write.mode("overwrite").parquet(tmp)
+    new_files = t._register_written_files(tmp, name_prefix="compact-")
+    with pytest.raises(RuntimeError, match="not covered by this replace"):
+        t.commit_replace(new_files, live, [])
+
+
+def test_upsert_on_partitioned_table(spark, tmp_path):
+    """Upserts compose with partitioning: data files land in their
+    partition dirs, the (global) delete applies across partitions, and a
+    pruned read resolves the same rows as a filtered full read."""
+    import pandas as pd
+
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "id % 3 AS grp", "cast(id AS double) AS v")
+    t = IcebergTable(str(tmp_path / "upp"), schema=df0.schema,
+                     partition_by=["grp"])
+    t.write_dataframe(spark.range(0, 60).selectExpr(
+        "id AS k", "id % 3 AS grp", "cast(id AS double) AS v"))
+    up = spark.range(0, 12).selectExpr(
+        "id AS k", "id % 3 AS grp", "cast(id * -1.0 AS double) AS v")
+    t.upsert(spark, up, ["k"])
+    full = t.read(spark).toPandas()
+    assert len(full) == 60
+    assert (full.loc[full.k < 12, "v"] <= 0).all()
+    pruned = t.read(spark, partition_filter={"grp": 1}).toPandas()
+    want = full[full.grp == 1].sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        pruned.sort_values("k", ignore_index=True), want)
+    # compaction folds deletes per partition and stays prunable
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    assert t.plan_delete_files() == []
+    pd.testing.assert_frame_equal(
+        t.read(spark, partition_filter={"grp": 1})
+        .toPandas().sort_values("k", ignore_index=True), want)
