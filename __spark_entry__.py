@@ -1077,6 +1077,103 @@ def _q_iceberg_partitioned(spark, sf_dir):
     )
 
 
+def _q_iceberg_lifecycle(spark, sf_dir):
+    """Multi-facet Iceberg lifecycle in ONE driver slot (r4 VERDICT #2;
+    single-facet twins iceberg_table / iceberg_maintenance /
+    iceberg_partitioned stay registered behind the window):
+
+    - ``s1``: snapshot time travel to the first append;
+    - ``upserted``: PHYSICAL upsert via an equality-delete file
+      (engine/iceberg.py upsert) — read-side in-plan resolution;
+    - ``maintained``: compaction folds the delete away (plain scan
+      asserted — no resolution join) + snapshot expiration with GC;
+    - ``pruned_seg``: identity-partition pruning (strictly fewer files);
+    - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
+      spec murmur3 transform (strictly fewer files).
+    All facets share (snap, c_custkey, c_name, c_acctbal) and are
+    value-checked against DuckDB."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life_"), schema=cust.schema
+    )
+    s1 = t.write_dataframe(cust.filter("c_custkey <= 100").coalesce(1))
+    t.write_dataframe(
+        cust.filter("c_custkey > 100 AND c_custkey <= 200").coalesce(1))
+    t.upsert(
+        spark,
+        cust.filter("c_custkey <= 50")
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0)),
+        ["c_custkey"],
+    )
+    assert len(t.plan_delete_files()) == 1
+
+    def tag(df, label):
+        return df.select(
+            F.lit(label).alias("snap"), "c_custkey", "c_name",
+            F.round("c_acctbal", 6).alias("c_acctbal"))
+
+    # materialize the pre-maintenance facets NOW: expiration below GCs
+    # the files their lazy plans would re-read at collect time
+    f_s1 = tag(t.read(spark, snapshot_id=s1), "s1").localCheckpoint()
+    f_up = tag(t.read(spark), "upserted").localCheckpoint()
+
+    sid = t.compact_data_files(spark, target_file_bytes=1 << 30)
+    assert sid is not None and t.plan_delete_files() == []
+    maintained = t.read(spark)
+    plan = maintained._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "post-compaction read must be a plain scan"
+    gc = t.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] == 3 and gc["data_files"] >= 2, gc
+    assert len(t.plan_files()) == 1
+    f_m = tag(maintained, "maintained")
+
+    t2 = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life2_"), schema=cust.schema,
+        partition_by=["truncate(50, c_custkey)", "bucket(8, c_custkey)"],
+    )
+    t2.write_dataframe(cust.filter("c_custkey <= 600"))
+    n_total = len(t2.plan_files())
+    seg_flt = {"c_custkey_trunc": (1, 99)}
+    n_seg = len(t2.plan_files(partition_filter=seg_flt))
+    assert 0 < n_seg < n_total, (n_seg, n_total)
+    f_seg = tag(t2.read(spark, partition_filter=seg_flt)
+                .filter("c_custkey <= 99"), "pruned_range")
+    bkt_flt = {"c_custkey_bucket": 42}
+    n_bkt = len(t2.plan_files(partition_filter=bkt_flt))
+    assert 0 < n_bkt < n_total, (n_bkt, n_total)
+    f_bkt = tag(t2.read(spark, partition_filter=bkt_flt)
+                .filter("c_custkey = 42"), "bucket_lookup")
+
+    return f_s1.unionByName(f_up).unionByName(f_m) \
+        .unionByName(f_seg).unionByName(f_bkt)
+
+
+_SQL_ICEBERG_LIFECYCLE = """
+SELECT 's1' AS snap, c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT 'upserted', c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey <= 50 THEN 1000.0 ELSE 0 END, 6)
+FROM customer WHERE c_custkey <= 200
+UNION ALL
+SELECT 'maintained', c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey <= 50 THEN 1000.0 ELSE 0 END, 6)
+FROM customer WHERE c_custkey <= 200
+UNION ALL
+SELECT 'pruned_range', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 99
+UNION ALL
+SELECT 'bucket_lookup', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey = 42
+"""
+
+
 _SQL_ICEBERG_PARTITIONED = """
 SELECT c_custkey, c_name, c_mktsegment, 1 AS pruned
 FROM customer
@@ -2127,6 +2224,62 @@ def _nan_to_null(df, col):
     return df.withColumn(col, F.when(F.isnan(F.col(col)), F.lit(None)).otherwise(F.col(col)))
 
 
+def _q_stream_backfill_day(spark, sf_dir):
+    """Day-pruned streamed backfill over a days(ts)-partitioned Iceberg
+    topic (the 10^12-clip deployment shape, VERDICT r4 #1/#7): the events
+    table is committed as a days(ts)-partitioned Iceberg v2 table
+    (engine/iceberg.py), ONE day is streamed through the validated pruned
+    brace-glob file source (engine/streams.py iceberg_stream_source_path
+    — strictly fewer files than the table holds, asserted here), and the
+    tumbling 10 m aggregate lands through the stream. Reference anchor:
+    Hudi-partitioned feature groups (base/Feature.java:40-136) + the S1
+    source chain (TransactionFraudExample.java:52-57)."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable, iceberg_schema_to_ddl
+    from engine.streams import iceberg_stream_source_path
+    from engine.windows import tumbling_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    t = IcebergTable(tempfile.mkdtemp(prefix="entry_backfill_"),
+                     schema=ev.schema, partition_by=["days(ts)"])
+    # one producer task → one file per day dir (deterministic replay:
+    # the pruned day streams as a single micro-batch)
+    t.write_dataframe(ev.repartition(1))
+    flt = {"ts_day": "2024-01-05"}
+    planned = t.plan_files(partition_filter=flt)
+    n_live = len(t.plan_files())
+    assert 0 < len(planned) < n_live, (len(planned), n_live)
+    path, recursive = iceberg_stream_source_path(t, flt)
+    assert recursive
+    src = (
+        spark.readStream.schema(iceberg_schema_to_ddl(
+            t.metadata()["schemas"][0]))
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "60 seconds")
+    )
+    out = _run_stream_to_df(
+        spark, tumbling_agg(src, "ts", "user_id", "value", "10 minutes"))
+    out = _nan_to_null(out, "stdev_amt_per_10m")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+_SQL_BACKFILL_DAY_SRC = _SQL_TUMBLING_10M.replace(
+    "FROM events",
+    "FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'")
+
+_SQL_STREAM_BACKFILL_DAY = f"""
+SELECT * FROM ({_SQL_BACKFILL_DAY_SRC})
+WHERE window_end <= (SELECT max(ts) - INTERVAL 60 SECOND FROM events
+                     WHERE CAST(ts AS DATE) = DATE '2024-01-05')
+"""
+
+
 def _q_stateful_tumbling_10m(spark, sf_dir):
     """Custom applyInPandasWithState tumbling window store (T5), streamed."""
     from engine.state import stateful_window_agg
@@ -2621,6 +2774,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "stateful_cep_times", _q_stateful_cep_times),
         "stateful_dedup": _memo_stream("stateful_dedup", _q_stateful_dedup),
         "stream_condition": _memo_stream("stream_condition", _q_stream_condition),
+        "stream_backfill_day": _memo_stream(
+            "stream_backfill_day", _q_stream_backfill_day),
         # ---- 10-13: batch windows (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_multiwidth": _q_tumbling_multiwidth,
@@ -2643,14 +2798,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": _q_salted_agg,
         "set_ops": _q_set_ops,
         "distinct_counts": _q_distinct_counts,
-        # ---- 27-33: serving + store + Iceberg + CDC (S5/S7/S8, V1-V3)
+        # ---- 28-33: serving + store + Iceberg lifecycle + CDC
+        # (S5/S7/S8, V1-V3; the lifecycle entry carries time travel,
+        # physical upsert, compaction+expiration, and truncate/bucket
+        # partition pruning as value-checked facets)
         "serving_vectors": _q_serving_vectors,
         "serving_complex": _q_serving_complex,
-        "training_split": _q_training_split,
         "feature_view_query": _q_feature_view_query,
         "ledger_changes": _q_ledger_changes,
         "store_mutations": _q_store_mutations,
-        "iceberg_table": _q_iceberg_table,
+        "iceberg_lifecycle": _q_iceberg_lifecycle,
         # ---- 34-36: text analysis + projection + sampling
         "doc_analysis": _q_doc_analysis,
         "random_projection": _q_random_projection,
@@ -2699,11 +2856,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serving_batch": _q_serving_batch,
         "serving_transformed": _q_serving_transformed,
         # store/serving long tail
+        "training_split": _q_training_split,
         "external_fg": _q_external_fg,
         "avro_roundtrip": _q_avro_roundtrip,
         "store_sql": _q_store_sql,
         "fg_statistics": _q_fg_statistics,
-        # iceberg maintenance + partition pruning (value-checked)
+        # single-facet iceberg twins of the merged lifecycle entry
+        "iceberg_table": _q_iceberg_table,
         "iceberg_maintenance": _q_iceberg_maintenance,
         "iceberg_partitioned": _q_iceberg_partitioned,
         # curation long tail
@@ -2774,6 +2933,8 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_table": _SQL_ICEBERG_TABLE,
         "iceberg_maintenance": _SQL_ICEBERG_MAINTENANCE,
         "iceberg_partitioned": _SQL_ICEBERG_PARTITIONED,
+        "iceberg_lifecycle": _SQL_ICEBERG_LIFECYCLE,
+        "stream_backfill_day": _SQL_STREAM_BACKFILL_DAY,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,
