@@ -158,6 +158,67 @@ def bench_streaming(spark, workdir: str) -> dict:
     return best
 
 
+def bench_backfill(spark, workdir: str) -> dict:
+    """Day-pruned streamed backfill — the partitioned 10^12-clip deployment
+    shape (round-5 flagship): a 2-day days(event_ts)-partitioned Iceberg
+    topic, ONE day streamed through the same decode + window + exactly-once
+    pipeline via the validated pruned glob source. Reports pruned-day
+    throughput plus the file-pruning ratio (files_read / files_total — at
+    a 3-year topic this ratio is ~1/1000)."""
+    from engine.audio import extract_audio_features_direct
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import (
+        iceberg_stream_source_path,
+        read_clip_stream,
+        write_clips_iceberg,
+    )
+    from engine.windows import tumbling_agg
+
+    n = max(N_CLIPS // 2, 2000)
+    table = write_clips_iceberg(
+        os.path.join(workdir, "clips_part"), n, n_files=24, seed=43,
+        files_per_snapshot=6, jitter_ms=30_000, max_dur_ms=600,
+        mean_gap_ms=max(1, (2 * 86_400_000) // n),
+        partition_by=["days(event_ts)"],
+    )
+    live = table.plan_files()
+    days = sorted({f.partition["event_ts_day"] for f in live})
+    day = days[1]
+    flt = {"event_ts_day": day}
+    planned = table.plan_files(partition_filter=flt)
+    path, _recursive = iceberg_stream_source_path(table, flt)
+    n_day = sum(f.record_count for f in planned)
+
+    rundir = os.path.join(workdir, "bf")
+    sink = ParquetLedgerSink(os.path.join(rundir, "out"),
+                             event_ts_col="window_start")
+    src = read_clip_stream(spark, path, max_files_per_trigger=4,
+                           watermark=None, recursive=True)
+    feats = extract_audio_features_direct(src).withWatermark(
+        "event_ts", "60 seconds")
+    agg = tumbling_agg(feats, "event_ts", "speaker_id", "rms", "10 minutes")
+    t0 = time.time()
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(rundir, "ckpt"))
+        .foreachBatch(sink.foreach_batch())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    audit = sink.audit()
+    return {
+        "day": int(day),
+        "clips": n_day,
+        "files_read": len(planned),
+        "files_total": len(live),
+        "stream_elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(n_day / elapsed, 1),
+        "exactly_once_audit": audit["consistent"] and audit["unique_batch_ids"],
+    }
+
+
 def main() -> None:
     from engine.session import get_spark
 
@@ -185,6 +246,7 @@ def main() -> None:
         except Exception:
             hw_queries = None
         streaming = bench_streaming(spark, workdir)
+        backfill = bench_backfill(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         spark.stop()
@@ -206,6 +268,7 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "cpus": CPUS,
         "streaming": streaming,
+        "backfill_day_pruned": backfill,
         "batch_total_sec": round(sum(queries.values()), 3),
         "hw_adjacent_iters_per_sec": hw_adjacent,
         "hw_queries_iters_per_sec": hw_queries,
