@@ -1087,9 +1087,12 @@ def _q_iceberg_lifecycle(spark, sf_dir):
       (engine/iceberg.py upsert) — read-side in-plan resolution;
     - ``maintained``: compaction folds the delete away (plain scan
       asserted — no resolution join) + snapshot expiration with GC;
-    - ``pruned_seg``: identity-partition pruning (strictly fewer files);
+    - ``pruned_range``: truncate[50] partition pruning (strictly fewer
+      files);
     - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
-      spec murmur3 transform (strictly fewer files).
+      spec murmur3 transform (strictly fewer files);
+    - ``stats_range``: manifest column-bounds metrics skipping
+      (lower/upper bounds, spec Appendix D) with exact row re-filtering.
     All facets share (snap, c_custkey, c_name, c_acctbal) and are
     value-checked against DuckDB."""
     import tempfile
@@ -1149,9 +1152,16 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     assert 0 < n_bkt < n_total, (n_bkt, n_total)
     f_bkt = tag(t2.read(spark, partition_filter=bkt_flt)
                 .filter("c_custkey = 42"), "bucket_lookup")
+    # metrics evaluation: manifest lower/upper bounds skip files whose
+    # c_custkey range cannot match; the read re-applies the predicate
+    # row-level so the result is exact
+    n_stats = len(t2.plan_files(stats_filter={"c_custkey": (10, 49)}))
+    assert 0 < n_stats < n_total, (n_stats, n_total)
+    f_stats = tag(t2.read(spark, stats_filter={"c_custkey": (10, 49)}),
+                  "stats_range")
 
     return f_s1.unionByName(f_up).unionByName(f_m) \
-        .unionByName(f_seg).unionByName(f_bkt)
+        .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats)
 
 
 _SQL_ICEBERG_LIFECYCLE = """
@@ -1171,6 +1181,9 @@ FROM customer WHERE c_custkey <= 99
 UNION ALL
 SELECT 'bucket_lookup', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey = 42
+UNION ALL
+SELECT 'stats_range', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey BETWEEN 10 AND 49
 """
 
 

@@ -180,6 +180,22 @@ MANIFEST_ENTRY_SCHEMA = {
                 {"name": "equality_ids", "default": None, "field-id": 135,
                  "type": ["null", {"type": "array", "items": "int",
                                    "element-id": 136}]},
+                # per-column value bounds (spec Appendix D single-value
+                # serialization), the metrics data-skipping lever
+                {"name": "lower_bounds", "default": None, "field-id": 125,
+                 "type": ["null", {"type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k126_v127",
+                         "fields": [
+                             {"name": "key", "type": "int", "field-id": 126},
+                             {"name": "value", "type": "bytes",
+                              "field-id": 127}]}}]},
+                {"name": "upper_bounds", "default": None, "field-id": 128,
+                 "type": ["null", {"type": "array", "logicalType": "map",
+                     "items": {"type": "record", "name": "k129_v130",
+                         "fields": [
+                             {"name": "key", "type": "int", "field-id": 129},
+                             {"name": "value", "type": "bytes",
+                              "field-id": 130}]}}]},
             ],
         }},
     ],
@@ -232,6 +248,8 @@ class DataFileInfo:
     partition: dict | None = None       # identity-partition values (or None)
     content: int = 0                    # 0 data, 2 equality deletes
     equality_ids: list[int] | None = None  # delete key field ids (content=2)
+    lower_bounds: dict | None = None    # {field_id: bytes} (Appendix D)
+    upper_bounds: dict | None = None
 
 
 def _to_uri(path: str) -> str:
@@ -381,6 +399,125 @@ def truncate_value(v, source_type: str, width: int):
     raise ValueError(f"truncate transform unsupported for {source_type!r}")
 
 
+def bound_to_bytes(v, ice_type: str) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) of a
+    column bound. None when the value/type has no bound form."""
+    import datetime as _dt
+    import struct
+
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", float(v))
+    if ice_type == "double":
+        return struct.pack("<d", float(v))
+    if ice_type == "date":
+        days = v if isinstance(v, int) else _to_epoch_days(v)
+        return struct.pack("<i", int(days))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, int):
+            us = v
+        else:
+            if hasattr(v, "to_pydatetime"):
+                v = v.to_pydatetime()
+            epoch = _dt.datetime(1970, 1, 1, tzinfo=getattr(v, "tzinfo", None))
+            us = round((v - epoch).total_seconds() * 1_000_000)
+        return struct.pack("<q", int(us))
+    if ice_type == "string":
+        b = str(v).encode("utf-8")
+        return b if len(b) <= 64 else None  # no truncation: skip long bounds
+    if ice_type == "binary":
+        b = bytes(v)
+        return b if len(b) <= 64 else None
+    return None
+
+
+def bound_from_bytes(b: bytes, ice_type: str):
+    """Inverse of :func:`bound_to_bytes` (comparable Python value)."""
+    import struct
+
+    if b is None:
+        return None
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type in ("int", "date"):
+        return struct.unpack("<i", bytes(b))[0]
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", bytes(b))[0]
+    if ice_type == "float":
+        return struct.unpack("<f", bytes(b))[0]
+    if ice_type == "double":
+        return struct.unpack("<d", bytes(b))[0]
+    if ice_type == "string":
+        return bytes(b).decode("utf-8")
+    if ice_type == "binary":
+        return bytes(b)
+    return None
+
+
+def file_column_bounds(path: str, schema_fields: list[dict]
+                       ) -> tuple[dict, dict]:
+    """(lower_bounds, upper_bounds) {field_id: bytes} for one parquet data
+    file, from the footer's row-group statistics — O(footer), the file is
+    never scanned. Columns without stats (or beyond the 64-byte bound cap)
+    simply carry no bound: planners must treat missing as 'cannot skip'."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in schema_fields}
+    meta = pq.read_metadata(path)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or not isinstance(
+                    by_name[name]["type"], str):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            if ok.get(name) is False:
+                continue
+            ok[name] = True
+            mn, mx = st.min, st.max
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    lower: dict[int, bytes] = {}
+    upper: dict[int, bytes] = {}
+    for name, good in ok.items():
+        if not good:
+            continue
+        fld = by_name[name]
+        lo = bound_to_bytes(mins[name], fld["type"])
+        hi = bound_to_bytes(maxs[name], fld["type"])
+        if lo is not None and hi is not None:
+            lower[fld["id"]] = lo
+            upper[fld["id"]] = hi
+    return lower, upper
+
+
+def _bounds_to_avro(d: dict | None):
+    if not d:
+        return None
+    return [{"key": int(k), "value": bytes(v)} for k, v in sorted(d.items())]
+
+
+def _bounds_from_avro(rows) -> dict | None:
+    if not rows:
+        return None
+    return {int(r["key"]): bytes(r["value"]) for r in rows}
+
+
 def _bucket_udf(n: int, kind: str):
     """Arrow-batched pandas UDF computing ``bucket[N]`` ordinals for the
     writer's ``__p_*`` routing column.  ``kind`` is the canonical encoding
@@ -416,6 +553,45 @@ _TRANSFORM_RE = re.compile(
     r"|(?:bucket\(\s*(\d+)\s*,\s*(\w+)\s*\))"
     r"|(?:truncate\(\s*(\d+)\s*,\s*(\w+)\s*\))"
 )
+
+
+def _stats_match(lower: dict | None, upper: dict | None,
+                 stats_cols: dict) -> bool:
+    """Can a file possibly hold a matching row, judged by its bounds?
+    Missing bounds for a column → True (cannot skip)."""
+    for fid, (ice_type, cond) in stats_cols.items():
+        lo_b = (lower or {}).get(fid)
+        hi_b = (upper or {}).get(fid)
+        if lo_b is None or hi_b is None:
+            continue
+        lo = bound_from_bytes(lo_b, ice_type)
+        hi = bound_from_bytes(hi_b, ice_type)
+
+        def norm(v):
+            b = bound_to_bytes(v, ice_type)
+            if b is None:
+                return None
+            return bound_from_bytes(b, ice_type)
+
+        if isinstance(cond, tuple) and len(cond) == 2:
+            qlo, qhi = norm(cond[0]), norm(cond[1])
+            if qlo is None or qhi is None:
+                continue
+            if qhi < lo or qlo > hi:
+                return False
+        elif isinstance(cond, (list, set, frozenset)):
+            vals = [norm(v) for v in cond]
+            if any(v is None for v in vals):
+                continue
+            if all(v < lo or v > hi for v in vals):
+                return False
+        else:
+            v = norm(cond)
+            if v is None:
+                continue
+            if v < lo or v > hi:
+                return False
+    return True
 
 
 def _partition_match(part: dict, flt: dict) -> bool:
@@ -813,6 +989,8 @@ class IcebergTable:
                     "file_size_in_bytes": int(f.file_size_in_bytes),
                     "equality_ids": (list(f.equality_ids)
                                      if f.equality_ids else None),
+                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
                 },
             }
 
@@ -1024,6 +1202,8 @@ class IcebergTable:
                     "file_size_in_bytes": int(f.file_size_in_bytes),
                     "equality_ids": (list(f.equality_ids)
                                      if f.equality_ids else None),
+                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
                 },
             }
 
@@ -1283,7 +1463,8 @@ class IcebergTable:
     # -- planning / reading -------------------------------------------------
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_ms: int | None = None,
-                   partition_filter: dict | None = None) -> list[DataFileInfo]:
+                   partition_filter: dict | None = None,
+                   stats_filter: dict | None = None) -> list[DataFileInfo]:
         """Live data files at a snapshot (current by default): one manifest
         list + its manifests, no ``data/`` directory listing.
 
@@ -1295,7 +1476,14 @@ class IcebergTable:
         epoch-day, bucket[N] → murmur3 ordinal, truncate[W] → truncated
         value — ranges are valid on day/truncate, which preserve order,
         and rejected on bucket, which doesn't).  Unknown columns raise (a
-        typo would silently scan everything otherwise)."""
+        typo would silently scan everything otherwise).
+
+        ``stats_filter`` skips files by the manifest's per-column value
+        bounds (spec metrics evaluation) — ``{col: value | [in-list] |
+        (lo, hi)}`` on any top-level scalar column, partitioned or not.
+        Files without bounds for a column are KEPT (missing metrics can
+        never wrongly skip), so the result is a SUPERSET of the matching
+        rows' files: :meth:`read` re-applies the predicate row-level."""
         if partition_filter:
             fields = {f["name"]: f for f in self.spec_fields()}
             bad = set(partition_filter) - set(fields)
@@ -1337,6 +1525,20 @@ class IcebergTable:
                 col: norm(fields[col], cond)
                 for col, cond in partition_filter.items()
             }
+        stats_cols: dict[int, tuple[str, object]] = {}
+        if stats_filter:
+            by_name = {f["name"]: f
+                       for f in self.metadata()["schemas"][0]["fields"]}
+            bad = set(stats_filter) - set(by_name)
+            if bad:
+                raise ValueError(
+                    f"stats_filter columns not in schema: {sorted(bad)}")
+            for col, cond in stats_filter.items():
+                fld = by_name[col]
+                if not isinstance(fld["type"], str):
+                    raise ValueError(
+                        f"stats_filter on non-scalar column {col!r}")
+                stats_cols[fld["id"]] = (fld["type"], cond)
         snap = self._resolve_snapshot(snapshot_id, as_of_ms)
         if snap is None:
             return []
@@ -1352,6 +1554,10 @@ class IcebergTable:
                 if partition_filter and not _partition_match(
                         part, partition_filter):
                     continue
+                lower = _bounds_from_avro(df.get("lower_bounds"))
+                upper = _bounds_from_avro(df.get("upper_bounds"))
+                if stats_cols and not _stats_match(lower, upper, stats_cols):
+                    continue
                 out.append(DataFileInfo(
                     file_path=_from_uri(df["file_path"]),
                     record_count=df["record_count"],
@@ -1361,6 +1567,8 @@ class IcebergTable:
                         e["sequence_number"] if e["sequence_number"] is not None
                         else m["sequence_number"]),
                     partition=part or None,
+                    lower_bounds=lower,
+                    upper_bounds=upper,
                 ))
         return out
 
@@ -1450,12 +1658,18 @@ class IcebergTable:
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
-             partition_filter: dict | None = None) -> DataFrame:
+             partition_filter: dict | None = None,
+             stats_filter: dict | None = None) -> DataFrame:
         """Scan pinned to exactly the planned files, schema pinned from
         table metadata (no inference / no extra listing job).  With
         ``partition_filter`` the scan reads ONLY the matching partitions'
         files (manifest-level pruning — the reader never lists or opens
         non-matching files).
+
+        ``stats_filter`` prunes files by the manifest's per-column value
+        bounds (a superset of the matching rows' files) and then re-applies
+        the SAME predicate row-level inside the scan, so the result is
+        exact — bounds only decide which files are never opened.
 
         When the snapshot carries live equality-delete files (an upsert
         not yet compacted away), they are applied in-plan: one broadcast
@@ -1464,11 +1678,22 @@ class IcebergTable:
         strictly-smaller-sequence predicate.  After
         ``compact_data_files`` purges the deletes, this method plans a
         PLAIN scan again — no resolution join survives compaction."""
-        files = self.plan_files(snapshot_id, as_of_ms, partition_filter)
+        files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
+                                stats_filter)
         ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
         if not files:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+        if stats_filter:
+            from pyspark.sql import functions as F
+
+            for col, cond in stats_filter.items():
+                if isinstance(cond, tuple) and len(cond) == 2:
+                    df = df.filter(F.col(col).between(cond[0], cond[1]))
+                elif isinstance(cond, (list, set, frozenset)):
+                    df = df.filter(F.col(col).isin(list(cond)))
+                else:
+                    df = df.filter(F.col(col) == F.lit(cond))
         dels = self.plan_delete_files(snapshot_id, as_of_ms)
         if not dels:
             return df
@@ -1665,6 +1890,8 @@ class IcebergTable:
                     "file_size_in_bytes": int(f.file_size_in_bytes),
                     "equality_ids": (list(f.equality_ids)
                                      if f.equality_ids else None),
+                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
                 },
             }
 
@@ -1748,11 +1975,15 @@ class IcebergTable:
                     dst_dir, f"{name_prefix}{token}-{i:05d}.parquet")
                 i += 1
                 os.rename(src, dst)
+                lower, upper = file_column_bounds(
+                    dst, self.metadata()["schemas"][0]["fields"])
                 infos.append(DataFileInfo(
                     file_path=dst,
                     record_count=pq.read_metadata(dst).num_rows,
                     file_size_in_bytes=os.path.getsize(dst),
                     partition=part or None,
+                    lower_bounds=lower or None,
+                    upper_bounds=upper or None,
                 ))
         return infos
 

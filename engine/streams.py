@@ -205,7 +205,7 @@ def write_clips_iceberg(
     import pyarrow.parquet as pq
     from pyspark.sql import types as T
 
-    from engine.iceberg import DataFileInfo, IcebergTable
+    from engine.iceberg import DataFileInfo, IcebergTable, file_column_bounds
 
     spark_schema = T.StructType([
         T.StructField("clip_id", T.StringType()),
@@ -249,15 +249,19 @@ def write_clips_iceberg(
                 parallelism=parallelism, _spec=spec, **kw),
             key=lambda e: os.path.basename(e[0]),
         )
+    schema_fields = table.metadata()["schemas"][0]["fields"]
     per_snap = files_per_snapshot or len(entries) or 1
     for i in range(0, len(entries), per_snap):
         infos = []
         for p, part in entries[i:i + per_snap]:
+            lower, upper = file_column_bounds(p, schema_fields)
             infos.append(DataFileInfo(
                 file_path=p,
                 record_count=pq.read_metadata(p).num_rows,
                 file_size_in_bytes=os.path.getsize(p),
                 partition=part,
+                lower_bounds=lower or None,
+                upper_bounds=upper or None,
             ))
         table.commit_append(infos)
     return table

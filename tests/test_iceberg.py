@@ -1151,3 +1151,116 @@ def test_upsert_on_partitioned_table(spark, tmp_path):
     pd.testing.assert_frame_equal(
         t.read(spark, partition_filter={"grp": 1})
         .toPandas().sort_values("k", ignore_index=True), want)
+
+
+# ---------------------------------------------------------------------------
+# manifest column statistics: lower/upper bounds + metrics file skipping
+# ---------------------------------------------------------------------------
+
+def test_bounds_roundtrip_appendix_d():
+    import datetime as dt
+
+    from engine.iceberg import bound_from_bytes, bound_to_bytes
+
+    for v, t in [(42, "int"), (-7, "int"), (1 << 40, "long"),
+                 (2.5, "float"), (-1e12, "double"), (True, "boolean"),
+                 ("abc", "string"), (b"\x00\x01", "binary"),
+                 (dt.date(2024, 3, 1), "date")]:
+        b = bound_to_bytes(v, t)
+        got = bound_from_bytes(b, t)
+        if t == "float":
+            assert abs(got - v) < 1e-6
+        elif t == "date":
+            assert got == (v - dt.date(1970, 1, 1)).days
+        else:
+            assert got == v, (v, t, got)
+    # spec little-endian forms
+    assert bound_to_bytes(1, "int") == b"\x01\x00\x00\x00"
+    assert bound_to_bytes(1, "long") == b"\x01" + b"\x00" * 7
+    # timestamps serialize as epoch micros
+    us = bound_from_bytes(
+        bound_to_bytes(dt.datetime(2024, 1, 1), "timestamptz"), "timestamptz")
+    assert us == 1704067200000000
+    # >64-byte strings carry no bound (skip-safe, never wrong)
+    assert bound_to_bytes("x" * 65, "string") is None
+
+
+def test_stats_filter_skips_files_and_read_is_exact(spark, tmp_path):
+    """Each append lands a file with a disjoint k-range; a stats_filter on
+    k must plan strictly fewer files, and read(stats_filter=...) must
+    return exactly the matching rows (file skip is a superset; the row
+    filter re-applies the predicate)."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "stats")
+    for lo in range(0, 500, 100):
+        t.write_dataframe(_df(spark, lo, lo + 100).coalesce(1))
+    live = t.plan_files()
+    assert len(live) == 5
+    assert all(f.lower_bounds and f.upper_bounds for f in live)
+
+    pruned = t.plan_files(stats_filter={"k": (150, 249)})
+    assert len(pruned) == 2                       # files [100,200) + [200,300)
+    got = t.read(spark, stats_filter={"k": (150, 249)}).toPandas()
+    want = _df(spark, 150, 250).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("k", ignore_index=True),
+        want.sort_values("k", ignore_index=True))
+
+    # equality + in-list conditions; string bounds work too
+    assert len(t.plan_files(stats_filter={"k": 42})) == 1
+    assert len(t.plan_files(stats_filter={"k": [42, 450]})) == 2
+    one = t.read(spark, stats_filter={"s": "row-123"}).toPandas()
+    assert list(one["k"]) == [123]
+    # unknown column raises; miss-everything returns no files
+    with pytest.raises(ValueError, match="not in schema"):
+        t.plan_files(stats_filter={"nope": 1})
+    assert t.plan_files(stats_filter={"k": 10_000}) == []
+
+
+def test_stats_filter_composes_with_partitions_and_compaction(spark, tmp_path):
+    import pandas as pd
+
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "id % 2 AS grp", "cast(id AS double) AS v")
+    t = IcebergTable(str(tmp_path / "statsp"), schema=df0.schema,
+                     partition_by=["grp"])
+    for lo in range(0, 400, 100):
+        t.write_dataframe(spark.range(lo, lo + 100).selectExpr(
+            "id AS k", "id % 2 AS grp", "cast(id AS double) AS v"))
+    both = t.plan_files(partition_filter={"grp": 1},
+                        stats_filter={"k": (0, 99)})
+    assert both and len(both) < len(t.plan_files())
+    got = t.read(spark, partition_filter={"grp": 1},
+                 stats_filter={"k": (0, 99)}).toPandas()
+    assert sorted(got["k"]) == list(range(1, 100, 2))
+    # compaction rebuilds bounds from the rewritten footers
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    post = t.plan_files()
+    assert all(f.lower_bounds for f in post)
+    got2 = t.read(spark, partition_filter={"grp": 1},
+                  stats_filter={"k": (0, 99)}).toPandas()
+    pd.testing.assert_frame_equal(
+        got2.sort_values("k", ignore_index=True),
+        got.sort_values("k", ignore_index=True))
+
+
+def test_producer_topic_carries_event_ts_bounds(spark, tmp_path):
+    """The clip topic's manifests carry event_ts bounds — a time-range
+    plan over the unpartitioned topic skips files outside the range."""
+    from engine.streams import write_clips_iceberg
+
+    t = write_clips_iceberg(str(tmp_path / "btopic"), 400, n_files=8,
+                            seed=7, files_per_snapshot=4, jitter_ms=1000)
+    live = t.plan_files()
+    assert all(f.lower_bounds and f.upper_bounds for f in live)
+    full = t.read(spark)
+    lo, hi = full.selectExpr("min(event_ts)", "max(event_ts)").first()
+    mid = lo + (hi - lo) / 8
+    pruned = t.plan_files(stats_filter={"event_ts": (lo, mid)})
+    assert 0 < len(pruned) < len(live)
+    got = t.read(spark, stats_filter={"event_ts": (lo, mid)})
+    want = full.filter(
+        (full.event_ts >= lo) & (full.event_ts <= mid))
+    assert sorted(r.clip_id for r in got.collect()) == \
+        sorted(r.clip_id for r in want.collect())
