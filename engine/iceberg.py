@@ -1862,9 +1862,59 @@ class IcebergTable:
                     pass
             raise
 
+    def delete_keys(self, spark: SparkSession, keys_df: DataFrame,
+                    key_cols: list[str],
+                    summary_extra: dict | None = None) -> int:
+        """Row-level DELETE by key — an equality-delete-only commit (the
+        GDPR/right-to-erasure shape a feature store needs): every existing
+        row matching a key tuple in ``keys_df`` is masked from this
+        snapshot on, with no new data files.  Time travel to older
+        snapshots still sees the rows; ``compact_data_files`` folds the
+        deletion into the data files (physically removing the bytes) and
+        ``expire_snapshots`` then GCs the originals — the full erasure
+        path.  ``keys_df`` needs exactly the key columns (extra columns
+        are dropped)."""
+        missing = [k for k in key_cols if k not in keys_df.columns]
+        if missing:
+            raise ValueError(f"delete key columns not in frame: {missing}")
+        name_to_id = {f["name"]: f["id"]
+                      for f in self.metadata()["schemas"][0]["fields"]}
+        bad = [k for k in key_cols if k not in name_to_id]
+        if bad:
+            raise ValueError(f"delete key columns not in table schema: {bad}")
+        eq_ids = [name_to_id[k] for k in key_cols]
+        tmp = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
+        keys_df.select(*key_cols).distinct().coalesce(1)             .write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+        import shutil
+
+        src = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        del_path = os.path.join(
+            self.data_dir, f"eqdel-{uuid.uuid4().hex[:8]}.parquet")
+        os.rename(src, del_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        del_info = DataFileInfo(
+            file_path=del_path,
+            record_count=pq.read_metadata(del_path).num_rows,
+            file_size_in_bytes=os.path.getsize(del_path),
+            content=2, equality_ids=eq_ids,
+        )
+        try:
+            return self._commit_row_delta([], del_info, summary_extra,
+                                          operation="delete")
+        except BaseException:
+            try:
+                os.remove(del_path)
+            except OSError:
+                pass
+            raise
+
     def _commit_row_delta(self, data_files: list[DataFileInfo],
                           delete_file: DataFileInfo,
-                          summary_extra: dict | None = None) -> int:
+                          summary_extra: dict | None = None,
+                          operation: str = "overwrite") -> int:
         """Commit new data files + one equality-delete file as a single
         'overwrite' snapshot (the v2 row-delta shape): an added data
         manifest (content=0), an added delete manifest (content=1), and
@@ -1896,12 +1946,14 @@ class IcebergTable:
             }
 
         add_rows = sum(f.record_count for f in data_files)
-        mpath, mlen = self._write_manifest(
-            [entry(f) for f in data_files], spec_json)
-        manifests = [self._manifest_list_entry(
-            mpath, mlen, seq, seq, snapshot_id,
-            (len(data_files), add_rows), (0, 0),
-        )]
+        manifests = []
+        if data_files:
+            mpath, mlen = self._write_manifest(
+                [entry(f) for f in data_files], spec_json)
+            manifests.append(self._manifest_list_entry(
+                mpath, mlen, seq, seq, snapshot_id,
+                (len(data_files), add_rows), (0, 0),
+            ))
         dpath, dlen = self._write_manifest(
             [entry(delete_file)], spec_json, content="deletes")
         manifests.append(self._manifest_list_entry(
@@ -1914,7 +1966,7 @@ class IcebergTable:
             prev_total_files = int(prev["summary"].get("total-data-files", 0))
             prev_total_rows = int(prev["summary"].get("total-records", 0))
         summary = {
-            "operation": "overwrite",
+            "operation": operation,
             "added-data-files": str(len(data_files)),
             "added-records": str(add_rows),
             "added-delete-files": "1",
@@ -2046,8 +2098,10 @@ class IcebergSink:
         return fn
 
     def read_committed(self, spark: SparkSession,
-                       partition_filter: dict | None = None) -> DataFrame:
-        return self.table().read(spark, partition_filter=partition_filter)
+                       partition_filter: dict | None = None,
+                       stats_filter: dict | None = None) -> DataFrame:
+        return self.table().read(spark, partition_filter=partition_filter,
+                                 stats_filter=stats_filter)
 
     def audit(self) -> dict:
         """Exactly-once audit mirroring ``ParquetLedgerSink.audit``:

@@ -413,6 +413,9 @@ def cmd_maintain(args) -> dict:
         out["compaction"] = {
             "snapshot_id": sid, "files_before": pre,
             "files_after": len(t.plan_files()),
+            "purged_delete_files": (
+                int(t.snapshot(sid)["summary"].get("removed-delete-files", 0))
+                if sid is not None else 0),
         }
     if args.expire_older_than_ms is not None or args.retain_last is not None:
         out["expiration"] = t.expire_snapshots(

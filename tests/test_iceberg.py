@@ -1264,3 +1264,44 @@ def test_producer_topic_carries_event_ts_bounds(spark, tmp_path):
         (full.event_ts >= lo) & (full.event_ts <= mid))
     assert sorted(r.clip_id for r in got.collect()) == \
         sorted(r.clip_id for r in want.collect())
+
+
+def test_delete_keys_masks_then_compaction_erases(spark, tmp_path):
+    """Row-level DELETE by key (equality-delete-only commit): rows vanish
+    from the current snapshot, survive in time travel, and compaction +
+    expiration physically erase them — the full right-to-erasure path."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "del")
+    t.write_dataframe(_df(spark, 0, 40).coalesce(2))
+    s1 = t.current_snapshot_id
+    kill = spark.createDataFrame([(3,), (17,), (39,)], "k long")
+    sid = t.delete_keys(spark, kill, ["k"])
+    assert t.snapshot(sid)["summary"]["operation"] == "delete"
+
+    got = t.read(spark).toPandas()
+    assert len(got) == 37 and not set(got.k) & {3, 17, 39}
+    # older snapshot unaffected; delete planned as a live delete file
+    assert len(t.read(spark, snapshot_id=s1).toPandas()) == 40
+    assert len(t.plan_delete_files()) == 1
+
+    # deleting then upserting one of the keys resurrects it (newer seq)
+    t.upsert(spark, spark.createDataFrame(
+        [(17, 9.9, "back")], "k long, v double, s string"), ["k"])
+    got2 = t.read(spark).toPandas()
+    assert len(got2) == 38
+    assert got2.loc[got2.k == 17, "s"].iloc[0] == "back"
+
+    # compaction folds both delete files away; physical bytes follow on GC
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    assert t.plan_delete_files() == []
+    pd.testing.assert_frame_equal(
+        t.read(spark).toPandas().sort_values("k", ignore_index=True), before)
+    res = t.expire_snapshots(retain_last=1)
+    assert res["data_files"] >= 3  # originals + delete files erased
+    # the erased keys are in NO live file on disk
+    live_ks = set()
+    for f in t.plan_files():
+        live_ks |= {r.k for r in spark.read.parquet(f.file_path).collect()}
+    assert 3 not in live_ks and 39 not in live_ks and 17 in live_ks
