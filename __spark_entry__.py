@@ -2268,7 +2268,7 @@ def _q_stream_backfill_day(spark, sf_dir):
     assert recursive
     src = (
         spark.readStream.schema(iceberg_schema_to_ddl(
-            t.metadata()["schemas"][0]))
+            t.schema_json()))
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(path)

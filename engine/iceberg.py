@@ -753,7 +753,7 @@ class IcebergTable:
         """partition field → iceberg primitive type of the PARTITION VALUE
         (identity/truncate → the source column's type; day → epoch-day
         int; bucket → int ordinal)."""
-        schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+        schema_fields = {f["id"]: f for f in self.schema_json()["fields"]}
 
         def value_type(f: dict) -> str:
             tr = f.get("transform", "identity")
@@ -773,7 +773,7 @@ class IcebergTable:
         builtin exists — ``F.hash`` uses Spark's own seed/encoding)."""
         from pyspark.sql import functions as F
 
-        schema_fields = {f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+        schema_fields = {f["id"]: f for f in self.schema_json()["fields"]}
         out = []
         for f in self.spec_fields():
             src = schema_fields[f["source-id"]]
@@ -860,6 +860,16 @@ class IcebergTable:
         with open(self._version_path(v)) as fh:
             return json.load(fh)
 
+    def schema_json(self, meta: dict | None = None) -> dict:
+        """The CURRENT schema (schema evolution appends new schemas and
+        bumps ``current-schema-id`` — schemas[0] is only the original)."""
+        meta = meta if meta is not None else self.metadata()
+        cur = meta.get("current-schema-id", 0)
+        for sch in meta["schemas"]:
+            if sch.get("schema-id", 0) == cur:
+                return sch
+        return meta["schemas"][0]
+
     def _publish(self, meta: dict, base_version: int | None) -> int:
         """CAS-commit a new metadata version (os.link fails on collision)."""
         new_v = 1 if base_version is None else base_version + 1
@@ -899,8 +909,87 @@ class IcebergTable:
                 return s
         raise KeyError(f"no snapshot {snapshot_id} in {self.location}")
 
+    def add_columns(self, new_schema) -> int:
+        """Schema evolution: append new NULLABLE columns (the reference's
+        appendFeatures seam, ``FeatureGroupApi`` — P4 at the storage
+        layer).  ``new_schema`` is a Spark StructType holding ONLY the
+        columns to add.  Per the Iceberg evolution rules the new fields
+        get fresh ids past ``last-column-id``, a new schema with a bumped
+        ``schema-id`` becomes current, and data files written before the
+        change simply lack the columns — the pinned-schema scan reads
+        them as null.  Drops/renames/type-changes are not supported here
+        (additive evolution only — the only kind the reference's feature
+        groups perform).  Returns the new schema id."""
+        meta = dict(self.metadata())
+        base = self._current_version()
+        cur = self.schema_json(meta)
+        existing = {f["name"] for f in cur["fields"]}
+        ids = _IdGen(meta["last-column-id"])
+        added = _struct_fields(new_schema, ids)
+        for f in added:
+            if f["name"] in existing:
+                raise ValueError(f"column {f['name']!r} already exists")
+            if f["required"]:
+                raise ValueError(
+                    f"new column {f['name']!r} must be nullable — rows "
+                    "written before the change have no value for it")
+        new_id = max(sch.get("schema-id", 0) for sch in meta["schemas"]) + 1
+        new_sch = {"schema-id": new_id, "type": "struct",
+                   "fields": cur["fields"] + added}
+        meta["schemas"] = meta["schemas"] + [new_sch]
+        meta["current-schema-id"] = new_id
+        meta["last-column-id"] = ids.last
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish(meta, base_version=base)
+        return new_id
+
+    def tag_snapshot(self, name: str, snapshot_id: int | None = None) -> None:
+        """Pin a named TAG ref to a snapshot (current by default) — the
+        reproducible-training-set pin (Iceberg refs; the reference's
+        versioned training datasets, ``td_version``): ``read(ref=name)``
+        always plans exactly this snapshot, and ``expire_snapshots`` will
+        never expire a snapshot a ref points at."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid ref name {name!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            raise ValueError("cannot tag an empty table")
+        self.snapshot(sid)  # raises on unknown id
+        meta = dict(self.metadata())
+        base = self._current_version()
+        refs = dict(meta.get("refs") or {})
+        refs[name] = {"snapshot-id": sid, "type": "tag"}
+        meta["refs"] = refs
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish(meta, base_version=base)
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a named ref (its snapshot becomes expirable again)."""
+        if name == "main":
+            raise ValueError("cannot drop the main branch ref")
+        meta = dict(self.metadata())
+        base = self._current_version()
+        refs = dict(meta.get("refs") or {})
+        if name not in refs:
+            raise KeyError(f"no ref {name!r}")
+        del refs[name]
+        meta["refs"] = refs
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish(meta, base_version=base)
+
+    def refs(self) -> dict:
+        return dict(self.metadata().get("refs") or {})
+
     def _resolve_snapshot(self, snapshot_id: int | None,
-                          as_of_ms: int | None) -> dict | None:
+                          as_of_ms: int | None,
+                          ref: str | None = None) -> dict | None:
+        if ref is not None:
+            refs = self.metadata().get("refs") or {}
+            if ref not in refs:
+                raise KeyError(
+                    f"no ref {ref!r} on table {self.location} "
+                    f"(refs: {sorted(refs)})")
+            return self.snapshot(refs[ref]["snapshot-id"])
         if snapshot_id is not None:
             return self.snapshot(snapshot_id)
         if as_of_ms is not None:
@@ -921,7 +1010,7 @@ class IcebergTable:
             entries, self._entry_schema(),
             extra_meta={
                 "schema": json.dumps(
-                    self.metadata()["schemas"][0], sort_keys=True).encode(),
+                    self.schema_json(), sort_keys=True).encode(),
                 "partition-spec": spec_json.encode(),
                 "partition-spec-id": b"0",
                 "format-version": b"2",
@@ -1078,7 +1167,9 @@ class IcebergTable:
             {"timestamp-ms": now_ms,
              "metadata-file": _to_uri(self._version_path(base_version))}
         ]
-        meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+        refs = dict(meta.get("refs") or {})
+        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
         self._publish(meta, base_version=base_version)
         return snapshot_id
 
@@ -1315,7 +1406,7 @@ class IcebergTable:
         total_bytes = sum(f.file_size_in_bytes for f in inputs)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
 
-        ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
+        ddl = iceberg_schema_to_ddl(self.schema_json())
         tmp = os.path.join(self.location, f".tmp-compact-{uuid.uuid4().hex[:8]}")
         scan = spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
         expected_rows = None
@@ -1394,6 +1485,9 @@ class IcebergTable:
         cur = self.current_snapshot_id
         if cur is not None:
             keep_ids.add(cur)
+        # refs pin their snapshots: a tagged training set never expires
+        for r in (meta.get("refs") or {}).values():
+            keep_ids.add(r["snapshot-id"])
         retained, expired = [], []
         for s in snaps:
             if (s["snapshot-id"] in keep_ids
@@ -1464,7 +1558,8 @@ class IcebergTable:
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_ms: int | None = None,
                    partition_filter: dict | None = None,
-                   stats_filter: dict | None = None) -> list[DataFileInfo]:
+                   stats_filter: dict | None = None,
+                   ref: str | None = None) -> list[DataFileInfo]:
         """Live data files at a snapshot (current by default): one manifest
         list + its manifests, no ``data/`` directory listing.
 
@@ -1492,7 +1587,7 @@ class IcebergTable:
                     f"not partition columns of this table: {sorted(bad)} "
                     f"(spec: {sorted(fields)})")
             schema_fields = {
-                f["id"]: f for f in self.metadata()["schemas"][0]["fields"]}
+                f["id"]: f for f in self.schema_json()["fields"]}
 
             def norm(fld: dict, cond):
                 tr = fld.get("transform", "identity")
@@ -1528,7 +1623,7 @@ class IcebergTable:
         stats_cols: dict[int, tuple[str, object]] = {}
         if stats_filter:
             by_name = {f["name"]: f
-                       for f in self.metadata()["schemas"][0]["fields"]}
+                       for f in self.schema_json()["fields"]}
             bad = set(stats_filter) - set(by_name)
             if bad:
                 raise ValueError(
@@ -1539,7 +1634,7 @@ class IcebergTable:
                     raise ValueError(
                         f"stats_filter on non-scalar column {col!r}")
                 stats_cols[fld["id"]] = (fld["type"], cond)
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
         out: list[DataFileInfo] = []
@@ -1573,13 +1668,14 @@ class IcebergTable:
         return out
 
     def plan_delete_files(self, snapshot_id: int | None = None,
-                          as_of_ms: int | None = None) -> list[DataFileInfo]:
+                          as_of_ms: int | None = None,
+                          ref: str | None = None) -> list[DataFileInfo]:
         """Live equality-delete files at a snapshot (content=1 manifests).
         Each masks data rows matching its key tuples in files with a
         STRICTLY SMALLER data sequence number.  Global (unpartitioned)
         application — partition pruning never skips a delete, so pruned
         reads stay correct."""
-        snap = self._resolve_snapshot(snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
         out: list[DataFileInfo] = []
@@ -1659,7 +1755,8 @@ class IcebergTable:
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_ms: int | None = None,
              partition_filter: dict | None = None,
-             stats_filter: dict | None = None) -> DataFrame:
+             stats_filter: dict | None = None,
+             ref: str | None = None) -> DataFrame:
         """Scan pinned to exactly the planned files, schema pinned from
         table metadata (no inference / no extra listing job).  With
         ``partition_filter`` the scan reads ONLY the matching partitions'
@@ -1679,8 +1776,8 @@ class IcebergTable:
         ``compact_data_files`` purges the deletes, this method plans a
         PLAIN scan again — no resolution join survives compaction."""
         files = self.plan_files(snapshot_id, as_of_ms, partition_filter,
-                                stats_filter)
-        ddl = iceberg_schema_to_ddl(self.metadata()["schemas"][0])
+                                stats_filter, ref)
+        ddl = iceberg_schema_to_ddl(self.schema_json())
         if not files:
             return spark.createDataFrame([], ddl)
         df = spark.read.schema(ddl).parquet(*[f.file_path for f in files])
@@ -1694,7 +1791,7 @@ class IcebergTable:
                     df = df.filter(F.col(col).isin(list(cond)))
                 else:
                     df = df.filter(F.col(col) == F.lit(cond))
-        dels = self.plan_delete_files(snapshot_id, as_of_ms)
+        dels = self.plan_delete_files(snapshot_id, as_of_ms, ref)
         if not dels:
             return df
         return self._apply_equality_deletes(spark, df, files, dels)
@@ -1708,7 +1805,7 @@ class IcebergTable:
         from pyspark.sql import functions as F
 
         cols = df.columns
-        schema_fields = self.metadata()["schemas"][0]["fields"]
+        schema_fields = self.schema_json()["fields"]
         id_to_name = {f["id"]: f["name"] for f in schema_fields}
 
         def key_ddl(keys: list[str]) -> str:
@@ -1816,7 +1913,7 @@ class IcebergTable:
                 f"{[dup[0][k] for k in key_cols]} — resolve to one row per "
                 "key before upserting")
         name_to_id = {f["name"]: f["id"]
-                      for f in self.metadata()["schemas"][0]["fields"]}
+                      for f in self.schema_json()["fields"]}
         eq_ids = [name_to_id[k] for k in key_cols]
 
         # data files (partition-aware, same path as write_dataframe)
@@ -1878,7 +1975,7 @@ class IcebergTable:
         if missing:
             raise ValueError(f"delete key columns not in frame: {missing}")
         name_to_id = {f["name"]: f["id"]
-                      for f in self.metadata()["schemas"][0]["fields"]}
+                      for f in self.schema_json()["fields"]}
         bad = [k for k in key_cols if k not in name_to_id]
         if bad:
             raise ValueError(f"delete key columns not in table schema: {bad}")
@@ -2028,7 +2125,7 @@ class IcebergTable:
                 i += 1
                 os.rename(src, dst)
                 lower, upper = file_column_bounds(
-                    dst, self.metadata()["schemas"][0]["fields"])
+                    dst, self.schema_json()["fields"])
                 infos.append(DataFileInfo(
                     file_path=dst,
                     record_count=pq.read_metadata(dst).num_rows,

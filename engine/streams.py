@@ -231,7 +231,7 @@ def write_clips_iceberg(
         ]
     else:
         schema_by_id = {
-            f["id"]: f for f in table.metadata()["schemas"][0]["fields"]}
+            f["id"]: f for f in table.schema_json()["fields"]}
         spec = []
         for f in spec_fields:
             tr = f.get("transform", "identity")
@@ -249,7 +249,7 @@ def write_clips_iceberg(
                 parallelism=parallelism, _spec=spec, **kw),
             key=lambda e: os.path.basename(e[0]),
         )
-    schema_fields = table.metadata()["schemas"][0]["fields"]
+    schema_fields = table.schema_json()["fields"]
     per_snap = files_per_snapshot or len(entries) or 1
     for i in range(0, len(entries), per_snap):
         infos = []

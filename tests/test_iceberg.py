@@ -1305,3 +1305,86 @@ def test_delete_keys_masks_then_compaction_erases(spark, tmp_path):
     for f in t.plan_files():
         live_ks |= {r.k for r in spark.read.parquet(f.file_path).collect()}
     assert 3 not in live_ks and 39 not in live_ks and 17 in live_ks
+
+
+# ---------------------------------------------------------------------------
+# snapshot refs (tags) + additive schema evolution
+# ---------------------------------------------------------------------------
+
+def test_tag_pins_snapshot_and_survives_expiration(spark, tmp_path):
+    """A named tag (the reproducible training-set pin) always plans its
+    snapshot, and expiration never GCs a tagged snapshot's files."""
+    t = _mktable(spark, tmp_path, "refs")
+    t.write_dataframe(_df(spark, 0, 20).coalesce(1))
+    t.tag_snapshot("train-v1")
+    for lo in range(20, 60, 20):
+        t.write_dataframe(_df(spark, lo, lo + 20).coalesce(1))
+    t.write_dataframe(_df(spark, 100, 110), mode="overwrite")
+
+    assert len(t.read(spark, ref="train-v1").toPandas()) == 20
+    assert len(t.read(spark).toPandas()) == 10
+    assert t.refs()["train-v1"]["type"] == "tag"
+
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired_snapshots"] == 2          # middle appends only
+    # the tagged snapshot still reads in full after GC
+    got = t.read(spark, ref="train-v1").toPandas()
+    assert sorted(got.k) == list(range(20))
+    # drop the tag -> snapshot becomes expirable; ref gone
+    t.drop_ref("train-v1")
+    with pytest.raises(KeyError, match="no ref"):
+        t.read(spark, ref="train-v1")
+    res2 = t.expire_snapshots(retain_last=1)
+    assert res2["expired_snapshots"] == 1
+    with pytest.raises(ValueError, match="invalid ref"):
+        t.tag_snapshot("main")
+    # refs survive ordinary commits (main advances, tags stay)
+    t.tag_snapshot("v2")
+    t.write_dataframe(_df(spark, 0, 5).coalesce(1))
+    assert "v2" in t.refs() and len(t.read(spark, ref="v2").toPandas()) == 10
+
+
+def test_add_columns_reads_old_files_as_null(spark, tmp_path):
+    """Additive schema evolution (appendFeatures): new nullable columns get
+    fresh ids, old files read as null, new writes carry values, and the
+    spec round-trips through reopen."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    t = _mktable(spark, tmp_path, "evo")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    new_cols = T.StructType([
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    sid = t.add_columns(new_cols)
+    assert sid == 1
+    got = t.read(spark).toPandas()
+    assert set(got.columns) == {"k", "v", "s", "score", "lang"}
+    assert got["score"].isna().all() and got["lang"].isna().all()
+
+    t2 = IcebergTable(t.location)  # reopen: evolved schema is current
+    t2.write_dataframe(
+        spark.range(10, 15).selectExpr(
+            "id AS k", "cast(id AS double) AS v", "concat('row-', id) AS s",
+            "cast(id * 0.5 AS double) AS score", "'en' AS lang").coalesce(1))
+    allr = t2.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert len(allr) == 15
+    assert allr.loc[allr.k >= 10, "lang"].eq("en").all()
+    assert allr.loc[allr.k < 10, "lang"].isna().all()
+    # stats skipping works on the NEW column (only new files carry bounds)
+    pruned = t2.plan_files(stats_filter={"score": (5.0, 7.0)})
+    assert len(pruned) == 2  # the old file has no bounds -> kept (safe)
+    got2 = t2.read(spark, stats_filter={"score": (5.0, 7.0)}).toPandas()
+    assert sorted(got2.k) == [10, 11, 12, 13, 14]  # scores 5.0..7.0
+
+    # duplicate / required columns rejected
+    from pyspark.sql import types as T2
+    with pytest.raises(ValueError, match="already exists"):
+        t2.add_columns(T2.StructType([T2.StructField("v", T2.DoubleType())]))
+    with pytest.raises(ValueError, match="must be nullable"):
+        t2.add_columns(T2.StructType(
+            [T2.StructField("z", T2.LongType(), False)]))
+    # new field ids continue past last-column-id (no reuse)
+    fields = {f["name"]: f["id"] for f in t2.schema_json()["fields"]}
+    assert fields["score"] == 4 and fields["lang"] == 5
