@@ -1092,10 +1092,18 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
       spec murmur3 transform (strictly fewer files);
     - ``stats_range``: manifest column-bounds metrics skipping
-      (lower/upper bounds, spec Appendix D) with exact row re-filtering.
+      (lower/upper bounds, spec Appendix D) with exact row re-filtering;
+    - ``tagged``: a named TAG ref pinned to the first snapshot (the
+      reproducible training-set pin) — read AFTER expiration GC, proving
+      refs exclude their snapshots from GC;
+    - ``evolved``: additive schema evolution (add_columns — the
+      reference's appendFeatures seam): old files read the new column
+      as null, post-evolution writes carry values.
     All facets share (snap, c_custkey, c_name, c_acctbal) and are
     value-checked against DuckDB."""
     import tempfile
+
+    from pyspark.sql import types as T
 
     from engine.iceberg import IcebergTable
 
@@ -1115,6 +1123,7 @@ def _q_iceberg_lifecycle(spark, sf_dir):
         ["c_custkey"],
     )
     assert len(t.plan_delete_files()) == 1
+    t.tag_snapshot("train-v1", s1)  # pins s1 through the GC below
 
     def tag(df, label):
         return df.select(
@@ -1132,9 +1141,24 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     plan = maintained._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, "post-compaction read must be a plain scan"
     gc = t.expire_snapshots(retain_last=1)
-    assert gc["expired_snapshots"] == 3 and gc["data_files"] >= 2, gc
+    # the tagged s1 is NOT expired (refs pin snapshots); the middle
+    # append + the upsert are, and their files (incl. the folded
+    # equality-delete) GC
+    assert gc["expired_snapshots"] == 2 and gc["data_files"] >= 2, gc
     assert len(t.plan_files()) == 1
     f_m = tag(maintained, "maintained")
+    # the tag still plans and reads in full AFTER GC
+    f_tag = tag(t.read(spark, ref="train-v1"), "tagged")
+
+    # additive schema evolution: new nullable column, old files -> null
+    t.add_columns(T.StructType([T.StructField("bonus", T.DoubleType())]))
+    t.write_dataframe(
+        cust.filter("c_custkey > 200 AND c_custkey <= 250")
+        .withColumn("bonus", F.lit(500.0)).coalesce(1))
+    f_evo = t.read(spark).select(
+        F.lit("evolved").alias("snap"), "c_custkey", "c_name",
+        F.round(F.col("c_acctbal") + F.coalesce("bonus", F.lit(0.0)), 6)
+        .alias("c_acctbal"))
 
     t2 = IcebergTable(
         tempfile.mkdtemp(prefix="entry_iceberg_life2_"), schema=cust.schema,
@@ -1161,6 +1185,7 @@ def _q_iceberg_lifecycle(spark, sf_dir):
                   "stats_range")
 
     return f_s1.unionByName(f_up).unionByName(f_m) \
+        .unionByName(f_tag).unionByName(f_evo) \
         .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats)
 
 
@@ -1175,6 +1200,15 @@ UNION ALL
 SELECT 'maintained', c_custkey, c_name,
        round(c_acctbal + CASE WHEN c_custkey <= 50 THEN 1000.0 ELSE 0 END, 6)
 FROM customer WHERE c_custkey <= 200
+UNION ALL
+SELECT 'tagged', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT 'evolved', c_custkey, c_name,
+       round(c_acctbal + CASE WHEN c_custkey <= 50 THEN 1000.0
+                              WHEN c_custkey BETWEEN 201 AND 250 THEN 500.0
+                              ELSE 0 END, 6)
+FROM customer WHERE c_custkey <= 250
 UNION ALL
 SELECT 'pruned_range', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey <= 99
