@@ -980,6 +980,96 @@ class IcebergTable:
     def refs(self) -> dict:
         return dict(self.metadata().get("refs") or {})
 
+    # -- metadata inspection tables ------------------------------------------
+    # DataFrame twins of the Iceberg jar's `<table>.snapshots` / `.history`
+    # / `.files` / `.refs` metadata tables — the commit-log inspection
+    # surface (V3; reference analogue: feature-group commit listing,
+    # `base/FeatureGroupCommit.java` + commit pagination in
+    # `FeatureGroupApi`).  All are driver-assembled from table metadata
+    # (O(#snapshots) / O(#files) — the same JSON/manifest reads planning
+    # already does; no data file is ever opened).
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """One row per retained snapshot: commit time, lineage, operation,
+        and the summary counters written at commit."""
+        rows = [
+            (s["timestamp-ms"], s["snapshot-id"], s.get("parent-snapshot-id"),
+             s.get("sequence-number"), s["summary"].get("operation"),
+             s["manifest-list"],
+             {k: str(v) for k, v in s["summary"].items() if k != "operation"})
+            for s in self.snapshots()
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, "
+            "sequence_number long, operation string, manifest_list string, "
+            "summary map<string,string>")
+        from pyspark.sql import functions as F
+        return df.withColumn(
+            "committed_at", F.timestamp_millis("committed_at_ms"))
+
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """The snapshot-log: when each snapshot became current, and whether
+        it is an ancestor of the CURRENT snapshot (rollbacks/expired
+        branches show is_current_ancestor=false)."""
+        ancestors, sid = set(), self.current_snapshot_id
+        by_id = {s["snapshot-id"]: s for s in self.snapshots()}
+        while sid is not None and sid in by_id:
+            ancestors.add(sid)
+            sid = by_id[sid].get("parent-snapshot-id")
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"],
+             e["snapshot-id"] in ancestors)
+            for e in self.metadata().get("snapshot-log", [])
+        ]
+        df = spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, "
+                  "is_current_ancestor boolean")
+        from pyspark.sql import functions as F
+        return df.withColumn(
+            "made_current_at", F.timestamp_millis("made_current_at_ms"))
+
+    def files_df(self, spark: SparkSession, snapshot_id: int | None = None,
+                 as_of_ms: int | None = None,
+                 ref: str | None = None) -> DataFrame:
+        """Live data AND delete files at a snapshot (current by default):
+        content (0=data, 2=equality deletes), size/row counters, partition
+        tuple, and human-readable column bounds decoded per Appendix D."""
+        id_to_field = {f["id"]: f for f in self.schema_json()["fields"]}
+
+        def decode(bounds: dict | None) -> dict | None:
+            if not bounds:
+                return None
+            out = {}
+            for fid, raw in bounds.items():
+                fld = id_to_field.get(int(fid))
+                if fld is None or not isinstance(fld["type"], str):
+                    continue
+                out[fld["name"]] = str(bound_from_bytes(raw, fld["type"]))
+            return out or None
+
+        rows = [
+            (f.content, f.file_path, f.record_count, f.file_size_in_bytes,
+             f.sequence_number,
+             {k: str(v) for k, v in f.partition.items()} if f.partition
+             else None,
+             decode(f.lower_bounds), decode(f.upper_bounds))
+            for f in (self.plan_files(snapshot_id, as_of_ms, ref=ref)
+                      + self.plan_delete_files(snapshot_id, as_of_ms, ref=ref))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long, sequence_number long, "
+            "partition map<string,string>, lower_bounds map<string,string>, "
+            "upper_bounds map<string,string>")
+
+    def refs_df(self, spark: SparkSession) -> DataFrame:
+        rows = [(name, r["type"], r["snapshot-id"])
+                for name, r in sorted(self.refs().items())]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long")
+
     def _resolve_snapshot(self, snapshot_id: int | None,
                           as_of_ms: int | None,
                           ref: str | None = None) -> dict | None:

@@ -4,6 +4,7 @@ time travel, incremental read, exactly-once sink (engine/iceberg.py)."""
 import json
 import os
 
+import pandas as pd
 import pytest
 
 from engine.datafiles import read_avro_ocf_bytes
@@ -1388,3 +1389,53 @@ def test_add_columns_reads_old_files_as_null(spark, tmp_path):
     # new field ids continue past last-column-id (no reuse)
     fields = {f["name"]: f["id"] for f in t2.schema_json()["fields"]}
     assert fields["score"] == 4 and fields["lang"] == 5
+
+
+# ---------------------------------------------------------------------------
+# metadata inspection tables (snapshots / history / files / refs)
+# ---------------------------------------------------------------------------
+
+def test_metadata_tables(spark, tmp_path):
+    """DataFrame twins of the jar's metadata tables: snapshots carries
+    lineage + summary, history flags current ancestors, files lists live
+    data AND delete files with decoded bounds, refs lists tags."""
+    t = _mktable(spark, tmp_path, "meta")
+    s1 = t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    s2 = t.write_dataframe(_df(spark, 10, 20).coalesce(1))
+    t.tag_snapshot("pin", s1)
+    t.upsert(spark, _df(spark, 0, 3), ["k"])
+
+    snaps = t.snapshots_df(spark).toPandas().sort_values(
+        "sequence_number", ignore_index=True)
+    assert len(snaps) == 3
+    assert list(snaps.operation) == ["append", "append", "overwrite"]
+    # lineage via Spark rows (pandas floats 19-digit ids on nullable longs)
+    by_id = {r.snapshot_id: r.parent_id
+             for r in t.snapshots_df(spark).collect()}
+    assert by_id[s2] == s1 and by_id[s1] is None
+    assert snaps.summary[0]["total-records"] == "10"
+
+    hist = t.history_df(spark).toPandas()
+    assert len(hist) == 3 and hist.is_current_ancestor.all()
+    assert list(hist.made_current_at) == sorted(hist.made_current_at)
+
+    files = t.files_df(spark).toPandas()
+    assert set(files.content) == {0, 2} and (files.content == 2).sum() == 1
+    dat = files[files.content == 0]
+    assert dat.record_count.sum() == 23  # 10 + 10 + 3 upsert rows
+    k_bounds = [(b["k"], u["k"]) for b, u in
+                zip(dat.lower_bounds, dat.upper_bounds) if b and u]
+    assert ("0", "9") in k_bounds and ("10", "19") in k_bounds
+    # at the pinned snapshot only the first file is live, no deletes
+    f1 = t.files_df(spark, ref="pin").toPandas()
+    assert len(f1) == 1 and f1.content[0] == 0 and f1.record_count[0] == 10
+
+    refs = t.refs_df(spark).toPandas()
+    assert {(r["name"], r.type) for _, r in refs.iterrows()} == {
+        ("main", "branch"), ("pin", "tag")}
+
+    # empty table -> empty frames with stable schemas
+    t0 = _mktable(spark, tmp_path, "meta0")
+    assert t0.snapshots_df(spark).count() == 0
+    assert t0.files_df(spark).count() == 0
+    assert t0.history_df(spark).count() == 0
