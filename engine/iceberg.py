@@ -1645,6 +1645,55 @@ class IcebergTable:
                 "manifest_lists": len(drop_lists)}
 
     # -- planning / reading -------------------------------------------------
+    def normalize_partition_filter(self, partition_filter: dict | None
+                                   ) -> dict | None:
+        """User-facing filter (SOURCE-column values) → transformed
+        partition-tuple space, as stored in manifests: day → epoch-day,
+        bucket[N] → murmur3 ordinal (equality/in-list only — hash ordinals
+        carry no order), truncate[W] → truncated value.  Unknown columns
+        raise (a typo would silently scan everything otherwise).  The
+        result matches file partition dicts via :func:`_partition_match`."""
+        if not partition_filter:
+            return partition_filter
+        fields = {f["name"]: f for f in self.spec_fields()}
+        bad = set(partition_filter) - set(fields)
+        if bad:
+            raise ValueError(
+                f"not partition columns of this table: {sorted(bad)} "
+                f"(spec: {sorted(fields)})")
+        schema_fields = {
+            f["id"]: f for f in self.schema_json()["fields"]}
+
+        def norm(fld: dict, cond):
+            tr = fld.get("transform", "identity")
+            if tr == "day":
+                return _to_epoch_days(cond)
+            if tr.startswith("bucket["):
+                nb = int(tr[len("bucket["):-1])
+                st = schema_fields[fld["source-id"]]["type"]
+                if isinstance(cond, tuple) and len(cond) == 2:
+                    raise ValueError(
+                        f"range filter on bucket partition "
+                        f"{fld['name']!r} — hash ordinals carry no "
+                        "order; use equality or an in-list of source "
+                        "values")
+                if isinstance(cond, (list, set, frozenset)):
+                    return [bucket_value(v, st, nb) for v in cond]
+                return bucket_value(cond, st, nb)
+            if tr.startswith("truncate["):
+                w = int(tr[len("truncate["):-1])
+                st = schema_fields[fld["source-id"]]["type"]
+                if isinstance(cond, tuple) and len(cond) == 2:
+                    return (truncate_value(cond[0], st, w),
+                            truncate_value(cond[1], st, w))
+                if isinstance(cond, (list, set, frozenset)):
+                    return [truncate_value(v, st, w) for v in cond]
+                return truncate_value(cond, st, w)
+            return cond
+
+        return {col: norm(fields[col], cond)
+                for col, cond in partition_filter.items()}
+
     def plan_files(self, snapshot_id: int | None = None,
                    as_of_ms: int | None = None,
                    partition_filter: dict | None = None,
@@ -1669,47 +1718,7 @@ class IcebergTable:
         Files without bounds for a column are KEPT (missing metrics can
         never wrongly skip), so the result is a SUPERSET of the matching
         rows' files: :meth:`read` re-applies the predicate row-level."""
-        if partition_filter:
-            fields = {f["name"]: f for f in self.spec_fields()}
-            bad = set(partition_filter) - set(fields)
-            if bad:
-                raise ValueError(
-                    f"not partition columns of this table: {sorted(bad)} "
-                    f"(spec: {sorted(fields)})")
-            schema_fields = {
-                f["id"]: f for f in self.schema_json()["fields"]}
-
-            def norm(fld: dict, cond):
-                tr = fld.get("transform", "identity")
-                if tr == "day":
-                    return _to_epoch_days(cond)
-                if tr.startswith("bucket["):
-                    nb = int(tr[len("bucket["):-1])
-                    st = schema_fields[fld["source-id"]]["type"]
-                    if isinstance(cond, tuple) and len(cond) == 2:
-                        raise ValueError(
-                            f"range filter on bucket partition "
-                            f"{fld['name']!r} — hash ordinals carry no "
-                            "order; use equality or an in-list of source "
-                            "values")
-                    if isinstance(cond, (list, set, frozenset)):
-                        return [bucket_value(v, st, nb) for v in cond]
-                    return bucket_value(cond, st, nb)
-                if tr.startswith("truncate["):
-                    w = int(tr[len("truncate["):-1])
-                    st = schema_fields[fld["source-id"]]["type"]
-                    if isinstance(cond, tuple) and len(cond) == 2:
-                        return (truncate_value(cond[0], st, w),
-                                truncate_value(cond[1], st, w))
-                    if isinstance(cond, (list, set, frozenset)):
-                        return [truncate_value(v, st, w) for v in cond]
-                    return truncate_value(cond, st, w)
-                return cond
-
-            partition_filter = {
-                col: norm(fields[col], cond)
-                for col, cond in partition_filter.items()
-            }
+        partition_filter = self.normalize_partition_filter(partition_filter)
         stats_cols: dict[int, tuple[str, object]] = {}
         if stats_filter:
             by_name = {f["name"]: f
@@ -1840,6 +1849,50 @@ class IcebergTable:
                         ))
             if to_snapshot_id is not None and s["snapshot-id"] == to_snapshot_id:
                 break
+        return out
+
+    def append_log(self, partition_filter: dict | None = None
+                   ) -> list[tuple[int, list[DataFileInfo]]]:
+        """The table's APPEND LOG: ``[(snapshot_id, added_data_files)]`` in
+        commit order, files sorted by path within each snapshot — the
+        deterministic, replayable sequence a snapshot-tail streaming
+        source consumes (engine/tail.py).  Same row semantics as
+        :meth:`incremental_files` (Iceberg's incremental append scan):
+        replace/compaction snapshots contribute nothing (rewritten bytes,
+        not new rows), delete manifests are skipped (an upsert's NEW rows
+        are delivered; retractions are the reader's resolution concern).
+        Snapshots that add no data files (delete-only commits, tags) still
+        appear with an empty list, so offsets can land on any snapshot.
+        ``partition_filter`` takes SOURCE-column values (normalized via
+        :meth:`normalize_partition_filter`) and drops non-matching files
+        at the manifest level — no data file is opened here at all."""
+        flt = self.normalize_partition_filter(partition_filter)
+        out: list[tuple[int, list[DataFileInfo]]] = []
+        for s in self.snapshots():
+            sid = s["snapshot-id"]
+            files: list[DataFileInfo] = []
+            if s["summary"].get("operation") != "replace":
+                for m in self._read_manifest_list(s["manifest-list"]):
+                    if m["added_snapshot_id"] != sid:
+                        continue
+                    if m.get("content", 0) != 0:
+                        continue
+                    for e in self._read_manifest(m["manifest_path"]):
+                        if (e["status"] == _STATUS_ADDED
+                                and e["snapshot_id"] == sid):
+                            df = e["data_file"]
+                            part = df.get("partition") or None
+                            if flt and not _partition_match(part or {}, flt):
+                                continue
+                            files.append(DataFileInfo(
+                                file_path=_from_uri(df["file_path"]),
+                                record_count=df["record_count"],
+                                file_size_in_bytes=df["file_size_in_bytes"],
+                                sequence_number=m["sequence_number"],
+                                partition=part,
+                            ))
+            files.sort(key=lambda f: f.file_path)
+            out.append((sid, files))
         return out
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,

@@ -1,0 +1,307 @@
+"""Snapshot-tail streaming source: follow an Iceberg table's commit log as
+a Structured Streaming source, via the public PySpark 4 Python Data Source
+API (``pyspark.sql.datasource``).
+
+This is the live streaming analogue of the reference's Hudi/offline "pull
+changes since commit" seam (``base/FeatureGroupCommit.java`` pagination +
+the incremental read in ``engine/store.py pull_changes``) — but as a LIVE
+source: the stream keeps delivering as new snapshots commit, instead of a
+one-shot batch diff.  Compared to the validated file-source path
+(engine/streams.py ``iceberg_stream_source_path``) it
+
+- plans from MANIFESTS, never a directory listing — uncommitted /
+  half-written files are invisible, so no "planned == on-disk" validation
+  or layout restrictions apply (any partition spec, non-rectangular
+  prunes, concurrent writers mid-stream are all fine);
+- follows NEW commits while running (a file source only replays what it
+  globs) — the 10^12-clip deployment shape is "producer keeps committing,
+  features keep flowing";
+- carries exact per-batch lineage: offsets are ``{snapshot-id, files
+  consumed within it}``, so every micro-batch maps to a provable slice of
+  the table's append log (the per-partition lineage the north rule asks
+  for lives in the offset log itself);
+- prunes partitions at the manifest level (``partition_filter`` option),
+  reusing :meth:`IcebergTable.normalize_partition_filter` — no data file
+  is opened for non-matching partitions.
+
+Semantics are Iceberg's *incremental append scan* (same as
+:meth:`IcebergTable.append_log` / ``incremental_files``): appends and an
+upsert's NEW rows are delivered; compaction/replace snapshots deliver
+nothing (rewritten bytes, not new rows); equality-delete retractions are
+the downstream store's resolution concern.
+
+Scale shape: ``latestOffset``/``partitions`` run on the driver and touch
+only table METADATA (one JSON + the manifest Avro files — the same reads
+batch planning does); each data file becomes one :class:`InputPartition`
+read on an EXECUTOR via pyarrow and yielded as Arrow record batches, so a
+micro-batch's read parallelism equals its file count and rows never pass
+through per-row Python.
+
+Exactly-once across restarts: Spark's offset log replays a pending batch
+as ``partitions(start, end)`` with both offsets from the checkpoint — a
+pure function of the append log, so replay is bit-identical.  The one
+hole in the Python API is that a RESTARTED reader's ``latestOffset``
+doesn't know the checkpointed position and could hand Spark an offset
+*behind* it (Spark compares offsets only for equality), silently
+re-delivering files into a new batch id past the idempotent sink.  The
+``progress_dir`` option closes it: the reader persists its high-water
+offset atomically BEFORE returning it from ``latestOffset``, so a fresh
+reader resumes at-or-ahead of anything Spark ever saw — at-or-ahead is
+safe, because batches are planned as offset RANGES from Spark's own log
+(nothing is skipped, the next batch is just larger).  Pass a directory
+that lives and dies with the query's checkpoint dir.
+"""
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "iceberg_tail"
+
+#: offset schema: files of ancestry snapshots up to and including ``snap``
+#: are consumed, except ``snap``'s files beyond the first ``pos``.
+#: ``snap == 0`` means "before the first snapshot".
+_ZERO = {"snap": 0, "pos": 0}
+
+
+def _arrow_type(iceberg_type):
+    """Iceberg type (schema-JSON form) → pyarrow type, for null-padding
+    columns added by schema evolution after a data file was written."""
+    import pyarrow as pa
+
+    if isinstance(iceberg_type, dict):
+        if iceberg_type.get("type") == "list":
+            return pa.list_(_arrow_type(iceberg_type["element"]))
+        raise ValueError(
+            f"cannot null-pad evolved column of type {iceberg_type!r}")
+    scalar = {
+        "boolean": pa.bool_(), "int": pa.int32(), "long": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamptz": pa.timestamp("us", tz="UTC"),
+        "timestamp": pa.timestamp("us"),
+    }
+    if iceberg_type in scalar:
+        return scalar[iceberg_type]
+    if iceberg_type.startswith("decimal("):
+        p, s = iceberg_type[len("decimal("):-1].split(",")
+        return pa.decimal128(int(p), int(s))
+    raise ValueError(f"unknown iceberg type {iceberg_type!r}")
+
+
+class _FilePartition(InputPartition):
+    """One committed data file = one read task. Carries the expected
+    (name, iceberg-type) column list so executors can pad columns a
+    pre-evolution file lacks and emit batches in schema order."""
+
+    def __init__(self, path: str, columns: list):
+        self.path = path
+        self.columns = columns
+
+
+def _parse_filter(raw: str | None) -> dict | None:
+    """JSON filter option → plan_files-style filter dict: scalar =
+    equality, list = in-list, {"lo":…,"hi":…} = inclusive range."""
+    if not raw:
+        return None
+    obj = json.loads(raw)
+    if not isinstance(obj, dict):
+        raise ValueError("partition_filter must be a JSON object")
+    out = {}
+    for col, cond in obj.items():
+        if isinstance(cond, dict):
+            extra = set(cond) - {"lo", "hi"}
+            if extra or set(cond) != {"lo", "hi"}:
+                raise ValueError(
+                    f"range filter for {col!r} needs exactly lo and hi")
+            cond = (cond["lo"], cond["hi"])
+        out[col] = cond
+    return out
+
+
+class IcebergTailReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._loc = options.get("location")
+        if not self._loc:
+            raise ValueError("iceberg_tail requires a location option")
+        self._max_files = int(options.get("max_files_per_trigger", 1) or 1)
+        if self._max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        self._flt = _parse_filter(options.get("partition_filter"))
+        self._progress = None
+        if options.get("progress_dir"):
+            os.makedirs(options["progress_dir"], exist_ok=True)
+            self._progress = os.path.join(
+                options["progress_dir"], "tail-progress.json")
+        start = options.get("starting_snapshot_id")
+        self._start_snap = int(start) if start else None
+        self._columns = [
+            (f["name"], f["type"])
+            for f in self._table().schema_json()["fields"]
+        ]
+        self._cur: dict | None = None  # high-water offset handed to Spark
+
+    # -- append-log bookkeeping (driver-side, metadata-only) ---------------
+
+    def _table(self):
+        # fresh instance per refresh: IcebergTable caches metadata JSON,
+        # and the whole point of a tail is seeing NEW commits
+        from engine.iceberg import IcebergTable
+
+        return IcebergTable(self._loc)
+
+    def _log(self) -> list:
+        return self._table().append_log(partition_filter=self._flt)
+
+    @staticmethod
+    def _index_of(log: list, off: dict) -> int:
+        """Offset → global position in the flattened append log."""
+        snap, pos = off["snap"], off["pos"]
+        if snap == 0:
+            return 0
+        i = 0
+        for sid, files in log:
+            if sid == snap:
+                if pos > len(files):
+                    raise ValueError(
+                        f"offset {off} beyond snapshot {snap}'s "
+                        f"{len(files)} added files")
+                return i + pos
+            i += len(files)
+        raise ValueError(
+            f"offset snapshot {snap} not in table history — expired past "
+            "the stream's position? raise the snapshot retention window")
+
+    @staticmethod
+    def _offset_at(log: list, idx: int) -> dict:
+        if idx == 0:
+            return dict(_ZERO)
+        i = 0
+        for sid, files in log:
+            if idx <= i + len(files):
+                return {"snap": sid, "pos": idx - i}
+            i += len(files)
+        raise ValueError(f"index {idx} beyond append log ({i} files)")
+
+    def _persisted(self) -> dict | None:
+        if self._progress and os.path.exists(self._progress):
+            with open(self._progress) as f:
+                return json.load(f)
+        return None
+
+    def _persist(self, off: dict) -> None:
+        if not self._progress:
+            return
+        tmp = f"{self._progress}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(off, f)
+        os.replace(tmp, self._progress)
+
+    # -- DataSourceStreamReader protocol ------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self._start_snap is None:
+            return dict(_ZERO)
+        log = self._log()
+        for sid, files in log:
+            if sid == self._start_snap:
+                return {"snap": sid, "pos": len(files)}
+        raise ValueError(
+            f"starting_snapshot_id {self._start_snap} not in table history")
+
+    def latestOffset(self) -> dict:
+        log = self._log()
+        candidates = [self._cur or self.initialOffset()]
+        persisted = self._persisted()
+        if persisted:
+            candidates.append(persisted)
+        cur_idx = max(self._index_of(log, c) for c in candidates)
+        total = sum(len(files) for _, files in log)
+        new_idx = min(total, cur_idx + self._max_files)
+        off = self._offset_at(log, new_idx)
+        if new_idx != cur_idx:
+            self._persist(off)
+        self._cur = off
+        return off
+
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[InputPartition]:
+        log = self._log()
+        i0, i1 = self._index_of(log, start), self._index_of(log, end)
+        if i1 < i0:
+            raise ValueError(
+                f"regressing batch range: start {start} is past end {end} "
+                "— was the progress_dir reused across checkpoints?")
+        flat = [f for _, files in log for f in files]
+        return [_FilePartition(f.file_path, self._columns)
+                for f in flat[i0:i1]]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        """Executor-side: one parquet data file → Arrow record batches in
+        table-schema order, null-padding evolved columns — rows never pass
+        through per-row Python."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        arrays, names = [], []
+        for name, ityp in partition.columns:
+            names.append(name)
+            if name in tbl.column_names:
+                col = tbl.column(name)
+                try:
+                    want = _arrow_type(ityp)
+                except ValueError:
+                    want = None  # nested struct/map: pass through as-read
+                if want is not None and col.type != want:
+                    # parquet readers surface ns timestamps / width
+                    # variants; Spark's Arrow bridge wants the exact
+                    # schema() types (e.g. us precision)
+                    col = col.cast(want)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(len(tbl), type=_arrow_type(ityp)))
+        yield from pa.Table.from_arrays(arrays, names=names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        # progress is persisted in latestOffset BEFORE Spark sees the
+        # offset — by commit time it is already durable
+        pass
+
+
+class IcebergTailDataSource(DataSource):
+    """``spark.readStream.format("iceberg_tail").option("location", path)``
+    — see module docstring. Options: ``location`` (required),
+    ``max_files_per_trigger`` (default 1), ``partition_filter`` (JSON:
+    scalar / list / {"lo","hi"}), ``starting_snapshot_id`` (exclusive),
+    ``progress_dir`` (restart-safety sidecar; pass a dir tied to the
+    query's checkpoint)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        from engine.iceberg import IcebergTable, iceberg_schema_to_ddl
+
+        loc = self.options.get("location")
+        if not loc:
+            raise ValueError("iceberg_tail requires a location option")
+        return iceberg_schema_to_ddl(IcebergTable(loc).schema_json())
+
+    def streamReader(self, schema) -> IcebergTailReader:
+        return IcebergTailReader(dict(self.options))
+
+
+def register_tail_source(spark) -> None:
+    """Idempotent per-session registration of the ``iceberg_tail`` format."""
+    spark.dataSource.register(IcebergTailDataSource)

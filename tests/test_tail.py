@@ -1,0 +1,217 @@
+"""Snapshot-tail streaming source (engine/tail.py): follow an Iceberg
+table's commit log as a live Structured Streaming source — offset math,
+pacing, live follow, restart exactly-once, partition pruning, schema
+evolution, compaction/expiration interplay."""
+import json
+import os
+import time
+
+import pytest
+
+from engine.iceberg import IcebergTable
+from engine.tail import IcebergTailReader, register_tail_source
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", "cast(id * 2 AS double) AS v")
+
+
+def _mktable(spark, tmp_path, name="t", **kw):
+    return IcebergTable(str(tmp_path / name),
+                        schema=_df(spark, 0, 0).schema, **kw)
+
+
+def _run_until(spark, out, n, timeout=90):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= n:
+                return spark.read.parquet(out)
+        except Exception:
+            pass
+        time.sleep(0.3)
+    raise TimeoutError(f"sink never reached {n} rows")
+
+
+def _start(spark, loc, d, ck="ck", **opts):
+    register_tail_source(spark)
+    reader = (spark.readStream.format("iceberg_tail")
+              .option("location", loc)
+              .option("progress_dir", os.path.join(d, "prog-" + ck)))
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    out = os.path.join(d, "out-" + ck)
+    q = (reader.load().writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(d, ck))
+         .trigger(processingTime="200 milliseconds").start())
+    return q, out
+
+
+# ---------------------------------------------------------------------------
+# reader unit tests — offset math, no Spark query needed
+# ---------------------------------------------------------------------------
+
+def test_reader_offsets_and_pacing(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    s1 = t.write_dataframe(_df(spark, 0, 4).coalesce(2))
+    s2 = t.write_dataframe(_df(spark, 4, 10).coalesce(3))
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "2"})
+    assert r.initialOffset() == {"snap": 0, "pos": 0}
+    o1 = r.latestOffset()
+    assert o1 == {"snap": s1, "pos": 2}
+    o2 = r.latestOffset()
+    assert o2 == {"snap": s2, "pos": 2}
+    o3 = r.latestOffset()
+    assert o3 == {"snap": s2, "pos": 3}
+    assert r.latestOffset() == o3  # drained: stable offset, no new batch
+    # partitions(start, end) is a pure function of the log
+    parts = r.partitions(o1, o3)
+    assert len(parts) == 3
+    rows = [b.num_rows for p in parts for b in r.read(p)]
+    assert sum(rows) == 6
+    # full range delivers everything exactly once
+    assert sum(b.num_rows for p in r.partitions({"snap": 0, "pos": 0}, o3)
+               for b in r.read(p)) == 10
+    # regress guard
+    with pytest.raises(ValueError, match="regressing"):
+        r.partitions(o3, o1)
+
+
+def test_reader_restart_floor_and_start_snapshot(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    s1 = t.write_dataframe(_df(spark, 0, 4).coalesce(2))
+    t.write_dataframe(_df(spark, 4, 10).coalesce(3))
+    prog = str(tmp_path / "prog")
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "3",
+                           "progress_dir": prog})
+    o1 = r.latestOffset()
+    # a FRESH reader (restart) resumes at-or-ahead of anything the old one
+    # handed Spark — never behind (the re-delivery hole the sidecar closes)
+    r2 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "3",
+                            "progress_dir": prog})
+    o2 = r2.latestOffset()
+    assert r2._index_of(r2._log(), o2) >= r2._index_of(r2._log(), o1)
+    with open(os.path.join(prog, "tail-progress.json")) as f:
+        assert r2._index_of(r2._log(), json.load(f)) == 5
+    # starting_snapshot_id skips everything up to and including it
+    r3 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "100",
+                            "starting_snapshot_id": str(s1)})
+    assert r3.initialOffset() == {"snap": s1, "pos": 2}
+    o = r3.latestOffset()
+    assert sum(b.num_rows for p in r3.partitions(r3.initialOffset(), o)
+               for b in r3.read(p)) == 6
+    with pytest.raises(ValueError, match="not in table history"):
+        IcebergTailReader({"location": t.location,
+                           "starting_snapshot_id": "999"}).initialOffset()
+
+
+def test_reader_compaction_upsert_and_expiry(spark, tmp_path):
+    """Replace snapshots deliver nothing; an offset taken BEFORE a
+    compaction still resolves after it; an upsert delivers its new rows;
+    expiring the offset's snapshot fails loudly."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 4).coalesce(2))
+    s2 = t.write_dataframe(_df(spark, 4, 10).coalesce(2))
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "100"})
+    o = r.latestOffset()
+    assert o["snap"] == s2
+    t.compact_data_files(spark)
+    log = r._log()
+    assert r._index_of(log, o) == 4  # stable across the replace snapshot
+    assert r.latestOffset() == o     # compaction adds no deliverable files
+    n = t.upsert(spark, _df(spark, 0, 2), ["k"])
+    o2 = r.latestOffset()
+    assert o2["snap"] == n
+    up = [b for p in r.partitions(o, o2) for b in r.read(p)]
+    assert sum(b.num_rows for b in up) == 2  # the upsert's NEW rows only
+    t.expire_snapshots(retain_last=1)
+    with pytest.raises(ValueError, match="expired|not in table"):
+        r._index_of(r._log(), o)
+
+
+# ---------------------------------------------------------------------------
+# live streaming queries
+# ---------------------------------------------------------------------------
+
+def test_tail_stream_follows_live_commits(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 10).coalesce(2))
+    t.write_dataframe(_df(spark, 10, 25).coalesce(3))
+    d = str(tmp_path)
+    q, out = _start(spark, t.location, d, max_files_per_trigger=2)
+    try:
+        _run_until(spark, out, 25)
+        # commit WHILE the query runs — a file source can't see this
+        t.write_dataframe(_df(spark, 25, 30).coalesce(1))
+        got = _run_until(spark, out, 30)
+        assert got.count() == 30
+    finally:
+        q.stop()
+    import pandas as pd
+    pdf = spark.read.parquet(out).toPandas().sort_values(
+        "k", ignore_index=True)
+    exp = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(pdf, exp)
+    # pacing: 6 files at max 2/trigger → at least 3 non-empty batches
+    offs = [n for n in os.listdir(os.path.join(d, "ck", "offsets"))
+            if not n.startswith(".")]
+    assert len(offs) >= 3
+
+
+def test_tail_stream_restart_exactly_once(spark, tmp_path):
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 8).coalesce(2))
+    d = str(tmp_path)
+    q, out = _start(spark, t.location, d, max_files_per_trigger=1)
+    try:
+        _run_until(spark, out, 8)
+    finally:
+        q.stop()
+    t.write_dataframe(_df(spark, 8, 14).coalesce(2))
+    # resume from the SAME checkpoint: only the new snapshot is delivered
+    q2, out2 = _start(spark, t.location, d, max_files_per_trigger=1)
+    assert out2 == out
+    try:
+        got = _run_until(spark, out, 14)
+        kcounts = got.groupBy("k").count().where("count > 1").count()
+        assert got.count() == 14 and kcounts == 0
+    finally:
+        q2.stop()
+
+
+def test_tail_stream_partition_filter_and_evolution(spark, tmp_path):
+    """Day-pruned tail over a days(ts)-partitioned topic, plus a column
+    added mid-history: old files arrive null-padded, and only the filtered
+    day's rows are ever delivered (manifest-level pruning — the non-
+    rectangular-layout restriction of the file-source path doesn't apply)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.range(0, 40)
+          .withColumn("ts", F.expr(
+              "timestamp'2024-01-01 00:00:00' + make_interval("
+              "0, 0, 0, cast(id % 4 as int), 0, 0, 0)"))
+          .selectExpr("id AS k", "ts"))
+    t = IcebergTable(str(tmp_path / "p"), schema=df.schema,
+                     partition_by=["days(ts)"])
+    t.write_dataframe(df.repartition(2))
+    t.add_columns(spark.range(0).selectExpr(
+        "cast(null as string) AS tag").schema)
+    df2 = df.where("k < 8").withColumn("tag", F.lit("late"))
+    t.write_dataframe(df2.coalesce(1))
+    d = str(tmp_path)
+    q, out = _start(spark, t.location, d, max_files_per_trigger=10,
+                    partition_filter=json.dumps({"ts_day": "2024-01-02"}))
+    try:
+        got = _run_until(spark, out, 12)  # 10 of day 2 + 2 late-tagged
+        pdf = got.toPandas()
+    finally:
+        q.stop()
+    assert len(pdf) == 12 and set(pdf.k % 4) == {1}
+    assert set(pdf.tag.dropna()) == {"late"} and pdf.tag.isna().sum() == 10
