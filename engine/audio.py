@@ -354,14 +354,22 @@ def extract_audio_features_direct(
     """
     from pyspark.sql import functions as F  # noqa: F811 (local for clarity)
 
-    meta_cols = [c for c in df.columns if c != payload_col]
-    pruned = df.select(*meta_cols, F.col("_metadata.file_path").alias("__file_path"))
+    meta_cols = [c for c in df.columns
+                 if c not in (payload_col, "__file_path")]
+    if "__file_path" in df.columns:
+        # source already carries the backing-file path (the snapshot-tail
+        # source's include_file_path option) — no _metadata column needed,
+        # and the payload column never even enters the plan
+        pruned = df.select(*meta_cols, "__file_path")
+    else:
+        pruned = df.select(
+            *meta_cols, F.col("_metadata.file_path").alias("__file_path"))
 
     out_schema = (
         ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}"
             for f in df.schema.fields
-            if f.name != payload_col
+            if f.name not in (payload_col, "__file_path")
         )
         + ", "
         + AUDIO_FEATURE_FIELDS

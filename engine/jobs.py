@@ -93,6 +93,7 @@ def cmd_pipeline(args) -> dict:
             raise SystemExit(
                 "--day/--day-range need an Iceberg topic partitioned by "
                 "days(event_ts) (producer --iceberg --partition-days)")
+    tail_table = None
     if os.path.exists(os.path.join(args.clips, "metadata", "version-hint.text")):
         from engine.iceberg import IcebergTable
         from engine.streams import iceberg_stream_source_path
@@ -108,8 +109,43 @@ def cmd_pipeline(args) -> dict:
                     f"{[f['name'] for f in table.spec_fields()]})")
             cond = (tuple(args.day_range) if args.day_range else args.day)
             day_filter = {day_fields[0]: cond}
-        args.clips, recursive = iceberg_stream_source_path(
-            table, partition_filter=day_filter)
+        if getattr(args, "tail", False):
+            # snapshot-tail source: manifest-planned, no path rewrite —
+            # the query keeps following commits made while it runs
+            tail_table = table
+        else:
+            args.clips, recursive = iceberg_stream_source_path(
+                table, partition_filter=day_filter)
+    elif getattr(args, "tail", False):
+        raise SystemExit("--tail requires an Iceberg topic (producer --iceberg)")
+
+    def make_source(watermark):
+        from engine.streams import read_clip_stream, read_clip_stream_tail
+
+        if tail_table is not None:
+            decode = bool(getattr(args, "decode", False))
+            direct = bool(getattr(args, "payload_direct", False) and decode)
+            # a python data source gets NO Catalyst column pruning — heavy
+            # columns the pipeline never reads must be excluded HERE or
+            # they cross the Arrow bridge at the ~750 MB/s transfer
+            # ceiling. bytes ride only for in-frame decode (non-direct);
+            # payload-direct instead carries the backing file path and the
+            # decode stage reads payloads disk→numpy itself.
+            heavy = {"bytes", "transcript"}
+            needed = {args.key, args.value} | ({"bytes"}
+                                               if decode and not direct
+                                               else set())
+            return read_clip_stream_tail(
+                spark, tail_table,
+                max_files_per_trigger=args.max_files_per_trigger,
+                watermark=watermark, partition_filter=day_filter,
+                progress_dir=os.path.join(ckpt, "_tail_progress"),
+                exclude_columns=sorted(heavy - needed) or None,
+                include_file_path=direct)
+        return read_clip_stream(
+            spark, args.clips,
+            max_files_per_trigger=args.max_files_per_trigger,
+            watermark=watermark, recursive=recursive)
 
     def extractor(sdf):
         from engine.audio import (
@@ -127,22 +163,22 @@ def cmd_pipeline(args) -> dict:
     if args.decode and args.warmup:
         # Spawn python workers + compile codegen before the clock starts, so
         # sustained throughput is measured, not JVM/worker cold start.
-        wreader = spark.read
-        if recursive:
-            wreader = wreader.option("recursiveFileLookup", "true")
-        extractor(wreader.parquet(args.clips).limit(256)).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        if tail_table is not None:
+            warm = tail_table.read(
+                spark, partition_filter=day_filter).limit(256)
+        else:
+            wreader = spark.read
+            if recursive:
+                wreader = wreader.option("recursiveFileLookup", "true")
+            warm = wreader.parquet(args.clips).limit(256)
+        extractor(warm).write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
     if args.decode or args.stateful:
         from engine.state import stateful_session_agg, stateful_window_agg
         from engine.windows import session_agg, sliding_agg, tumbling_agg
 
-        src = read_clip_stream(
-            spark, args.clips, max_files_per_trigger=args.max_files_per_trigger,
-            watermark=None, recursive=recursive,
-        )
+        src = make_source(None)
         if args.decode:
             # end-to-end flagship: vectorized PCM decode feeds the aggregate.
             # Drop columns the window pipeline never reads (transcript) BEFORE
@@ -201,12 +237,17 @@ def cmd_pipeline(args) -> dict:
             watermark=args.watermark,
             max_files_per_trigger=args.max_files_per_trigger,
             sink=custom_sink, recursive=recursive,
+            source_df=(make_source(args.watermark)
+                       if tail_table is not None else None),
         )
     elapsed = time.time() - t0
-    reader = spark.read
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "true")
-    n_in = reader.parquet(args.clips).count()
+    if tail_table is not None:
+        n_in = tail_table.read(spark, partition_filter=day_filter).count()
+    else:
+        reader = spark.read
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        n_in = reader.parquet(args.clips).count()
     audit = sink.audit()
     try:
         out_rows = sink.read_committed(spark).count()
@@ -215,6 +256,7 @@ def cmd_pipeline(args) -> dict:
     spark.stop()
     return {
         "job": "pipeline", "window": args.window, "stateful": args.stateful,
+        "source": "tail" if tail_table is not None else "file",
         "day_filter": {k: str(v) for k, v in day_filter.items()} if day_filter else None,
         "decode": args.decode,
         "input_clips": n_in, "output_rows": out_rows,
@@ -580,6 +622,11 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--day-range", nargs=2, default=None,
                            metavar=("FROM", "TO"),
                            help="inclusive day range for the streamed backfill")
+            p.add_argument("--tail", action="store_true",
+                           help="read the Iceberg topic via the snapshot-"
+                                "tail source (manifest-planned, follows "
+                                "live commits) instead of the validated "
+                                "file source")
         else:
             p.add_argument("--ttl", default="10 minutes")
         p.set_defaults(fn=fn)

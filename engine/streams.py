@@ -412,6 +412,59 @@ def read_clip_stream_iceberg(
                             recursive=recursive)
 
 
+def read_clip_stream_tail(
+    spark: SparkSession,
+    table,
+    max_files_per_trigger: int = 1,
+    watermark: str = "60 seconds",
+    ts_col: str = "event_ts",
+    partition_filter: dict | None = None,
+    progress_dir: str | None = None,
+    starting_snapshot_id: int | None = None,
+    exclude_columns: list[str] | None = None,
+    include_file_path: bool = False,
+) -> DataFrame:
+    """Clip stream over the SNAPSHOT-TAIL source (engine/tail.py) instead
+    of the validated file source: plans from manifests (no directory
+    listing or planned==on-disk restriction), follows commits made WHILE
+    the query runs, prunes partitions at the manifest level with no
+    rectangularity requirement, and records exact per-batch lineage as
+    (snapshot, position) offsets.  ``progress_dir`` should live with the
+    query's checkpoint dir (restart-safety high-water sidecar);
+    ``partition_filter`` uses plan_files semantics (tuples OK — they are
+    carried as JSON ranges)."""
+    import json as _json
+
+    from engine.iceberg import IcebergTable
+    from engine.tail import register_tail_source
+
+    if isinstance(table, str):
+        table = IcebergTable(table)
+    register_tail_source(spark)
+    reader = (spark.readStream.format("iceberg_tail")
+              .option("location", table.location)
+              .option("max_files_per_trigger", str(max_files_per_trigger)))
+    if partition_filter:
+        flt = {c: ({"lo": v[0], "hi": v[1]}
+                   if isinstance(v, tuple) and len(v) == 2 else
+                   list(v) if isinstance(v, (set, frozenset)) else v)
+               for c, v in partition_filter.items()}
+        reader = reader.option("partition_filter", _json.dumps(flt))
+    if progress_dir:
+        reader = reader.option("progress_dir", progress_dir)
+    if starting_snapshot_id is not None:
+        reader = reader.option("starting_snapshot_id",
+                               str(starting_snapshot_id))
+    if exclude_columns:
+        reader = reader.option("exclude_columns", ",".join(exclude_columns))
+    if include_file_path:
+        reader = reader.option("include_file_path", "true")
+    stream = reader.load()
+    if watermark is not None:
+        stream = stream.withWatermark(ts_col, watermark)
+    return stream
+
+
 def read_clip_stream(
     spark: SparkSession,
     dir_path: str,
@@ -501,6 +554,7 @@ def run_window_pipeline(
     await_termination: bool = True,
     sink=None,
     recursive: bool = False,
+    source_df: DataFrame | None = None,
 ):
     """The flagship streaming job (TransactionFraudExample analogue):
     rate-controlled source → watermark → keyed window agg → exactly-once sink.
@@ -509,10 +563,13 @@ def run_window_pipeline(
     exposing the same ``foreach_batch``/``audit``/``read_committed``
     protocol (e.g. ``engine.iceberg.IcebergSink``). ``recursive`` is the
     partitioned-topic-layout flag (see :func:`read_clip_stream`).
+    ``source_df`` substitutes a prebuilt streaming source (e.g.
+    :func:`read_clip_stream_tail`) — it must already carry its watermark;
+    ``clips_dir``/``max_files_per_trigger``/``recursive`` are ignored.
 
     Returns (StreamingQuery, sink).
     """
-    src = read_clip_stream(
+    src = source_df if source_df is not None else read_clip_stream(
         spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
         watermark=watermark, recursive=recursive,
     )

@@ -98,14 +98,34 @@ def _arrow_type(iceberg_type):
     raise ValueError(f"unknown iceberg type {iceberg_type!r}")
 
 
+def _truthy(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes") if v is not None else False
+
+
+def _projected_columns(schema_json: dict, options: dict) -> list:
+    """(name, iceberg-type) pairs after the exclude_columns projection —
+    source-level column pruning (a Python data source gets no Catalyst
+    pushdown, so heavy payload columns must be dropped HERE to stay out of
+    the parquet read and the Arrow hop entirely)."""
+    excluded = {c.strip() for c in
+                (options.get("exclude_columns") or "").split(",") if c.strip()}
+    names = {f["name"] for f in schema_json["fields"]}
+    bad = excluded - names
+    if bad:
+        raise ValueError(f"exclude_columns not in table schema: {sorted(bad)}")
+    return [(f["name"], f["type"]) for f in schema_json["fields"]
+            if f["name"] not in excluded]
+
+
 class _FilePartition(InputPartition):
     """One committed data file = one read task. Carries the expected
     (name, iceberg-type) column list so executors can pad columns a
     pre-evolution file lacks and emit batches in schema order."""
 
-    def __init__(self, path: str, columns: list):
+    def __init__(self, path: str, columns: list, include_path: bool = False):
         self.path = path
         self.columns = columns
+        self.include_path = include_path
 
 
 def _parse_filter(raw: str | None) -> dict | None:
@@ -144,10 +164,9 @@ class IcebergTailReader(DataSourceStreamReader):
                 options["progress_dir"], "tail-progress.json")
         start = options.get("starting_snapshot_id")
         self._start_snap = int(start) if start else None
-        self._columns = [
-            (f["name"], f["type"])
-            for f in self._table().schema_json()["fields"]
-        ]
+        self._columns = _projected_columns(
+            self._table().schema_json(), options)
+        self._include_path = _truthy(options.get("include_file_path"))
         self._cur: dict | None = None  # high-water offset handed to Spark
 
     # -- append-log bookkeeping (driver-side, metadata-only) ---------------
@@ -160,7 +179,18 @@ class IcebergTailReader(DataSourceStreamReader):
         return IcebergTable(self._loc)
 
     def _log(self) -> list:
-        return self._table().append_log(partition_filter=self._flt)
+        # cache keyed by the table's metadata VERSION: latestOffset runs
+        # every trigger, and re-reading every manifest of a
+        # snapshot-per-micro-batch table each time is O(history) per
+        # trigger — the cache makes an idle poll one version-hint read
+        t = self._table()
+        v = t._current_version()
+        cached = getattr(self, "_log_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        log = t.append_log(partition_filter=self._flt)
+        self._log_cache = (v, log)
+        return log
 
     @staticmethod
     def _index_of(log: list, off: dict) -> int:
@@ -242,7 +272,8 @@ class IcebergTailReader(DataSourceStreamReader):
                 f"regressing batch range: start {start} is past end {end} "
                 "— was the progress_dir reused across checkpoints?")
         flat = [f for _, files in log for f in files]
-        return [_FilePartition(f.file_path, self._columns)
+        return [_FilePartition(f.file_path, self._columns,
+                               self._include_path)
                 for f in flat[i0:i1]]
 
     def read(self, partition: InputPartition) -> Iterator:
@@ -252,7 +283,11 @@ class IcebergTailReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
+        file_cols = set(pq.read_schema(partition.path).names)
+        want_names = [n for n, _ in partition.columns]
+        tbl = pq.read_table(
+            partition.path,
+            columns=[n for n in want_names if n in file_cols])
         arrays, names = [], []
         for name, ityp in partition.columns:
             names.append(name)
@@ -270,6 +305,10 @@ class IcebergTailReader(DataSourceStreamReader):
                 arrays.append(col)
             else:
                 arrays.append(pa.nulls(len(tbl), type=_arrow_type(ityp)))
+        if partition.include_path:
+            names.append("__file_path")
+            arrays.append(pa.array([partition.path] * len(tbl),
+                                   type=pa.string()))
         yield from pa.Table.from_arrays(arrays, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -284,7 +323,11 @@ class IcebergTailDataSource(DataSource):
     ``max_files_per_trigger`` (default 1), ``partition_filter`` (JSON:
     scalar / list / {"lo","hi"}), ``starting_snapshot_id`` (exclusive),
     ``progress_dir`` (restart-safety sidecar; pass a dir tied to the
-    query's checkpoint)."""
+    query's checkpoint), ``exclude_columns`` (CSV — source-level column
+    pruning, keeps heavy payloads out of the parquet read entirely),
+    ``include_file_path`` (append the backing data file's path as a
+    ``__file_path`` string column — the payload-direct decode pattern,
+    engine/audio.py extract_audio_features_direct)."""
 
     @classmethod
     def name(cls) -> str:
@@ -296,7 +339,13 @@ class IcebergTailDataSource(DataSource):
         loc = self.options.get("location")
         if not loc:
             raise ValueError("iceberg_tail requires a location option")
-        return iceberg_schema_to_ddl(IcebergTable(loc).schema_json())
+        cols = _projected_columns(
+            IcebergTable(loc).schema_json(), dict(self.options))
+        ddl = iceberg_schema_to_ddl({"fields": [
+            {"name": n, "type": t} for n, t in cols]})
+        if _truthy(self.options.get("include_file_path")):
+            ddl += ", __file_path string"
+        return ddl
 
     def streamReader(self, schema) -> IcebergTailReader:
         return IcebergTailReader(dict(self.options))

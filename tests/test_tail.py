@@ -215,3 +215,51 @@ def test_tail_stream_partition_filter_and_evolution(spark, tmp_path):
         q.stop()
     assert len(pdf) == 12 and set(pdf.k % 4) == {1}
     assert set(pdf.tag.dropna()) == {"late"} and pdf.tag.isna().sum() == 10
+
+
+def test_tail_window_pipeline_exactly_once(spark, tmp_path):
+    """Flagship composition over the tail source: clip topic → tail stream
+    (bytes/transcript pruned AT THE SOURCE — a python data source gets no
+    Catalyst pruning) → watermark → tumbling agg → exactly-once ledger
+    sink, with a commit landing mid-stream; result equals the batch
+    aggregate over ALL committed rows (watermark-closed windows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import read_clip_stream_tail, write_clips_iceberg
+    from engine.windows import tumbling_agg
+
+    loc = str(tmp_path / "topic")
+    t = write_clips_iceberg(loc, 900, n_files=9, seed=7,
+                            files_per_snapshot=3)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sink = ParquetLedgerSink(out, event_ts_col="window_start")
+    src = read_clip_stream_tail(
+        spark, t, max_files_per_trigger=2,
+        progress_dir=str(tmp_path / "prog"),
+        exclude_columns=["bytes", "transcript"])
+    assert "bytes" not in src.columns and "transcript" not in src.columns
+    agg = tumbling_agg(src, "event_ts", "speaker_id", "dur_ms", "10 minutes")
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .foreachBatch(sink.foreach_batch()).start())
+    q.processAllAvailable()
+    q.stop()
+    audit = sink.audit()
+    assert audit["unique_batch_ids"] and audit["consistent"]
+    got = sink.read_committed(spark).toPandas()
+    all_rows = t.read(spark).withColumn(
+        "event_ts", F.col("event_ts").cast("timestamp"))
+    want = tumbling_agg(
+        all_rows, "event_ts", "speaker_id", "dur_ms", "10 minutes"
+    ).toPandas()
+    last_ts = all_rows.agg(F.max("event_ts")).collect()[0][0]
+    wm = last_ts - pd.Timedelta(seconds=60)
+    want = want[want.window_end <= wm]
+    cols = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["window_start", "speaker_id"],
+                              ignore_index=True),
+        want.sort_values(["window_start", "speaker_id"],
+                         ignore_index=True), check_dtype=False)
