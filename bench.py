@@ -219,6 +219,48 @@ def bench_backfill(spark, workdir: str) -> dict:
     }
 
 
+def bench_tail(spark, workdir: str) -> dict:
+    """Snapshot-tail source leg (round 5): the SAME Iceberg topic
+    bench_streaming produced, streamed via the iceberg_tail Python Data
+    Source (manifest-planned offsets, live-follow capable) through the
+    payload-direct decode + window + exactly-once pipeline. Comparable
+    head-to-head with streaming["clips_per_sec"]; includes the one-time
+    python-runner init in batch 0 (amortized on long-running streams)."""
+    from engine.audio import extract_audio_features_direct
+    from engine.iceberg import IcebergTable
+    from engine.sink import ParquetLedgerSink
+    from engine.streams import read_clip_stream_tail
+    from engine.windows import tumbling_agg
+
+    table = IcebergTable(os.path.join(workdir, "clips_iceberg"))
+    rundir = os.path.join(workdir, "tail")
+    sink = ParquetLedgerSink(os.path.join(rundir, "out"),
+                             event_ts_col="window_start")
+    src = read_clip_stream_tail(
+        spark, table, max_files_per_trigger=4, watermark=None,
+        progress_dir=os.path.join(rundir, "progress"),
+        exclude_columns=["bytes"], include_file_path=True)
+    feats = extract_audio_features_direct(src).withWatermark(
+        "event_ts", "60 seconds")
+    agg = tumbling_agg(feats, "event_ts", "speaker_id", "rms", "10 minutes")
+    t0 = time.time()
+    q = (agg.writeStream.outputMode("append")
+         .option("checkpointLocation", os.path.join(rundir, "ckpt"))
+         .foreachBatch(sink.foreach_batch())
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    elapsed = time.time() - t0
+    audit = sink.audit()
+    return {
+        "clips": N_CLIPS,
+        "stream_elapsed_sec": round(elapsed, 3),
+        "clips_per_sec": round(N_CLIPS / elapsed, 1),
+        "exactly_once_audit": audit["consistent"] and audit["unique_batch_ids"],
+        "n_batches": audit["n_batches"],
+    }
+
+
 def main() -> None:
     from engine.session import get_spark
 
@@ -246,6 +288,7 @@ def main() -> None:
         except Exception:
             hw_queries = None
         streaming = bench_streaming(spark, workdir)
+        tail = bench_tail(spark, workdir)
         backfill = bench_backfill(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -268,6 +311,7 @@ def main() -> None:
         "sf": float(SF_DIR.rstrip("/").split("sf")[-1]),
         "cpus": CPUS,
         "streaming": streaming,
+        "streaming_tail_source": tail,
         "backfill_day_pruned": backfill,
         "batch_total_sec": round(sum(queries.values()), 3),
         "hw_adjacent_iters_per_sec": hw_adjacent,
