@@ -834,6 +834,8 @@ class IcebergTable:
         return schema
 
     # -- metadata versions --------------------------------------------------
+    _VERSION_FILE_RE = re.compile(r"^v\d+\.metadata\.json$")
+
     def _version_path(self, v: int) -> str:
         return os.path.join(self.metadata_dir, f"v{v}.metadata.json")
 
@@ -1643,6 +1645,95 @@ class IcebergTable:
                 "data_files": len(drop_data),
                 "manifests": len(drop_manifests),
                 "manifest_lists": len(drop_lists)}
+
+    def remove_orphan_files(self, older_than_ms: int | None = None,
+                            dry_run: bool = False) -> dict:
+        """Delete files under the table location that NO metadata
+        references — the third maintenance action (compact → expire →
+        remove-orphans), covering what the other two cannot: leftovers of
+        crashed/killed write jobs (a Spark task's parquet output whose
+        commit never happened, half-built ``.tmp-*`` staging dirs, an
+        interrupted compaction's rewrite output).  Mirrors Iceberg's
+        ``remove_orphan_files`` procedure semantics:
+
+        - REFERENCED = every data/delete file in every manifest entry
+          (any status — DELETED entries still pin bytes for older
+          snapshots) of every retained snapshot, plus manifests, manifest
+          lists, ``v*.metadata.json`` and ``version-hint.text``;
+        - only files whose mtime is older than ``older_than_ms`` are
+          removed (default: now − 3 days, Iceberg's default guard) — an
+          IN-FLIGHT writer's staged-but-uncommitted output is younger
+          than any sane cutoff, so the race against active writers is
+          closed by time, exactly as in the reference procedure;
+        - ``dry_run`` lists what would go without deleting.
+
+        Returns ``{"data_files", "metadata_files", "tmp_files",
+        "paths"(dry_run only)}``."""
+        cutoff = (older_than_ms if older_than_ms is not None
+                  else int(time.time() * 1000) - 3 * 86_400_000)
+        meta = self.metadata()
+        keep: set[str] = set()
+        for s in meta.get("snapshots", []):
+            ml = _from_uri(s["manifest-list"])
+            keep.add(ml)
+            for m in self._read_manifest_list(ml):
+                mp = _from_uri(m["manifest_path"])
+                keep.add(mp)
+                for e in self._read_manifest(mp):
+                    keep.add(_from_uri(e["data_file"]["file_path"]))
+
+        def old(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) * 1000 < cutoff
+            except OSError:
+                return False
+
+        orphan_data: list[str] = []
+        for root, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                if p not in keep and old(p):
+                    orphan_data.append(p)
+        orphan_meta: list[str] = []
+        for n in os.listdir(self.metadata_dir):
+            p = os.path.join(self.metadata_dir, n)
+            if not os.path.isfile(p):
+                continue
+            if n == "version-hint.text" or self._VERSION_FILE_RE.match(n):
+                continue
+            if p not in keep and old(p):
+                orphan_meta.append(p)
+        orphan_tmp: list[str] = []
+        for n in os.listdir(self.location):
+            if not n.startswith(".tmp-"):
+                continue
+            d = os.path.join(self.location, n)
+            for root, _dirs, names in os.walk(d):
+                for fn in names:
+                    p = os.path.join(root, fn)
+                    if old(p):
+                        orphan_tmp.append(p)
+        out = {"data_files": len(orphan_data),
+               "metadata_files": len(orphan_meta),
+               "tmp_files": len(orphan_tmp)}
+        if dry_run:
+            out["paths"] = sorted(orphan_data + orphan_meta + orphan_tmp)
+            return out
+        for p in orphan_data + orphan_meta + orphan_tmp:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        # prune dirs the removal emptied (.tmp-* staging + partition dirs)
+        for base in (self.location, self.data_dir):
+            for root, _dirs, _names in os.walk(base, topdown=False):
+                if root not in (self.location, self.data_dir,
+                                self.metadata_dir):
+                    try:
+                        os.rmdir(root)
+                    except OSError:
+                        pass
+        return out
 
     # -- planning / reading -------------------------------------------------
     def normalize_partition_filter(self, partition_filter: dict | None

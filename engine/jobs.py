@@ -464,6 +464,11 @@ def cmd_maintain(args) -> dict:
             older_than_ms=args.expire_older_than_ms,
             retain_last=args.retain_last if args.retain_last is not None else 1,
         )
+    if args.remove_orphans:
+        out["orphans"] = t.remove_orphan_files(
+            older_than_ms=args.orphans_older_than_ms,
+            dry_run=args.orphans_dry_run,
+        )
     return out
 
 
@@ -555,6 +560,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expire snapshots older than this epoch-ms bound")
     p.add_argument("--retain-last", type=int, default=None,
                    help="always keep the N newest snapshots (enables expiration)")
+    p.add_argument("--remove-orphans", action="store_true",
+                   help="delete unreferenced files (crashed-write leftovers)")
+    p.add_argument("--orphans-older-than-ms", type=int, default=None,
+                   help="orphan mtime cutoff (default: now - 3 days)")
+    p.add_argument("--orphans-dry-run", action="store_true",
+                   help="list orphans without deleting")
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.set_defaults(fn=cmd_maintain)

@@ -1439,3 +1439,59 @@ def test_metadata_tables(spark, tmp_path):
     assert t0.snapshots_df(spark).count() == 0
     assert t0.files_df(spark).count() == 0
     assert t0.history_df(spark).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# remove_orphan_files
+# ---------------------------------------------------------------------------
+
+def test_remove_orphan_files(spark, tmp_path):
+    """The third maintenance action: crashed-write leftovers (uncommitted
+    parquet in data/, stale .tmp-* staging, dangling metadata avro) go;
+    every referenced file — including DELETED-status entries older
+    snapshots still plan — stays; young orphans (in-flight writers) stay;
+    dry_run deletes nothing."""
+    import time as _time
+
+    t = _mktable(spark, tmp_path, "orph")
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    t.write_dataframe(_df(spark, 10, 20).coalesce(1))
+    t.compact_data_files(spark)  # replaced files: DELETED entries, pinned
+
+    stray_data = os.path.join(t.data_dir, "crashed-task-output.parquet")
+    with open(stray_data, "wb") as f:
+        f.write(b"not really parquet")
+    stray_meta = os.path.join(t.metadata_dir, "deadbeef-m9.avro")
+    with open(stray_meta, "wb") as f:
+        f.write(b"dangling manifest")
+    tmpdir = os.path.join(t.location, ".tmp-upsert-dead")
+    os.makedirs(tmpdir)
+    stray_tmp = os.path.join(tmpdir, "part-0.parquet")
+    with open(stray_tmp, "wb") as f:
+        f.write(b"staged, never committed")
+
+    future = int(_time.time() * 1000) + 60_000
+    dr = t.remove_orphan_files(older_than_ms=future, dry_run=True)
+    assert dr == {"data_files": 1, "metadata_files": 1, "tmp_files": 1,
+                  "paths": sorted([stray_data, stray_meta, stray_tmp])}
+    assert os.path.exists(stray_data)  # dry run deleted nothing
+
+    # default cutoff (now - 3 days): everything here is too young — the
+    # in-flight-writer guard
+    assert t.remove_orphan_files() == {
+        "data_files": 0, "metadata_files": 0, "tmp_files": 0}
+    assert os.path.exists(stray_data)
+
+    got = t.remove_orphan_files(older_than_ms=future)
+    assert got == {"data_files": 1, "metadata_files": 1, "tmp_files": 1}
+    assert not os.path.exists(stray_data)
+    assert not os.path.exists(stray_meta)
+    assert not os.path.exists(tmpdir)  # emptied staging dir pruned
+
+    # table intact: current read, time travel to pre-compaction snapshots,
+    # and every still-referenced file on disk
+    assert t.read(spark).count() == 20
+    first = t.snapshots()[0]["snapshot-id"]
+    assert t.read(spark, snapshot_id=first).count() == 10
+    for f in t.plan_files(snapshot_id=first):
+        assert os.path.exists(f.file_path)
