@@ -982,6 +982,97 @@ class IcebergTable:
     def refs(self) -> dict:
         return dict(self.metadata().get("refs") or {})
 
+    def _ancestry(self, head_id: int | None = None) -> list[dict]:
+        """Snapshots on the parent chain of ``head_id`` (current main head
+        by default), oldest→newest.  With branches in play this — not the
+        flat snapshots list — is a ref's commit history: side-branch
+        snapshots live in the same list but are NOT ancestors until a
+        fast-forward publishes them."""
+        by_id = {s["snapshot-id"]: s for s in self.snapshots()}
+        sid = head_id if head_id is not None else self.current_snapshot_id
+        chain: list[dict] = []
+        while sid is not None and sid in by_id:
+            chain.append(by_id[sid])
+            sid = by_id[sid].get("parent-snapshot-id")
+        chain.reverse()
+        return chain
+
+    def create_branch(self, name: str,
+                      from_snapshot_id: int | None = None) -> None:
+        """Create a named BRANCH ref (Iceberg refs, type=branch) at a
+        snapshot (current main head by default).  Branch commits
+        (``write_dataframe(..., branch=name)``) advance the branch only;
+        ``main`` — and every tail/CDC follower of it — never sees them
+        until :meth:`fast_forward` publishes the branch.  This is the
+        write-audit-publish staging seam."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
+            raise ValueError(f"invalid branch name {name!r}")
+        sid = (from_snapshot_id if from_snapshot_id is not None
+               else self.current_snapshot_id)
+        if sid is None:
+            raise ValueError("cannot branch an empty table")
+        self.snapshot(sid)  # raises on unknown id
+        meta = dict(self.metadata())
+        base = self._current_version()
+        refs = dict(meta.get("refs") or {})
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists "
+                             f"(type {refs[name]['type']})")
+        refs[name] = {"snapshot-id": sid, "type": "branch"}
+        meta["refs"] = refs
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish(meta, base_version=base)
+
+    def fast_forward(self, branch: str, from_ref: str) -> int:
+        """Fast-forward ``branch`` to ``from_ref``'s head — the PUBLISH
+        step of write-audit-publish: stage commits on an audit branch,
+        validate ``read(ref=audit)``, then atomically move ``main``.
+        Requires ``branch``'s current head to be an ANCESTOR of the new
+        head (true fast-forward — published history is never rewritten;
+        anything else raises).  Fast-forwarding ``main`` also advances
+        ``current-snapshot-id`` and the snapshot-log, so time travel,
+        CDC (``incremental_files``) and a live snapshot-tail all see the
+        published snapshots exactly once, in commit order.  Returns the
+        new head snapshot id."""
+        meta = dict(self.metadata())
+        base = self._current_version()
+        refs = dict(meta.get("refs") or {})
+        if from_ref not in refs:
+            raise KeyError(f"no ref {from_ref!r} (refs: {sorted(refs)})")
+        head = refs[from_ref]["snapshot-id"]
+        if branch != "main":
+            if branch not in refs:
+                raise KeyError(f"no branch {branch!r}")
+            if refs[branch]["type"] != "branch":
+                raise ValueError(f"ref {branch!r} is a "
+                                 f"{refs[branch]['type']}, not a branch")
+        cur = (refs.get(branch, {}).get("snapshot-id")
+               if branch != "main" else self.current_snapshot_id)
+        ancestors = {s["snapshot-id"] for s in self._ancestry(head)}
+        if cur is not None and cur not in ancestors:
+            raise ValueError(
+                f"{branch!r} head {cur} is not an ancestor of "
+                f"{from_ref!r} head {head} — not a fast-forward")
+        if cur == head:
+            return head
+        now_ms = int(time.time() * 1000)
+        refs[branch] = {"snapshot-id": head, "type": "branch"}
+        meta["refs"] = refs
+        if branch == "main":
+            meta["current-snapshot-id"] = head
+            # every newly-published ancestor becomes current in order —
+            # as-of time travel lands inside the published range correctly
+            known = {e["snapshot-id"]
+                     for e in meta.get("snapshot-log", [])}
+            meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now_ms, "snapshot-id": s["snapshot-id"]}
+                for s in self._ancestry(head)
+                if s["snapshot-id"] not in known
+            ]
+        meta["last-updated-ms"] = now_ms
+        self._publish(meta, base_version=base)
+        return head
+
     # -- metadata inspection tables ------------------------------------------
     # DataFrame twins of the Iceberg jar's `<table>.snapshots` / `.history`
     # / `.files` / `.refs` metadata tables — the commit-log inspection
@@ -1147,8 +1238,18 @@ class IcebergTable:
 
     # -- commits ------------------------------------------------------------
     def _commit(self, new_files: list[DataFileInfo], operation: str,
-                summary_extra: dict | None) -> int:
+                summary_extra: dict | None, branch: str = "main") -> int:
         meta = self.metadata()
+        if branch != "main":
+            refs = meta.get("refs") or {}
+            if branch not in refs:
+                raise KeyError(
+                    f"no branch {branch!r} — create_branch() first "
+                    f"(refs: {sorted(refs)})")
+            if refs[branch]["type"] != "branch":
+                raise ValueError(
+                    f"ref {branch!r} is a {refs[branch]['type']}; "
+                    "commits target branches only")
         base_version = self._current_version()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)  # positive long
@@ -1184,7 +1285,8 @@ class IcebergTable:
             (len(new_files), add_rows), (0, 0),
         )]
 
-        prev = self._resolve_snapshot(None, None)
+        prev = self._resolve_snapshot(
+            None, None, ref=None if branch == "main" else branch)
         prev_total_files = prev_total_rows = 0
         if prev is not None:
             prev_manifests = self._read_manifest_list(prev["manifest-list"])
@@ -1195,7 +1297,8 @@ class IcebergTable:
                 total_files = prev_total_files + len(new_files)
                 total_rows = prev_total_rows + add_rows
             else:  # overwrite: rewrite live entries as DELETED
-                live = self.plan_files()
+                live = self.plan_files(
+                    ref=None if branch == "main" else branch)
                 if live:
                     dpath, dlen = self._write_manifest(
                         [entry(f, _STATUS_DELETED, f.sequence_number)
@@ -1224,11 +1327,12 @@ class IcebergTable:
         summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
         return self._finalize_snapshot(
             manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
-            prev,
+            prev, branch=branch,
         )
 
     def _finalize_snapshot(self, manifests, seq, snapshot_id, now_ms, summary,
-                           meta, base_version, prev) -> int:
+                           meta, base_version, prev,
+                           branch: str = "main") -> int:
         """Write the manifest list, append the snapshot, publish metadata."""
         list_name = f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
         list_path = os.path.join(self.metadata_dir, list_name)
@@ -1250,28 +1354,34 @@ class IcebergTable:
         meta = dict(meta)
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        meta["current-snapshot-id"] = snapshot_id
         meta["snapshots"] = meta["snapshots"] + [snap]
-        meta["snapshot-log"] = meta["snapshot-log"] + [
-            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-        ]
+        if branch == "main":
+            # branch commits stage aside: current-snapshot-id and the
+            # snapshot-log (= main's became-current history) move only on
+            # main commits and fast_forward publishes
+            meta["current-snapshot-id"] = snapshot_id
+            meta["snapshot-log"] = meta["snapshot-log"] + [
+                {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+            ]
         meta["metadata-log"] = meta["metadata-log"] + [
             {"timestamp-ms": now_ms,
              "metadata-file": _to_uri(self._version_path(base_version))}
         ]
         refs = dict(meta.get("refs") or {})
-        refs["main"] = {"snapshot-id": snapshot_id, "type": "branch"}
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         meta["refs"] = refs
         self._publish(meta, base_version=base_version)
         return snapshot_id
 
     def commit_append(self, files: list[DataFileInfo],
-                      summary_extra: dict | None = None) -> int:
-        return self._commit(files, "append", summary_extra)
+                      summary_extra: dict | None = None,
+                      branch: str = "main") -> int:
+        return self._commit(files, "append", summary_extra, branch=branch)
 
     def commit_overwrite(self, files: list[DataFileInfo],
-                         summary_extra: dict | None = None) -> int:
-        return self._commit(files, "overwrite", summary_extra)
+                         summary_extra: dict | None = None,
+                         branch: str = "main") -> int:
+        return self._commit(files, "overwrite", summary_extra, branch=branch)
 
     def commit_replace(self, new_files: list[DataFileInfo],
                        replaced: list[DataFileInfo],
@@ -1893,8 +2003,10 @@ class IcebergTable:
                           to_snapshot_id: int | None = None
                           ) -> list[DataFileInfo]:
         """Files ADDED by snapshots in ``(from, to]`` — the pullChanges /
-        incremental-scan analogue (``engine/store.py pull_changes``)."""
-        snaps = self.snapshots()
+        incremental-scan analogue (``engine/store.py pull_changes``).
+        Walks MAIN's ancestry: staged side-branch commits are invisible
+        here until a fast-forward publishes them."""
+        snaps = self._ancestry()
         if from_snapshot_id is not None and not any(
             s["snapshot-id"] == from_snapshot_id for s in snaps
         ):
@@ -1956,10 +2068,14 @@ class IcebergTable:
         appear with an empty list, so offsets can land on any snapshot.
         ``partition_filter`` takes SOURCE-column values (normalized via
         :meth:`normalize_partition_filter`) and drops non-matching files
-        at the manifest level — no data file is opened here at all."""
+        at the manifest level — no data file is opened here at all.
+        Walks MAIN's ancestry: a tail following main never delivers a
+        staged side-branch commit — a fast-forward publish splices the
+        branch snapshots INTO main's ancestry, where they then deliver
+        exactly once, in commit order."""
         flt = self.normalize_partition_filter(partition_filter)
         out: list[tuple[int, list[DataFileInfo]]] = []
-        for s in self.snapshots():
+        for s in self._ancestry():
             sid = s["snapshot-id"]
             files: list[DataFileInfo] = []
             if s["summary"].get("operation") != "replace":
@@ -2085,12 +2201,17 @@ class IcebergTable:
 
     # -- writing DataFrames -------------------------------------------------
     def write_dataframe(self, df: DataFrame, mode: str = "append",
-                        summary_extra: dict | None = None) -> int:
+                        summary_extra: dict | None = None,
+                        branch: str = "main") -> int:
         """Write ``df`` as parquet data files + one snapshot commit.
 
         Executors write the data (standard parquet job into a temp dir);
         the driver renames files into ``data/`` under collision-free names
-        and reads row counts from footers — O(#files) driver work."""
+        and reads row counts from footers — O(#files) driver work.
+
+        ``branch`` targets a named branch ref (:meth:`create_branch`)
+        instead of main — the write-audit-publish staging write; main and
+        its followers see nothing until :meth:`fast_forward`."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"iceberg save mode must be append/overwrite, got {mode!r}")
         tmp = os.path.join(self.location, f".tmp-write-{uuid.uuid4().hex[:8]}")
@@ -2115,8 +2236,8 @@ class IcebergTable:
 
         shutil.rmtree(tmp, ignore_errors=True)
         if mode == "append":
-            return self.commit_append(infos, summary_extra)
-        return self.commit_overwrite(infos, summary_extra)
+            return self.commit_append(infos, summary_extra, branch=branch)
+        return self.commit_overwrite(infos, summary_extra, branch=branch)
 
     def upsert(self, spark: SparkSession, df: DataFrame,
                key_cols: list[str],

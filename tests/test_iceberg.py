@@ -1442,6 +1442,57 @@ def test_metadata_tables(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# branches: write-audit-publish
+# ---------------------------------------------------------------------------
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """Branch refs stage commits aside from main (the WAP seam): main,
+    time travel, CDC and the append log see nothing until fast_forward
+    publishes — then the staged snapshots deliver exactly once, in commit
+    order. Non-fast-forward publishes are refused."""
+    t = _mktable(spark, tmp_path, "wap")
+    s1 = t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    t.create_branch("audit")
+    b1 = t.write_dataframe(_df(spark, 10, 20).coalesce(1), branch="audit")
+    b2 = t.write_dataframe(_df(spark, 20, 25).coalesce(1), branch="audit")
+
+    # staged: branch sees all, main sees nothing new
+    assert t.read(spark, ref="audit").count() == 25
+    assert t.read(spark).count() == 10
+    assert t.current_snapshot_id == s1
+    assert t.incremental_files(s1) == []
+    assert [sid for sid, _ in t.append_log()] == [s1]
+    # lineage: b1's parent is s1 (branched from main head), b2's is b1
+    by_id = {s["snapshot-id"]: s.get("parent-snapshot-id")
+             for s in t.snapshots()}
+    assert by_id[b1] == s1 and by_id[b2] == b1
+
+    # guards: unknown branch, commit to a tag
+    with pytest.raises(KeyError, match="create_branch"):
+        t.write_dataframe(_df(spark, 0, 1), branch="nope")
+    t.tag_snapshot("pin", s1)
+    with pytest.raises(ValueError, match="branches only"):
+        t.write_dataframe(_df(spark, 0, 1), branch="pin")
+
+    # publish: main fast-forwards to the audit head
+    head = t.fast_forward("main", "audit")
+    assert head == b2 and t.current_snapshot_id == b2
+    assert t.read(spark).count() == 25
+    inc = t.incremental_files(s1)
+    assert sum(f.record_count for f in inc) == 15
+    assert [sid for sid, _ in t.append_log()] == [s1, b1, b2]
+    log_ids = [e["snapshot-id"] for e in t.metadata()["snapshot-log"]]
+    assert log_ids == [s1, b1, b2]  # published in commit order
+    assert t.fast_forward("main", "audit") == b2  # idempotent
+
+    # diverge: a main commit after publish makes further ff non-linear
+    t.write_dataframe(_df(spark, 25, 30).coalesce(1))
+    t.write_dataframe(_df(spark, 30, 35).coalesce(1), branch="audit")
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "audit")
+
+
+# ---------------------------------------------------------------------------
 # remove_orphan_files
 # ---------------------------------------------------------------------------
 

@@ -217,6 +217,29 @@ def test_tail_stream_partition_filter_and_evolution(spark, tmp_path):
     assert set(pdf.tag.dropna()) == {"late"} and pdf.tag.isna().sum() == 10
 
 
+def test_tail_ignores_staged_branch_until_publish(spark, tmp_path):
+    """A live tail follows MAIN's ancestry: commits staged on an audit
+    branch are invisible until fast_forward publishes them — then they
+    stream exactly once (the write-audit-publish flow under a running
+    consumer)."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    d = str(tmp_path)
+    q, out = _start(spark, t.location, d, max_files_per_trigger=4)
+    try:
+        _run_until(spark, out, 10)
+        t.create_branch("audit")
+        t.write_dataframe(_df(spark, 10, 30).coalesce(2), branch="audit")
+        time.sleep(2)  # staged-only window: several triggers pass
+        assert spark.read.parquet(out).count() == 10
+        t.fast_forward("main", "audit")
+        got = _run_until(spark, out, 30)
+        assert got.count() == 30
+        assert got.groupBy("k").count().where("count > 1").count() == 0
+    finally:
+        q.stop()
+
+
 def test_tail_window_pipeline_exactly_once(spark, tmp_path):
     """Flagship composition over the tail source: clip topic → tail stream
     (bytes/transcript pruned AT THE SOURCE — a python data source gets no
