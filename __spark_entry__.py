@@ -1098,7 +1098,11 @@ def _q_iceberg_lifecycle(spark, sf_dir):
       refs exclude their snapshots from GC;
     - ``evolved``: additive schema evolution (add_columns — the
       reference's appendFeatures seam): old files read the new column
-      as null, post-evolution writes carry values.
+      as null, post-evolution writes carry values;
+    - ``staged_main`` / ``published``: write-audit-publish (round 5) —
+      a branch-staged commit is invisible to main and CDC until
+      fast_forward publishes it, plus remove_orphan_files deleting a
+      crashed-write leftover without touching committed files.
     All facets share (snap, c_custkey, c_name, c_acctbal) and are
     value-checked against DuckDB."""
     import tempfile
@@ -1184,9 +1188,34 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     f_stats = tag(t2.read(spark, stats_filter={"c_custkey": (10, 49)}),
                   "stats_range")
 
+    # write-audit-publish (round 5): commits staged on a branch are
+    # invisible to main (and CDC/tails) until fast_forward publishes them
+    import os as _os
+    import time as _time
+
+    t3 = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life3_"), schema=cust.schema)
+    t3.write_dataframe(cust.filter("c_custkey <= 100").coalesce(1))
+    t3.create_branch("audit")
+    t3.write_dataframe(
+        cust.filter("c_custkey > 100 AND c_custkey <= 150").coalesce(1),
+        branch="audit")
+    assert t3.incremental_files(t3.current_snapshot_id) == []  # staged
+    f_staged = tag(t3.read(spark), "staged_main")
+    t3.fast_forward("main", "audit")
+    # orphan cleanup: a crashed-write leftover goes, committed files stay
+    stray = _os.path.join(t3.data_dir, "crashed-task.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    gone = t3.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000)
+    assert gone["data_files"] == 1 and not _os.path.exists(stray)
+    f_pub = tag(t3.read(spark), "published")
+
     return f_s1.unionByName(f_up).unionByName(f_m) \
         .unionByName(f_tag).unionByName(f_evo) \
-        .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats)
+        .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats) \
+        .unionByName(f_staged).unionByName(f_pub)
 
 
 _SQL_ICEBERG_LIFECYCLE = """
@@ -1218,6 +1247,12 @@ FROM customer WHERE c_custkey = 42
 UNION ALL
 SELECT 'stats_range', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey BETWEEN 10 AND 49
+UNION ALL
+SELECT 'staged_main', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 100
+UNION ALL
+SELECT 'published', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 150
 """
 
 
