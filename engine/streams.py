@@ -423,6 +423,7 @@ def read_clip_stream_tail(
     starting_snapshot_id: int | None = None,
     exclude_columns: list[str] | None = None,
     include_file_path: bool = False,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
     """Clip stream over the SNAPSHOT-TAIL source (engine/tail.py) instead
     of the validated file source: plans from manifests (no directory
@@ -459,6 +460,9 @@ def read_clip_stream_tail(
         reader = reader.option("exclude_columns", ",".join(exclude_columns))
     if include_file_path:
         reader = reader.option("include_file_path", "true")
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("max_bytes_per_trigger",
+                               str(max_bytes_per_trigger))
     stream = reader.load()
     if watermark is not None:
         stream = stream.withWatermark(ts_col, watermark)

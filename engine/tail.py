@@ -156,6 +156,10 @@ class IcebergTailReader(DataSourceStreamReader):
         self._max_files = int(options.get("max_files_per_trigger", 1) or 1)
         if self._max_files < 1:
             raise ValueError("max_files_per_trigger must be >= 1")
+        mb = options.get("max_bytes_per_trigger")
+        self._max_bytes = int(mb) if mb else None
+        if self._max_bytes is not None and self._max_bytes < 1:
+            raise ValueError("max_bytes_per_trigger must be >= 1")
         self._flt = _parse_filter(options.get("partition_filter"))
         self._progress = None
         if options.get("progress_dir"):
@@ -255,8 +259,19 @@ class IcebergTailReader(DataSourceStreamReader):
         if persisted:
             candidates.append(persisted)
         cur_idx = max(self._index_of(log, c) for c in candidates)
-        total = sum(len(files) for _, files in log)
-        new_idx = min(total, cur_idx + self._max_files)
+        flat = [f for _, files in log for f in files]
+        new_idx = min(len(flat), cur_idx + self._max_files)
+        if self._max_bytes is not None:
+            # byte cap composes with the file cap: admit files until the
+            # budget is spent, always at least one (progress guarantee —
+            # a single file larger than the cap still streams)
+            budget, i = self._max_bytes, cur_idx
+            while i < new_idx:
+                budget -= flat[i].file_size_in_bytes
+                i += 1
+                if budget <= 0:
+                    break
+            new_idx = i
         off = self._offset_at(log, new_idx)
         if new_idx != cur_idx:
             self._persist(off)
@@ -320,7 +335,10 @@ class IcebergTailReader(DataSourceStreamReader):
 class IcebergTailDataSource(DataSource):
     """``spark.readStream.format("iceberg_tail").option("location", path)``
     — see module docstring. Options: ``location`` (required),
-    ``max_files_per_trigger`` (default 1), ``partition_filter`` (JSON:
+    ``max_files_per_trigger`` (default 1), ``max_bytes_per_trigger``
+    (byte-budget pacing composed with the file cap — at least one file
+    always admits so an oversized file cannot stall the stream),
+    ``partition_filter`` (JSON:
     scalar / list / {"lo","hi"}), ``starting_snapshot_id`` (exclusive),
     ``progress_dir`` (restart-safety sidecar; pass a dir tied to the
     query's checkpoint), ``exclude_columns`` (CSV — source-level column

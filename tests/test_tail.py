@@ -80,6 +80,31 @@ def test_reader_offsets_and_pacing(spark, tmp_path):
         r.partitions(o3, o1)
 
 
+def test_reader_byte_budget_pacing(spark, tmp_path):
+    """max_bytes_per_trigger composes with the file cap: files admit
+    until the byte budget is spent, and an oversized single file still
+    makes progress (never stalls)."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 12).coalesce(3))
+    sizes = [f.file_size_in_bytes for _, fs in t.append_log() for f in fs]
+    # budget covering exactly one file → one file per trigger
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "100",
+                           "max_bytes_per_trigger": str(min(sizes))})
+    offs = [r.latestOffset() for _ in range(3)]
+    assert [o["pos"] for o in offs] == [1, 2, 3]
+    # budget smaller than ANY file → still one file per trigger
+    r2 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "100",
+                            "max_bytes_per_trigger": "1"})
+    assert r2.latestOffset()["pos"] == 1
+    # generous budget → file cap is what binds
+    r3 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "2",
+                            "max_bytes_per_trigger": str(sum(sizes) * 10)})
+    assert r3.latestOffset()["pos"] == 2
+
+
 def test_reader_restart_floor_and_start_snapshot(spark, tmp_path):
     t = _mktable(spark, tmp_path)
     s1 = t.write_dataframe(_df(spark, 0, 4).coalesce(2))
