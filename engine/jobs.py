@@ -274,13 +274,26 @@ def cmd_join(args) -> dict:
     spark = get_spark("join", cores=args.cores,
                       shuffle_partitions=args.shuffle_partitions)
     ckpt = args.checkpoint or os.path.join(args.out, "_checkpoint")
+    tail_table = None
+    if getattr(args, "tail", False):
+        from engine.iceberg import IcebergTable
+
+        if not os.path.exists(
+                os.path.join(args.clips, "metadata", "version-hint.text")):
+            raise SystemExit("--tail requires an Iceberg topic "
+                             "(producer --iceberg)")
+        tail_table = IcebergTable(args.clips)
     t0 = time.time()
     _, sink = run_join_pipeline(
         spark, args.clips, args.out, ckpt, watermark=args.watermark,
         ttl=args.ttl, max_files_per_trigger=args.max_files_per_trigger,
+        tail_table=tail_table,
     )
     elapsed = time.time() - t0
-    n_in = spark.read.parquet(args.clips).count()
+    if tail_table is not None:
+        n_in = tail_table.read(spark).count()
+    else:
+        n_in = spark.read.parquet(args.clips).count()
     audit = sink.audit()
     try:
         out_rows = sink.read_committed(spark).count()
@@ -640,6 +653,9 @@ def build_parser() -> argparse.ArgumentParser:
                                 "file source")
         else:
             p.add_argument("--ttl", default="10 minutes")
+            p.add_argument("--tail", action="store_true",
+                           help="read the Iceberg topic via the snapshot-"
+                                "tail source on both join sides")
         p.set_defaults(fn=fn)
     return ap
 

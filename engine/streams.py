@@ -674,6 +674,7 @@ def run_join_pipeline(
     max_files_per_trigger: int = 1,
     await_termination: bool = True,
     n_buckets: int | None = 128,
+    tail_table=None,
 ):
     """North-rule J6 pipeline: clip-feature stream ⋈ transcript-feature stream,
     keyed by ``clip_id``, state in the custom applyInPandasWithState store
@@ -683,20 +684,38 @@ def run_join_pipeline(
     decodes PCM (vectorized mapInPandas) into acoustic features; side B derives
     transcript stats JVM-side. Scale note: the union+groupBy shuffles once on
     clip_id; per-key state is bounded by the join TTL, not stream length.
+
+    ``tail_table`` switches both sides to independent snapshot-tail
+    sources over the Iceberg topic (engine/tail.py; own progress
+    sidecars), each pruned to exactly its columns at the source: the
+    clip side carries ``__file_path`` instead of bytes (payload-direct
+    decode), the transcript side drops bytes entirely.
     """
     from engine.audio import extract_audio_features_direct
     from engine.state import stateful_stream_join
 
-    clip_side = read_clip_stream(
-        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=None
-    )
+    if tail_table is not None:
+        clip_side = read_clip_stream_tail(
+            spark, tail_table, max_files_per_trigger=max_files_per_trigger,
+            watermark=None,
+            progress_dir=os.path.join(checkpoint_dir, "_tail_progress_clip"),
+            exclude_columns=["bytes", "transcript"], include_file_path=True)
+        txt_side = read_clip_stream_tail(
+            spark, tail_table, max_files_per_trigger=max_files_per_trigger,
+            watermark=None,
+            progress_dir=os.path.join(checkpoint_dir, "_tail_progress_txt"),
+            exclude_columns=["bytes"])
+    else:
+        clip_side = read_clip_stream(
+            spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
+            watermark=None)
+        txt_side = read_clip_stream(
+            spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
+            watermark=None)
     feats = (
         extract_audio_features_direct(clip_side)
         .select("clip_id", "event_ts", "rms", "peak", "decoded_dur_ms")
         .withWatermark("event_ts", watermark)
-    )
-    txt_side = read_clip_stream(
-        spark, clips_dir, max_files_per_trigger=max_files_per_trigger, watermark=None
     )
     txts = transcript_features(txt_side).withWatermark("event_ts", watermark)
 

@@ -265,6 +265,26 @@ def test_tail_ignores_staged_branch_until_publish(spark, tmp_path):
         q.stop()
 
 
+def test_tail_join_pipeline(spark, tmp_path):
+    """J6 over the tail source: clip-feature ⋈ transcript-feature streams,
+    both sides independent snapshot-tails of one topic (own progress
+    sidecars, per-side column pruning) — every clip joins exactly once."""
+    from engine.streams import run_join_pipeline, write_clips_iceberg
+
+    t = write_clips_iceberg(str(tmp_path / "topic"), 300, n_files=3,
+                            seed=5, files_per_snapshot=1)
+    _, sink = run_join_pipeline(
+        spark, t.location, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, tail_table=t)
+    audit = sink.audit()
+    assert audit["unique_batch_ids"] and audit["consistent"]
+    got = sink.read_committed(spark)
+    assert got.count() == 300
+    assert got.select("clip_id").distinct().count() == 300
+    row = got.first()
+    assert row.rms is not None and row.n_tokens is not None
+
+
 def test_tail_window_pipeline_exactly_once(spark, tmp_path):
     """Flagship composition over the tail source: clip topic → tail stream
     (bytes/transcript pruned AT THE SOURCE — a python data source gets no
