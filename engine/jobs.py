@@ -485,6 +485,34 @@ def cmd_maintain(args) -> dict:
     return out
 
 
+def cmd_lineage(args) -> dict:
+    """Per-batch provenance for a finished (or running) pipeline: the
+    checkpoint offset log joined to the sink's commit records — input
+    offset range (tail offsets = input-table append-log coordinates),
+    plan-time watermark, output rows / output Iceberg snapshot per batch.
+    Durable-metadata only: no Spark session, works after the query died."""
+    from engine.lineage import batch_lineage
+
+    sink = None
+    if args.sink:
+        if os.path.exists(os.path.join(args.sink, "metadata",
+                                       "version-hint.text")):
+            from engine.iceberg import IcebergSink
+
+            sink = IcebergSink(args.sink)
+        else:
+            from engine.sink import ParquetLedgerSink
+
+            sink = ParquetLedgerSink(args.sink)
+    lin = batch_lineage(args.checkpoint, sink)
+    return {
+        "job": "lineage", "checkpoint": args.checkpoint,
+        "n_batches": len(lin),
+        "completed": sum(1 for r in lin if r["completed"]),
+        "batches": lin if args.full else lin[-args.last:],
+    }
+
+
 def cmd_condition(args) -> dict:
     """Batch corpus conditioning over a documents table: quality filter ->
     exact fingerprint dedup -> deterministic sample -> overlapping token
@@ -582,6 +610,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.set_defaults(fn=cmd_maintain)
+
+    p = sub.add_parser("lineage", help="per-batch provenance: checkpoint "
+                                       "offset log joined to sink commits")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--sink", default=None,
+                   help="sink location (ledger dir or Iceberg table) to "
+                        "join output-side facts")
+    p.add_argument("--last", type=int, default=5,
+                   help="show only the last N batches (default 5)")
+    p.add_argument("--full", action="store_true", help="show every batch")
+    p.set_defaults(fn=cmd_lineage)
 
     p = sub.add_parser("condition", help="corpus conditioning: quality -> dedup -> sample -> chunk")
     p.add_argument("--docs", required=True, help="documents parquet path")
