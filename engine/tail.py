@@ -160,6 +160,7 @@ class IcebergTailReader(DataSourceStreamReader):
         self._max_bytes = int(mb) if mb else None
         if self._max_bytes is not None and self._max_bytes < 1:
             raise ValueError("max_bytes_per_trigger must be >= 1")
+        self._drain_first = _truthy(options.get("drain_on_start"))
         self._flt = _parse_filter(options.get("partition_filter"))
         self._progress = None
         if options.get("progress_dir"):
@@ -260,6 +261,19 @@ class IcebergTailReader(DataSourceStreamReader):
             candidates.append(persisted)
         cur_idx = max(self._index_of(log, c) for c in candidates)
         flat = [f for _, files in log for f in files]
+        if self._drain_first and self._cur is None:
+            # first call of this reader: hand Spark the ENTIRE backlog as
+            # one range, ignoring rate caps — Trigger.AvailableNow pins
+            # "available" to the first latestOffset() and stops there, so
+            # this is the correct one-shot-backfill recipe (a paced
+            # availableNow run would otherwise stop after ONE rate-limited
+            # step; nothing is lost — a restart resumes — but the trigger
+            # semantics promise a full drain)
+            off = self._offset_at(log, len(flat))
+            if len(flat) != cur_idx:
+                self._persist(off)
+            self._cur = off
+            return off
         new_idx = min(len(flat), cur_idx + self._max_files)
         if self._max_bytes is not None:
             # byte cap composes with the file cap: admit files until the
@@ -341,7 +355,11 @@ class IcebergTailDataSource(DataSource):
     ``partition_filter`` (JSON:
     scalar / list / {"lo","hi"}), ``starting_snapshot_id`` (exclusive),
     ``progress_dir`` (restart-safety sidecar; pass a dir tied to the
-    query's checkpoint), ``exclude_columns`` (CSV — source-level column
+    query's checkpoint), ``drain_on_start`` (first latestOffset returns
+    the WHOLE backlog uncapped — pair with ``Trigger.AvailableNow`` for
+    one-shot backfills; without it availableNow stops after one
+    rate-limited step, losing nothing but draining nothing either),
+    ``exclude_columns`` (CSV — source-level column
     pruning, keeps heavy payloads out of the parquet read entirely),
     ``include_file_path`` (append the backing data file's path as a
     ``__file_path`` string column — the payload-direct decode pattern,

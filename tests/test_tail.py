@@ -265,6 +265,37 @@ def test_tail_ignores_staged_branch_until_publish(spark, tmp_path):
         q.stop()
 
 
+def test_tail_drain_on_start_available_now(spark, tmp_path):
+    """drain_on_start: the first latestOffset returns the whole backlog
+    uncapped — paired with Trigger.AvailableNow it drains everything and
+    stops (without it, availableNow pins 'available' to one rate-limited
+    step). Subsequent calls fall back to paced tailing."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 8).coalesce(4))
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "1",
+                           "drain_on_start": "true"})
+    o = r.latestOffset()
+    assert r._index_of(r._log(), o) == 4  # full backlog, cap ignored
+    t.write_dataframe(_df(spark, 8, 12).coalesce(2))
+    o2 = r.latestOffset()
+    assert r._index_of(r._log(), o2) == 5  # paced again after the drain
+
+    register_tail_source(spark)
+    out = str(tmp_path / "anow_out")
+    q = (spark.readStream.format("iceberg_tail")
+         .option("location", t.location)
+         .option("max_files_per_trigger", "1")
+         .option("drain_on_start", "true")
+         .option("progress_dir", str(tmp_path / "anow_prog"))
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "anow_ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 12
+
+
 def test_tail_join_pipeline(spark, tmp_path):
     """J6 over the tail source: clip-feature ⋈ transcript-feature streams,
     both sides independent snapshot-tails of one topic (own progress
