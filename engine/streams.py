@@ -615,12 +615,17 @@ def run_multi_width_pipeline(
     watermark: str = "60 seconds",
     max_files_per_trigger: int = 4,
     await_termination: bool = True,
+    tail_table=None,
 ):
     """W4: the reference's three parallel feature groups (10m/1h/12h) fed from
     ONE clip topic — one StreamingQuery per width (each owns its window state
     and checkpoint), all subscribed to the same source directory, exactly like
     the three ``card_transactions_*_agg`` groups in the setup notebook
     (cells 4, 10-13).
+
+    ``tail_table`` subscribes each width to its own snapshot-tail of the
+    Iceberg topic instead (per-width progress sidecars, bytes/transcript
+    pruned at the source — the metadata aggregate never ships payloads).
 
     Returns {width_label: (query, sink)}.
     """
@@ -629,10 +634,21 @@ def run_multi_width_pipeline(
     out = {}
     for w in widths:
         lbl = width_label(w)
-        src = read_clip_stream(
-            spark, clips_dir, max_files_per_trigger=max_files_per_trigger,
-            watermark=watermark,
-        )
+        if tail_table is not None:
+            src = read_clip_stream_tail(
+                spark, tail_table,
+                max_files_per_trigger=max_files_per_trigger,
+                watermark=watermark,
+                progress_dir=os.path.join(
+                    checkpoint_root, lbl, "_tail_progress"),
+                exclude_columns=sorted(
+                    {"bytes", "transcript"} - {key_col, value_col}))
+        else:
+            src = read_clip_stream(
+                spark, clips_dir,
+                max_files_per_trigger=max_files_per_trigger,
+                watermark=watermark,
+            )
         agg = tumbling_agg(src, "event_ts", key_col, value_col, w)
         sink = ParquetLedgerSink(
             os.path.join(out_root, lbl), event_ts_col="window_start"
