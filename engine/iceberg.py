@@ -2074,33 +2074,43 @@ class IcebergTable:
         branch snapshots INTO main's ancestry, where they then deliver
         exactly once, in commit order."""
         flt = self.normalize_partition_filter(partition_filter)
-        out: list[tuple[int, list[DataFileInfo]]] = []
-        for s in self._ancestry():
-            sid = s["snapshot-id"]
-            files: list[DataFileInfo] = []
-            if s["summary"].get("operation") != "replace":
-                for m in self._read_manifest_list(s["manifest-list"]):
-                    if m["added_snapshot_id"] != sid:
-                        continue
-                    if m.get("content", 0) != 0:
-                        continue
-                    for e in self._read_manifest(m["manifest_path"]):
-                        if (e["status"] == _STATUS_ADDED
-                                and e["snapshot_id"] == sid):
-                            df = e["data_file"]
-                            part = df.get("partition") or None
-                            if flt and not _partition_match(part or {}, flt):
-                                continue
-                            files.append(DataFileInfo(
-                                file_path=_from_uri(df["file_path"]),
-                                record_count=df["record_count"],
-                                file_size_in_bytes=df["file_size_in_bytes"],
-                                sequence_number=m["sequence_number"],
-                                partition=part,
-                            ))
-            files.sort(key=lambda f: f.file_path)
-            out.append((sid, files))
-        return out
+        return [(s["snapshot-id"], self.snapshot_added_files(s, flt))
+                for s in self._ancestry()]
+
+    def snapshot_added_files(self, snap: dict,
+                             normalized_filter: dict | None = None
+                             ) -> list[DataFileInfo]:
+        """ONE snapshot's entry in the append log (see :meth:`append_log`),
+        path-sorted. A committed snapshot's added-file set is immutable,
+        so callers that poll (the tail source) can cache per snapshot id
+        and pay only the NEW snapshot's manifest reads per refresh instead
+        of O(history). ``normalized_filter`` must already be in
+        transformed partition space (:meth:`normalize_partition_filter`)."""
+        sid = snap["snapshot-id"]
+        files: list[DataFileInfo] = []
+        if snap["summary"].get("operation") != "replace":
+            for m in self._read_manifest_list(snap["manifest-list"]):
+                if m["added_snapshot_id"] != sid:
+                    continue
+                if m.get("content", 0) != 0:
+                    continue
+                for e in self._read_manifest(m["manifest_path"]):
+                    if (e["status"] == _STATUS_ADDED
+                            and e["snapshot_id"] == sid):
+                        df = e["data_file"]
+                        part = df.get("partition") or None
+                        if normalized_filter and not _partition_match(
+                                part or {}, normalized_filter):
+                            continue
+                        files.append(DataFileInfo(
+                            file_path=_from_uri(df["file_path"]),
+                            record_count=df["record_count"],
+                            file_size_in_bytes=df["file_size_in_bytes"],
+                            sequence_number=m["sequence_number"],
+                            partition=part,
+                        ))
+        files.sort(key=lambda f: f.file_path)
+        return files
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None,
              as_of_ms: int | None = None,

@@ -42,14 +42,16 @@ as ``partitions(start, end)`` with both offsets from the checkpoint — a
 pure function of the append log, so replay is bit-identical.  The one
 hole in the Python API is that a RESTARTED reader's ``latestOffset``
 doesn't know the checkpointed position and could hand Spark an offset
-*behind* it (Spark compares offsets only for equality), silently
-re-delivering files into a new batch id past the idempotent sink.  The
-``progress_dir`` option closes it: the reader persists its high-water
-offset atomically BEFORE returning it from ``latestOffset``, so a fresh
-reader resumes at-or-ahead of anything Spark ever saw — at-or-ahead is
-safe, because batches are planned as offset RANGES from Spark's own log
-(nothing is skipped, the next batch is just larger).  Pass a directory
-that lives and dies with the query's checkpoint dir.
+*behind* it (Spark compares offsets only for equality), planning batches
+whose end precedes their start.  The REQUIRED ``progress_dir`` option
+closes it: the reader persists its high-water offset atomically BEFORE
+returning it from ``latestOffset``, so a fresh reader resumes
+at-or-ahead of anything Spark ever saw — at-or-ahead is safe, because
+batches are planned as offset RANGES from Spark's own log (nothing is
+skipped, the next batch is just larger), and a regressing range is
+refused loudly by ``partitions`` as a canary.  Pass a directory that
+lives and dies with the query's checkpoint dir (``unsafe_no_progress=
+true`` opts out, for single-process runs that will never restart).
 """
 from __future__ import annotations
 
@@ -78,8 +80,16 @@ def _arrow_type(iceberg_type):
     import pyarrow as pa
 
     if isinstance(iceberg_type, dict):
-        if iceberg_type.get("type") == "list":
+        kind = iceberg_type.get("type")
+        if kind == "list":
             return pa.list_(_arrow_type(iceberg_type["element"]))
+        if kind == "map":
+            return pa.map_(_arrow_type(iceberg_type["key"]),
+                           _arrow_type(iceberg_type["value"]))
+        if kind == "struct":
+            return pa.struct([
+                pa.field(f["name"], _arrow_type(f["type"]))
+                for f in iceberg_type["fields"]])
         raise ValueError(
             f"cannot null-pad evolved column of type {iceberg_type!r}")
     scalar = {
@@ -139,8 +149,7 @@ def _parse_filter(raw: str | None) -> dict | None:
     out = {}
     for col, cond in obj.items():
         if isinstance(cond, dict):
-            extra = set(cond) - {"lo", "hi"}
-            if extra or set(cond) != {"lo", "hi"}:
+            if set(cond) != {"lo", "hi"}:
                 raise ValueError(
                     f"range filter for {col!r} needs exactly lo and hi")
             cond = (cond["lo"], cond["hi"])
@@ -167,6 +176,16 @@ class IcebergTailReader(DataSourceStreamReader):
             os.makedirs(options["progress_dir"], exist_ok=True)
             self._progress = os.path.join(
                 options["progress_dir"], "tail-progress.json")
+        elif not _truthy(options.get("unsafe_no_progress")):
+            # without the sidecar, a RESTARTED reader's rate-limited
+            # latestOffset lands behind Spark's checkpointed position and
+            # every subsequent batch plan fails the regress guard — the
+            # stream can never resume. Refuse up front instead of wedging
+            # at the first restart.
+            raise ValueError(
+                "iceberg_tail needs a progress_dir (tie it to the query's "
+                "checkpoint dir); pass unsafe_no_progress=true only for "
+                "single-process runs that will never restart")
         start = options.get("starting_snapshot_id")
         self._start_snap = int(start) if start else None
         self._columns = _projected_columns(
@@ -184,16 +203,31 @@ class IcebergTailReader(DataSourceStreamReader):
         return IcebergTable(self._loc)
 
     def _log(self) -> list:
-        # cache keyed by the table's metadata VERSION: latestOffset runs
-        # every trigger, and re-reading every manifest of a
-        # snapshot-per-micro-batch table each time is O(history) per
-        # trigger — the cache makes an idle poll one version-hint read
+        # two-level cache: an idle poll is ONE version-hint read (cache
+        # keyed by metadata version), and a commit costs only the NEW
+        # snapshots' manifest reads — a committed snapshot's added-file
+        # set is immutable, so per-snapshot lists are reused by id.
+        # Without this, a snapshot-per-micro-batch table would pay
+        # O(history) manifest I/O per trigger (quadratic over the
+        # stream's lifetime).
         t = self._table()
         v = t._current_version()
         cached = getattr(self, "_log_cache", None)
         if cached is not None and cached[0] == v:
             return cached[1]
-        log = t.append_log(partition_filter=self._flt)
+        flt = t.normalize_partition_filter(self._flt)
+        old = dict(getattr(self, "_files_by_sid", {}))
+        by_sid = {}
+        log = []
+        for s in t._ancestry():
+            sid = s["snapshot-id"]
+            files = old.get(sid)
+            if files is None:
+                files = t.snapshot_added_files(s, flt)
+            by_sid[sid] = files
+            log.append((sid, files))
+        # rebuilt from ancestry: expired snapshots drop out of the cache
+        self._files_by_sid = by_sid
         self._log_cache = (v, log)
         return log
 
@@ -255,11 +289,16 @@ class IcebergTailReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         log = self._log()
-        candidates = [self._cur or self.initialOffset()]
-        persisted = self._persisted()
-        if persisted:
-            candidates.append(persisted)
-        cur_idx = max(self._index_of(log, c) for c in candidates)
+        if self._cur is not None:
+            # _cur and the sidecar advance together — no disk read needed
+            base = self._cur
+        else:
+            # first call of this reader: the persisted high-water offset
+            # wins over the configured start (a restarted stream must NOT
+            # re-evaluate starting_snapshot_id — it may have expired long
+            # after the stream moved past it)
+            base = self._persisted() or self.initialOffset()
+        cur_idx = self._index_of(log, base)
         flat = [f for _, files in log for f in files]
         if self._drain_first and self._cur is None:
             # first call of this reader: hand Spark the ENTIRE backlog as
@@ -276,15 +315,17 @@ class IcebergTailReader(DataSourceStreamReader):
             return off
         new_idx = min(len(flat), cur_idx + self._max_files)
         if self._max_bytes is not None:
-            # byte cap composes with the file cap: admit files until the
-            # budget is spent, always at least one (progress guarantee —
-            # a single file larger than the cap still streams)
-            budget, i = self._max_bytes, cur_idx
+            # byte CEILING composed with the file cap: stop BEFORE the
+            # file that would exceed the budget — except the batch's
+            # first file, which always admits (progress guarantee: one
+            # oversized file still streams, as its own batch)
+            spent, i = 0, cur_idx
             while i < new_idx:
-                budget -= flat[i].file_size_in_bytes
-                i += 1
-                if budget <= 0:
+                size = flat[i].file_size_in_bytes
+                if i > cur_idx and spent + size > self._max_bytes:
                     break
+                spent += size
+                i += 1
             new_idx = i
         off = self._offset_at(log, new_idx)
         if new_idx != cur_idx:
@@ -299,7 +340,9 @@ class IcebergTailReader(DataSourceStreamReader):
         if i1 < i0:
             raise ValueError(
                 f"regressing batch range: start {start} is past end {end} "
-                "— was the progress_dir reused across checkpoints?")
+                "— the reader lost its high-water position (progress_dir "
+                "wiped, reused across different checkpoints, or shared by "
+                "two queries?)")
         flat = [f for _, files in log for f in files]
         return [_FilePartition(f.file_path, self._columns,
                                self._include_path)
@@ -312,11 +355,10 @@ class IcebergTailReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        file_cols = set(pq.read_schema(partition.path).names)
+        pf = pq.ParquetFile(partition.path)  # one footer read for both
+        file_cols = set(pf.schema_arrow.names)
         want_names = [n for n, _ in partition.columns]
-        tbl = pq.read_table(
-            partition.path,
-            columns=[n for n in want_names if n in file_cols])
+        tbl = pf.read(columns=[n for n in want_names if n in file_cols])
         arrays, names = [], []
         for name, ityp in partition.columns:
             names.append(name)
@@ -354,8 +396,9 @@ class IcebergTailDataSource(DataSource):
     always admits so an oversized file cannot stall the stream),
     ``partition_filter`` (JSON:
     scalar / list / {"lo","hi"}), ``starting_snapshot_id`` (exclusive),
-    ``progress_dir`` (restart-safety sidecar; pass a dir tied to the
-    query's checkpoint), ``drain_on_start`` (first latestOffset returns
+    ``progress_dir`` (REQUIRED restart-safety sidecar — pass a dir tied
+    to the query's checkpoint; ``unsafe_no_progress`` opts out for
+    never-restarted runs), ``drain_on_start`` (first latestOffset returns
     the WHOLE backlog uncapped — pair with ``Trigger.AvailableNow`` for
     one-shot backfills; without it availableNow stops after one
     rate-limited step, losing nothing but draining nothing either),

@@ -58,6 +58,7 @@ def test_reader_offsets_and_pacing(spark, tmp_path):
     s1 = t.write_dataframe(_df(spark, 0, 4).coalesce(2))
     s2 = t.write_dataframe(_df(spark, 4, 10).coalesce(3))
     r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
                            "max_files_per_trigger": "2"})
     assert r.initialOffset() == {"snap": 0, "pos": 0}
     o1 = r.latestOffset()
@@ -89,17 +90,20 @@ def test_reader_byte_budget_pacing(spark, tmp_path):
     sizes = [f.file_size_in_bytes for _, fs in t.append_log() for f in fs]
     # budget covering exactly one file → one file per trigger
     r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
                            "max_files_per_trigger": "100",
                            "max_bytes_per_trigger": str(min(sizes))})
     offs = [r.latestOffset() for _ in range(3)]
     assert [o["pos"] for o in offs] == [1, 2, 3]
     # budget smaller than ANY file → still one file per trigger
     r2 = IcebergTailReader({"location": t.location,
+                            "unsafe_no_progress": "true",
                             "max_files_per_trigger": "100",
                             "max_bytes_per_trigger": "1"})
     assert r2.latestOffset()["pos"] == 1
     # generous budget → file cap is what binds
     r3 = IcebergTailReader({"location": t.location,
+                            "unsafe_no_progress": "true",
                             "max_files_per_trigger": "2",
                             "max_bytes_per_trigger": str(sum(sizes) * 10)})
     assert r3.latestOffset()["pos"] == 2
@@ -125,6 +129,7 @@ def test_reader_restart_floor_and_start_snapshot(spark, tmp_path):
         assert r2._index_of(r2._log(), json.load(f)) == 5
     # starting_snapshot_id skips everything up to and including it
     r3 = IcebergTailReader({"location": t.location,
+                            "unsafe_no_progress": "true",
                             "max_files_per_trigger": "100",
                             "starting_snapshot_id": str(s1)})
     assert r3.initialOffset() == {"snap": s1, "pos": 2}
@@ -133,6 +138,7 @@ def test_reader_restart_floor_and_start_snapshot(spark, tmp_path):
                for b in r3.read(p)) == 6
     with pytest.raises(ValueError, match="not in table history"):
         IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
                            "starting_snapshot_id": "999"}).initialOffset()
 
 
@@ -144,6 +150,7 @@ def test_reader_compaction_upsert_and_expiry(spark, tmp_path):
     t.write_dataframe(_df(spark, 0, 4).coalesce(2))
     s2 = t.write_dataframe(_df(spark, 4, 10).coalesce(2))
     r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
                            "max_files_per_trigger": "100"})
     o = r.latestOffset()
     assert o["snap"] == s2
@@ -273,6 +280,7 @@ def test_tail_drain_on_start_available_now(spark, tmp_path):
     t = _mktable(spark, tmp_path)
     t.write_dataframe(_df(spark, 0, 8).coalesce(4))
     r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
                            "max_files_per_trigger": "1",
                            "drain_on_start": "true"})
     o = r.latestOffset()
