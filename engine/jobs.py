@@ -503,13 +503,16 @@ def cmd_lineage(args) -> dict:
         else:
             from engine.sink import ParquetLedgerSink
 
-            sink = ParquetLedgerSink(args.sink)
+            # create=False: a typo'd --sink path must raise, not scaffold
+            # a bogus empty sink dir
+            sink = ParquetLedgerSink(args.sink, create=False)
     lin = batch_lineage(args.checkpoint, sink)
     return {
         "job": "lineage", "checkpoint": args.checkpoint,
         "n_batches": len(lin),
         "completed": sum(1 for r in lin if r["completed"]),
-        "batches": lin if args.full else lin[-args.last:],
+        "batches": (lin if args.full
+                    else lin[-args.last:] if args.last > 0 else []),
     }
 
 

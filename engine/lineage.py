@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -66,9 +65,9 @@ def read_offset_log(checkpoint_dir: str) -> list[dict]:
         if n.isdigit()
     } if os.path.isdir(cdir) else set()
     out = []
-    for n in sorted(os.listdir(odir)):
-        if not n.isdigit():
-            continue
+    # numeric sort: Spark names offset files without zero padding, so a
+    # lexicographic listing misorders past batch 9
+    for n in sorted((n for n in os.listdir(odir) if n.isdigit()), key=int):
         meta, offsets = _read_wal_entry(os.path.join(odir, n))
         out.append({
             "batch_id": int(n),
@@ -113,7 +112,7 @@ def batch_lineage(checkpoint_dir: str, sink=None) -> list[dict]:
                 "committed_batches() (ledger) or table() (Iceberg)")
     out = []
     prev = None
-    for b in log:
+    for i, b in enumerate(log):
         rec = {
             "batch_id": b["batch_id"],
             "start_offsets": prev,
@@ -122,6 +121,11 @@ def batch_lineage(checkpoint_dir: str, sink=None) -> list[dict]:
             "batch_timestamp_ms": b["batch_timestamp_ms"],
             "completed": b["completed"],
         }
+        if i == 0 and b["batch_id"] != 0:
+            # Spark purges offset entries past minBatchesToRetain: the
+            # retained head's true start lives in a deleted file — do NOT
+            # read start=None as "log begin" here
+            rec["head_truncated"] = True
         if sink is not None:
             rec["sink"] = sink_info.get(b["batch_id"])
         out.append(rec)
@@ -134,10 +138,13 @@ def lineage_df(spark: SparkSession, checkpoint_dir: str,
     """DataFrame twin (offsets/sink facts JSON-encoded for a stable
     schema): one row per planned batch."""
     rows = [
-        (r["batch_id"], json.dumps(r["start_offsets"]),
+        (r["batch_id"],
+         json.dumps(r["start_offsets"])
+         if r["start_offsets"] is not None else None,
          json.dumps(r["end_offsets"]), r["watermark_ms"],
          r["batch_timestamp_ms"], r["completed"],
-         json.dumps(r.get("sink")) if sink is not None else None)
+         json.dumps(r["sink"])
+         if sink is not None and r.get("sink") is not None else None)
         for r in batch_lineage(checkpoint_dir, sink)
     ]
     return spark.createDataFrame(
@@ -148,15 +155,25 @@ def lineage_df(spark: SparkSession, checkpoint_dir: str,
 
 
 def tail_offset_range_files(table, start: dict | None, end: dict,
-                            partition_filter: dict | None = None) -> list:
+                            partition_filter: dict | None = None,
+                            log: list | None = None) -> list:
     """Resolve a tail-source batch's (start, end] offset range back to the
     exact input DATA FILES it delivered — closing the loop: output commit
     → batch → input files, all from durable metadata.  ``start``/``end``
-    are tail offsets (``{"snap", "pos"}``; start None = log begin)."""
-    from engine.tail import IcebergTailReader
+    are tail offsets (``{"snap", "pos"}``); start None means the log's
+    beginning, which is only correct for batch 0 of an untruncated offset
+    log (see ``head_truncated`` in :func:`batch_lineage`).
 
-    log = table.append_log(partition_filter=partition_filter)
+    ``partition_filter`` MUST equal the filter the stream ran with —
+    offset positions index the reader's FILTERED per-snapshot lists, so a
+    mismatched filter resolves to the wrong files.  Pass ``log`` (one
+    ``table.append_log(partition_filter=...)`` result) when resolving
+    many batches to avoid re-walking the table metadata per call."""
+    from engine.tail import offset_index
+
+    if log is None:
+        log = table.append_log(partition_filter=partition_filter)
     flat = [f for _, files in log for f in files]
-    i0 = IcebergTailReader._index_of(log, start) if start else 0
-    i1 = IcebergTailReader._index_of(log, end)
+    i0 = offset_index(log, start) if start else 0
+    i1 = offset_index(log, end)
     return flat[i0:i1]

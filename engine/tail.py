@@ -138,6 +138,27 @@ class _FilePartition(InputPartition):
         self.include_path = include_path
 
 
+def offset_index(log: list, off: dict) -> int:
+    """Offset ``{"snap", "pos"}`` → global position in a flattened append
+    log (``IcebergTable.append_log`` result). Public seam shared by the
+    reader and lineage tooling (engine/lineage.py)."""
+    snap, pos = off["snap"], off["pos"]
+    if snap == 0:
+        return 0
+    i = 0
+    for sid, files in log:
+        if sid == snap:
+            if pos > len(files):
+                raise ValueError(
+                    f"offset {off} beyond snapshot {snap}'s "
+                    f"{len(files)} added files")
+            return i + pos
+        i += len(files)
+    raise ValueError(
+        f"offset snapshot {snap} not in table history — expired past "
+        "the stream's position? raise the snapshot retention window")
+
+
 def _parse_filter(raw: str | None) -> dict | None:
     """JSON filter option → plan_files-style filter dict: scalar =
     equality, list = in-list, {"lo":…,"hi":…} = inclusive range."""
@@ -231,24 +252,7 @@ class IcebergTailReader(DataSourceStreamReader):
         self._log_cache = (v, log)
         return log
 
-    @staticmethod
-    def _index_of(log: list, off: dict) -> int:
-        """Offset → global position in the flattened append log."""
-        snap, pos = off["snap"], off["pos"]
-        if snap == 0:
-            return 0
-        i = 0
-        for sid, files in log:
-            if sid == snap:
-                if pos > len(files):
-                    raise ValueError(
-                        f"offset {off} beyond snapshot {snap}'s "
-                        f"{len(files)} added files")
-                return i + pos
-            i += len(files)
-        raise ValueError(
-            f"offset snapshot {snap} not in table history — expired past "
-            "the stream's position? raise the snapshot retention window")
+    _index_of = staticmethod(offset_index)
 
     @staticmethod
     def _offset_at(log: list, idx: int) -> dict:

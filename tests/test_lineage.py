@@ -14,9 +14,9 @@ from engine.streams import read_clip_stream_tail, write_clips_iceberg
 from engine.windows import tumbling_agg
 
 
-def _run(spark, tmp_path, sink, name):
-    t = write_clips_iceberg(str(tmp_path / f"topic_{name}"), 400, n_files=4,
-                            seed=9, files_per_snapshot=2)
+def _run(spark, tmp_path, sink, name, n_files=4):
+    t = write_clips_iceberg(str(tmp_path / f"topic_{name}"), 100 * n_files,
+                            n_files=n_files, seed=9, files_per_snapshot=2)
     ckpt = str(tmp_path / f"ckpt_{name}")
     src = read_clip_stream_tail(
         spark, t, max_files_per_trigger=1,
@@ -33,13 +33,14 @@ def _run(spark, tmp_path, sink, name):
 def test_lineage_ledger_sink(spark, tmp_path):
     sink = ParquetLedgerSink(str(tmp_path / "out"),
                              event_ts_col="window_start")
-    t, ckpt = _run(spark, tmp_path, sink, "ledger")
+    # 12 files at 1/trigger → ≥12 planned batches, crossing batch id 10:
+    # a lexicographic offset-dir listing would misorder the log here
+    t, ckpt = _run(spark, tmp_path, sink, "ledger", n_files=12)
 
     log = read_offset_log(ckpt)
     assert [b["batch_id"] for b in log] == list(range(len(log)))
     assert all(b["completed"] for b in log)
-    # 4 files at 1/trigger → ≥4 planned batches, each with ONE source
-    assert len(log) >= 4
+    assert len(log) >= 12
     assert all(len(b["end_offsets"]) == 1 for b in log)
 
     lin = batch_lineage(ckpt, sink)
@@ -54,14 +55,18 @@ def test_lineage_ledger_sink(spark, tmp_path):
     assert wms == sorted(wms)
 
     # each batch's offset range resolves to exactly its input files, and
-    # the ranges partition the append log (disjoint, complete, ordered)
-    all_files = [f.file_path for _, fs in t.append_log() for f in fs]
+    # the ranges partition the append log (disjoint, complete, ordered);
+    # precomputed log → one metadata walk for all batches
+    applog = t.append_log()
+    all_files = [f.file_path for _, fs in applog for f in fs]
     seen = []
     for r in lin:
         start = r["start_offsets"][0] if r["start_offsets"] else None
-        files = tail_offset_range_files(t, start, r["end_offsets"][0])
+        files = tail_offset_range_files(t, start, r["end_offsets"][0],
+                                        log=applog)
         seen.extend(f.file_path for f in files)
     assert seen == all_files
+    assert "head_truncated" not in lin[0]  # batch 0 retained
 
     df = lineage_df(spark, ckpt, sink)
     assert df.count() == len(lin)
