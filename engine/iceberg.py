@@ -856,11 +856,21 @@ class IcebergTable:
         return max(vs) if vs else None
 
     def metadata(self) -> dict:
+        return self._metadata_at()[0]
+
+    def _metadata_at(self) -> tuple[dict, int]:
+        """(metadata dict, its version) as a CONSISTENT pair: the version
+        resolves FIRST and the dict loads from that exact file.  Commands
+        that publish must base the CAS on this pair — reading metadata()
+        and _current_version() separately lets a concurrent commit land
+        between the reads, pairing a stale dict with the newer version
+        number, so the CAS passes and the concurrent commit's snapshot is
+        silently erased from the republished metadata."""
         v = self._current_version()
         if v is None:
             raise FileNotFoundError(f"no metadata at {self.metadata_dir}")
         with open(self._version_path(v)) as fh:
-            return json.load(fh)
+            return json.load(fh), v
 
     def schema_json(self, meta: dict | None = None) -> dict:
         """The CURRENT schema (schema evolution appends new schemas and
@@ -982,20 +992,34 @@ class IcebergTable:
     def refs(self) -> dict:
         return dict(self.metadata().get("refs") or {})
 
-    def _ancestry(self, head_id: int | None = None) -> list[dict]:
-        """Snapshots on the parent chain of ``head_id`` (current main head
-        by default), oldest→newest.  With branches in play this — not the
-        flat snapshots list — is a ref's commit history: side-branch
-        snapshots live in the same list but are NOT ancestors until a
-        fast-forward publishes them."""
-        by_id = {s["snapshot-id"]: s for s in self.snapshots()}
-        sid = head_id if head_id is not None else self.current_snapshot_id
+    @staticmethod
+    def _ancestry_from(meta: dict, head_id: int | None) -> list[dict]:
+        """Parent-chain walk over one pinned metadata dict (oldest→newest).
+        The walk ENDS at a snapshot whose parent is no longer retained —
+        the normal state after expire_snapshots trims old main history;
+        readers that must not tolerate a trimmed tail (the tail source's
+        offset resolution) fail loudly on their own when an offset's
+        snapshot is gone."""
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        sid = head_id
         chain: list[dict] = []
         while sid is not None and sid in by_id:
             chain.append(by_id[sid])
             sid = by_id[sid].get("parent-snapshot-id")
         chain.reverse()
         return chain
+
+    def _ancestry(self, head_id: int | None = None) -> list[dict]:
+        """Snapshots on the parent chain of ``head_id`` (current main head
+        by default), oldest→newest.  With branches in play this — not the
+        flat snapshots list — is a ref's commit history: side-branch
+        snapshots live in the same list but are NOT ancestors until a
+        fast-forward publishes them."""
+        meta = self.metadata()
+        if head_id is None:
+            head_id = meta.get("current-snapshot-id")
+            head_id = None if head_id in (-1, None) else head_id
+        return self._ancestry_from(meta, head_id)
 
     def create_branch(self, name: str,
                       from_snapshot_id: int | None = None) -> None:
@@ -1007,13 +1031,16 @@ class IcebergTable:
         write-audit-publish staging seam."""
         if not re.fullmatch(r"[A-Za-z0-9._-]+", name) or name == "main":
             raise ValueError(f"invalid branch name {name!r}")
-        sid = (from_snapshot_id if from_snapshot_id is not None
-               else self.current_snapshot_id)
+        meta, base = self._metadata_at()
+        meta = dict(meta)
+        cur = meta.get("current-snapshot-id")
+        cur = None if cur in (-1, None) else cur
+        sid = from_snapshot_id if from_snapshot_id is not None else cur
         if sid is None:
             raise ValueError("cannot branch an empty table")
-        self.snapshot(sid)  # raises on unknown id
-        meta = dict(self.metadata())
-        base = self._current_version()
+        if not any(s["snapshot-id"] == sid
+                   for s in meta.get("snapshots", [])):
+            raise KeyError(f"no snapshot {sid} in {self.location}")
         refs = dict(meta.get("refs") or {})
         if name in refs:
             raise ValueError(f"ref {name!r} already exists "
@@ -1034,8 +1061,8 @@ class IcebergTable:
         CDC (``incremental_files``) and a live snapshot-tail all see the
         published snapshots exactly once, in commit order.  Returns the
         new head snapshot id."""
-        meta = dict(self.metadata())
-        base = self._current_version()
+        meta, base = self._metadata_at()
+        meta = dict(meta)
         refs = dict(meta.get("refs") or {})
         if from_ref not in refs:
             raise KeyError(f"no ref {from_ref!r} (refs: {sorted(refs)})")
@@ -1046,9 +1073,15 @@ class IcebergTable:
             if refs[branch]["type"] != "branch":
                 raise ValueError(f"ref {branch!r} is a "
                                  f"{refs[branch]['type']}, not a branch")
-        cur = (refs.get(branch, {}).get("snapshot-id")
-               if branch != "main" else self.current_snapshot_id)
-        ancestors = {s["snapshot-id"] for s in self._ancestry(head)}
+        if branch != "main":
+            cur = refs.get(branch, {}).get("snapshot-id")
+        else:
+            cur = meta.get("current-snapshot-id")
+            cur = None if cur in (-1, None) else cur
+        # ONE ancestry walk over the pinned meta serves both the
+        # fast-forward check and the snapshot-log splice
+        chain = self._ancestry_from(meta, head)
+        ancestors = {s["snapshot-id"] for s in chain}
         if cur is not None and cur not in ancestors:
             raise ValueError(
                 f"{branch!r} head {cur} is not an ancestor of "
@@ -1066,7 +1099,7 @@ class IcebergTable:
                      for e in meta.get("snapshot-log", [])}
             meta["snapshot-log"] = meta.get("snapshot-log", []) + [
                 {"timestamp-ms": now_ms, "snapshot-id": s["snapshot-id"]}
-                for s in self._ancestry(head)
+                for s in chain
                 if s["snapshot-id"] not in known
             ]
         meta["last-updated-ms"] = now_ms
@@ -1105,11 +1138,7 @@ class IcebergTable:
         """The snapshot-log: when each snapshot became current, and whether
         it is an ancestor of the CURRENT snapshot (rollbacks/expired
         branches show is_current_ancestor=false)."""
-        ancestors, sid = set(), self.current_snapshot_id
-        by_id = {s["snapshot-id"]: s for s in self.snapshots()}
-        while sid is not None and sid in by_id:
-            ancestors.add(sid)
-            sid = by_id[sid].get("parent-snapshot-id")
+        ancestors = {s["snapshot-id"] for s in self._ancestry()}
         rows = [
             (e["timestamp-ms"], e["snapshot-id"],
              e["snapshot-id"] in ancestors)
@@ -1239,7 +1268,7 @@ class IcebergTable:
     # -- commits ------------------------------------------------------------
     def _commit(self, new_files: list[DataFileInfo], operation: str,
                 summary_extra: dict | None, branch: str = "main") -> int:
-        meta = self.metadata()
+        meta, base_version = self._metadata_at()
         if branch != "main":
             refs = meta.get("refs") or {}
             if branch not in refs:
@@ -1250,7 +1279,6 @@ class IcebergTable:
                 raise ValueError(
                     f"ref {branch!r} is a {refs[branch]['type']}; "
                     "commits target branches only")
-        base_version = self._current_version()
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)  # positive long
         now_ms = int(time.time() * 1000)
@@ -1431,8 +1459,7 @@ class IcebergTable:
                 f"replace with delete application grew the row count "
                 f"({old_rows} -> {new_rows})"
             )
-        meta = self.metadata()
-        base_version = self._current_version()
+        meta, base_version = self._metadata_at()
         prev = self._resolve_snapshot(None, None)
         if prev is None:
             raise ValueError("cannot replace files in an empty table")
@@ -1680,16 +1707,32 @@ class IcebergTable:
         ``{"expired_snapshots", "data_files", "manifests",
         "manifest_lists"}``.
         """
-        meta = self.metadata()
-        base_version = self._current_version()
+        meta, base_version = self._metadata_at()
         snaps = meta.get("snapshots", [])
         keep_ids = {s["snapshot-id"] for s in snaps[-max(retain_last, 1):]}
-        cur = self.current_snapshot_id
+        cur = meta.get("current-snapshot-id")
+        cur = None if cur in (-1, None) else cur
         if cur is not None:
             keep_ids.add(cur)
         # refs pin their snapshots: a tagged training set never expires
         for r in (meta.get("refs") or {}).values():
             keep_ids.add(r["snapshot-id"])
+        # a BRANCH additionally pins its UNPUBLISHED ancestry (staged
+        # commits not yet on main): expiring an intermediate staged
+        # snapshot would dangle the branch's parent chain, making
+        # fast_forward refuse the publish forever and losing the staged
+        # rows from the published append log.  Published (main-ancestor)
+        # history stays governed by the normal retain policy.
+        main_anc = {s["snapshot-id"] for s in self._ancestry_from(meta, cur)}
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        for name, r in (meta.get("refs") or {}).items():
+            if r["type"] != "branch" or name == "main":
+                continue
+            sid = r["snapshot-id"]
+            while (sid is not None and sid in by_id
+                   and sid not in main_anc):
+                keep_ids.add(sid)
+                sid = by_id[sid].get("parent-snapshot-id")
         retained, expired = [], []
         for s in snaps:
             if (s["snapshot-id"] in keep_ids
@@ -2023,33 +2066,10 @@ class IcebergTable:
             if not started:
                 started = s["snapshot-id"] == from_snapshot_id
                 continue
-            if s["summary"].get("operation") == "replace":
-                # compaction rewrites bytes, not rows — incremental readers
-                # must not re-deliver them (Iceberg's incremental append
-                # scan skips replace snapshots the same way)
-                if to_snapshot_id is not None and s["snapshot-id"] == to_snapshot_id:
-                    break
-                continue
-            for m in self._read_manifest_list(s["manifest-list"]):
-                if m["added_snapshot_id"] != s["snapshot-id"]:
-                    continue
-                if m.get("content", 0) != 0:
-                    # delete manifests are not row additions: CDC delivers
-                    # the upsert's new data rows; key retractions are the
-                    # reader's resolution concern (store-level pull_changes
-                    # resolves latest-per-pk the same way)
-                    continue
-                for e in self._read_manifest(m["manifest_path"]):
-                    if (e["status"] == _STATUS_ADDED
-                            and e["snapshot_id"] == s["snapshot-id"]):
-                        df = e["data_file"]
-                        out.append(DataFileInfo(
-                            file_path=_from_uri(df["file_path"]),
-                            record_count=df["record_count"],
-                            file_size_in_bytes=df["file_size_in_bytes"],
-                            sequence_number=m["sequence_number"],
-                            partition=df.get("partition") or None,
-                        ))
+            # replace-skip + delete-manifest-skip + ADDED-only semantics
+            # live in snapshot_added_files (one definition for CDC and
+            # the tail source's append log)
+            out.extend(self.snapshot_added_files(s))
             if to_snapshot_id is not None and s["snapshot-id"] == to_snapshot_id:
                 break
         return out
@@ -2381,8 +2401,7 @@ class IcebergTable:
         'overwrite' snapshot (the v2 row-delta shape): an added data
         manifest (content=0), an added delete manifest (content=1), and
         the previous snapshot's manifests carried forward."""
-        meta = self.metadata()
-        base_version = self._current_version()
+        meta, base_version = self._metadata_at()
         prev = self._resolve_snapshot(None, None)
         seq = meta["last-sequence-number"] + 1
         snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)

@@ -1492,6 +1492,30 @@ def test_branch_write_audit_publish(spark, tmp_path):
         t.fast_forward("main", "audit")
 
 
+def test_expire_pins_staged_branch_ancestry(spark, tmp_path):
+    """Routine expiration must NOT expire a branch's unpublished
+    intermediate snapshots — that would dangle the branch's parent chain
+    and make the publish impossible forever. Published history stays
+    governed by the normal retain policy."""
+    t = _mktable(spark, tmp_path, "wapgc")
+    s1 = t.write_dataframe(_df(spark, 0, 10).coalesce(1))
+    t.create_branch("audit")
+    b1 = t.write_dataframe(_df(spark, 10, 20).coalesce(1), branch="audit")
+    b2 = t.write_dataframe(_df(spark, 20, 25).coalesce(1), branch="audit")
+    gc = t.expire_snapshots(retain_last=1)
+    # nothing expirable: s1 is current main, b1 is pinned as staged
+    # ancestry, b2 as the audit head
+    assert gc["expired_snapshots"] == 0
+    assert {s["snapshot-id"] for s in t.snapshots()} == {s1, b1, b2}
+    # the publish still works after maintenance, delivering every row
+    assert t.fast_forward("main", "audit") == b2
+    assert t.read(spark).count() == 25
+    assert sum(f.record_count for f in t.incremental_files(s1)) == 15
+    # once published, the intermediates follow the normal policy again
+    gc2 = t.expire_snapshots(retain_last=1)
+    assert gc2["expired_snapshots"] == 2  # s1 and b1 (b2 = current+ref)
+
+
 # ---------------------------------------------------------------------------
 # remove_orphan_files
 # ---------------------------------------------------------------------------
