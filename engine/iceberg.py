@@ -234,6 +234,12 @@ MANIFEST_FILE_SCHEMA = {
 
 _STATUS_ADDED, _STATUS_EXISTING, _STATUS_DELETED = 1, 0, 2
 
+# Table property maintained by expire_snapshots: highest sequence-number
+# of any expired main-ancestry snapshot that appended data files.  The
+# snapshot-tail source (engine/tail.py) uses it to resume provably-safely
+# after its offset snapshot ages out of the retained history.
+TAIL_EXPIRY_WATERMARK_PROP = "tail.last-expired-append-seq"
+
 
 @dataclass
 class DataFileInfo:
@@ -1776,6 +1782,29 @@ class IcebergTable:
             e for e in meta.get("snapshot-log", [])
             if e["snapshot-id"] not in expired_ids
         ]
+        # Record the tail-resume watermark BEFORE history is forgotten:
+        # the highest sequence-number among expired MAIN-ancestry
+        # snapshots that appended data files (replace/compaction rewrites
+        # and delete-only commits deliver nothing to a tail, so they
+        # never move it).  A snapshot-tail whose checkpointed offset
+        # snapshot has expired can prove "nothing I still owed was lost"
+        # iff its own sequence number is at or past this watermark — see
+        # IcebergTailReader._resolve_index (engine/tail.py).  Written on
+        # every expiry (even an append-free one) so the tail can
+        # distinguish "retention ran and provably lost you nothing" from
+        # "no expiry record at all" (mismatched table / pre-feature
+        # metadata), where it must stay strict.
+        gone_append_seqs = [
+            s.get("sequence-number") or 0 for s in expired
+            if s["snapshot-id"] in main_anc
+            and s["summary"].get("operation") != "replace"
+            and int(s["summary"].get("added-data-files") or 0) > 0
+        ]
+        props = dict(meta.get("properties") or {})
+        prev_wm = int(props.get(TAIL_EXPIRY_WATERMARK_PROP) or 0)
+        props[TAIL_EXPIRY_WATERMARK_PROP] = str(
+            max([prev_wm] + gone_append_seqs))
+        meta["properties"] = props
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish(meta, base_version=base_version)
         # physical deletes AFTER the metadata publish: a reader pinned to

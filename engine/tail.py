@@ -66,6 +66,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from engine.iceberg import TAIL_EXPIRY_WATERMARK_PROP
+
 SOURCE_NAME = "iceberg_tail"
 
 #: offset schema: files of ancestry snapshots up to and including ``snap``
@@ -239,6 +241,7 @@ class IcebergTailReader(DataSourceStreamReader):
         flt = t.normalize_partition_filter(self._flt)
         old = dict(getattr(self, "_files_by_sid", {}))
         by_sid = {}
+        seq_by_sid = {}
         log = []
         for s in t._ancestry():
             sid = s["snapshot-id"]
@@ -246,24 +249,80 @@ class IcebergTailReader(DataSourceStreamReader):
             if files is None:
                 files = t.snapshot_added_files(s, flt)
             by_sid[sid] = files
+            seq_by_sid[sid] = s.get("sequence-number")
             log.append((sid, files))
         # rebuilt from ancestry: expired snapshots drop out of the cache
         self._files_by_sid = by_sid
+        self._seq_by_sid = seq_by_sid
+        wm = (t.metadata().get("properties") or {}).get(
+            TAIL_EXPIRY_WATERMARK_PROP)
+        self._expiry_watermark = int(wm) if wm is not None else None
         self._log_cache = (v, log)
         return log
 
     _index_of = staticmethod(offset_index)
 
-    @staticmethod
-    def _offset_at(log: list, idx: int) -> dict:
+    def _offset_at(self, log: list, idx: int) -> dict:
         if idx == 0:
             return dict(_ZERO)
         i = 0
         for sid, files in log:
             if idx <= i + len(files):
-                return {"snap": sid, "pos": idx - i}
+                pos = idx - i
+                off = {"snap": sid, "pos": pos}
+                seq = self._seq_by_sid.get(sid)
+                if seq is not None:
+                    # resume provenance: lets a future restart prove, via
+                    # the table's expiry watermark, that this offset can
+                    # be safely remapped after its snapshot ages out
+                    off["seq"] = seq
+                    off["eof"] = pos == len(files)
+                return off
             i += len(files)
         raise ValueError(f"index {idx} beyond append log ({i} files)")
+
+    def _resolve_index(self, log: list, off: dict,
+                       allow_expired_remap: bool = False) -> int:
+        """``offset_index`` plus the one safe recovery: an offset whose
+        snapshot EXPIRED out of the retained history remaps to the start
+        of the retained log iff that is provably lossless —
+
+        - the offset sits at the END of its snapshot's added files
+          (``eof``: nothing of its own snapshot was still owed),
+        - its sequence number is at or past the table's expiry watermark
+          (every expired data-appending snapshot was at-or-before the
+          stream's position, so everything still owed is retained), and
+        - every retained log snapshot is NEWER than the offset (guards a
+          progress_dir pointed at a different table's history).
+
+        ``allow_expired_remap`` is set only where remapping is sound: the
+        resume base in ``latestOffset`` and a replayed batch's START.  A
+        replayed batch's END stays strict — if the batch's own rows aged
+        out before the sink committed them, that is real loss and must
+        fail loudly, never plan as an empty range."""
+        try:
+            return self._index_of(log, off)
+        except ValueError:
+            snap = off.get("snap")
+            if (not allow_expired_remap or not off.get("eof")
+                    or off.get("seq") is None
+                    or any(sid == snap for sid, _ in log)):
+                raise
+            wm = self._expiry_watermark
+            seqs = [self._seq_by_sid.get(sid) for sid, _ in log]
+            if (wm is not None and off["seq"] >= wm
+                    and all(s is not None and s > off["seq"]
+                            for s in seqs)):
+                return 0
+            raise ValueError(
+                f"offset {off} references an expired snapshot, and the "
+                f"table's expiry watermark (last expired data-appending "
+                f"sequence number: {wm}) cannot prove the stream already "
+                "delivered everything that aged out — appended data "
+                "expired past the stream's position. Raise the snapshot "
+                "retention window (expire_snapshots retain_last / "
+                "older_than_ms) above the stream's worst-case downtime, "
+                "or restart from a fresh checkpoint accepting the gap.")
 
     def _persisted(self) -> dict | None:
         if self._progress and os.path.exists(self._progress):
@@ -287,7 +346,12 @@ class IcebergTailReader(DataSourceStreamReader):
         log = self._log()
         for sid, files in log:
             if sid == self._start_snap:
-                return {"snap": sid, "pos": len(files)}
+                off = {"snap": sid, "pos": len(files)}
+                seq = self._seq_by_sid.get(sid)
+                if seq is not None:
+                    off["seq"] = seq
+                    off["eof"] = True
+                return off
         raise ValueError(
             f"starting_snapshot_id {self._start_snap} not in table history")
 
@@ -302,7 +366,7 @@ class IcebergTailReader(DataSourceStreamReader):
             # re-evaluate starting_snapshot_id — it may have expired long
             # after the stream moved past it)
             base = self._persisted() or self.initialOffset()
-        cur_idx = self._index_of(log, base)
+        cur_idx = self._resolve_index(log, base, allow_expired_remap=True)
         flat = [f for _, files in log for f in files]
         if self._drain_first and self._cur is None:
             # first call of this reader: hand Spark the ENTIRE backlog as
@@ -340,7 +404,8 @@ class IcebergTailReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
         log = self._log()
-        i0, i1 = self._index_of(log, start), self._index_of(log, end)
+        i0 = self._resolve_index(log, start, allow_expired_remap=True)
+        i1 = self._resolve_index(log, end)
         if i1 < i0:
             raise ValueError(
                 f"regressing batch range: start {start} is past end {end} "

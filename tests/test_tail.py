@@ -62,11 +62,13 @@ def test_reader_offsets_and_pacing(spark, tmp_path):
                            "max_files_per_trigger": "2"})
     assert r.initialOffset() == {"snap": 0, "pos": 0}
     o1 = r.latestOffset()
-    assert o1 == {"snap": s1, "pos": 2}
+    # offsets carry resume provenance: the snapshot's sequence number and
+    # whether the offset sits at the end of its added files
+    assert o1 == {"snap": s1, "pos": 2, "seq": 1, "eof": True}
     o2 = r.latestOffset()
-    assert o2 == {"snap": s2, "pos": 2}
+    assert o2 == {"snap": s2, "pos": 2, "seq": 2, "eof": False}
     o3 = r.latestOffset()
-    assert o3 == {"snap": s2, "pos": 3}
+    assert o3 == {"snap": s2, "pos": 3, "seq": 2, "eof": True}
     assert r.latestOffset() == o3  # drained: stable offset, no new batch
     # partitions(start, end) is a pure function of the log
     parts = r.partitions(o1, o3)
@@ -132,7 +134,8 @@ def test_reader_restart_floor_and_start_snapshot(spark, tmp_path):
                             "unsafe_no_progress": "true",
                             "max_files_per_trigger": "100",
                             "starting_snapshot_id": str(s1)})
-    assert r3.initialOffset() == {"snap": s1, "pos": 2}
+    assert r3.initialOffset() == {"snap": s1, "pos": 2, "seq": 1,
+                                  "eof": True}
     o = r3.latestOffset()
     assert sum(b.num_rows for p in r3.partitions(r3.initialOffset(), o)
                for b in r3.read(p)) == 6
@@ -166,6 +169,68 @@ def test_reader_compaction_upsert_and_expiry(spark, tmp_path):
     t.expire_snapshots(retain_last=1)
     with pytest.raises(ValueError, match="expired|not in table"):
         r._index_of(r._log(), o)
+
+
+def test_reader_resumes_after_safe_expiry(spark, tmp_path):
+    """A stopped tail whose offset snapshot AGES OUT of retention resumes
+    losslessly when that is provable: the offset was end-of-snapshot and
+    the table's expiry watermark shows every expired data-appending
+    snapshot was at-or-before the stream's position.  The remap must also
+    hop over replace (compaction) snapshots in the expired prefix."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 4).coalesce(1))    # seq 1
+    s2 = t.write_dataframe(_df(spark, 4, 6).coalesce(1))  # seq 2
+    prog = str(tmp_path / "prog")
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "100",
+                           "progress_dir": prog})
+    o = r.latestOffset()
+    assert o["snap"] == s2 and o["eof"]
+    # stream stops; the table keeps moving: a compaction plus new appends
+    t.compact_data_files(spark)                         # seq 3 (replace)
+    t.write_dataframe(_df(spark, 6, 9).coalesce(1))     # seq 4
+    s5 = t.write_dataframe(_df(spark, 9, 11).coalesce(1))  # seq 5
+    t.expire_snapshots(retain_last=2)  # drops seqs 1-3 incl. the offset's
+    from engine.iceberg import TAIL_EXPIRY_WATERMARK_PROP
+    assert t.metadata()["properties"][TAIL_EXPIRY_WATERMARK_PROP] == "2"
+    # fresh reader, same progress_dir: resumes and delivers EXACTLY the
+    # two undelivered appends — no duplicates, no loss, no wedge
+    r2 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "100",
+                            "progress_dir": prog})
+    o2 = r2.latestOffset()
+    assert o2["snap"] == s5
+    rows = [b.num_rows for p in r2.partitions(o, o2) for b in r2.read(p)]
+    assert sum(rows) == 5  # rows 6..10 only — nothing redelivered
+    # drained: stable offset afterwards
+    assert r2.latestOffset() == o2
+
+
+def test_reader_refuses_expiry_past_stream_position(spark, tmp_path):
+    """If retention expires appends the stream had NOT yet delivered, the
+    watermark disproves safe resume and the reader fails loudly instead
+    of silently skipping the aged-out rows."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 2).coalesce(1))     # seq 1
+    prog = str(tmp_path / "prog")
+    r = IcebergTailReader({"location": t.location,
+                           "max_files_per_trigger": "100",
+                           "progress_dir": prog})
+    assert r.latestOffset()["seq"] == 1  # delivered through seq 1 only
+    s2 = t.write_dataframe(_df(spark, 2, 5).coalesce(1))  # seq 2 — undelivered
+    t.write_dataframe(_df(spark, 5, 7).coalesce(1))     # seq 3
+    t.expire_snapshots(retain_last=1)  # expires seqs 1 AND 2 (data loss)
+    r2 = IcebergTailReader({"location": t.location,
+                            "max_files_per_trigger": "100",
+                            "progress_dir": prog})
+    with pytest.raises(ValueError, match="cannot prove|expired past"):
+        r2.latestOffset()
+    # a replayed batch whose END aged out is real loss too — the end
+    # offset never remaps (even in remappable shape), so an uncommitted
+    # batch can never silently re-plan as an empty range
+    with pytest.raises(ValueError, match="not in table history"):
+        r2.partitions({"snap": 0, "pos": 0},
+                      {"snap": s2, "pos": 1, "seq": 2, "eof": True})
 
 
 # ---------------------------------------------------------------------------
