@@ -266,30 +266,49 @@ def _from_uri(uri: str) -> str:
     return uri[len("file://"):] if uri.startswith("file://") else uri
 
 
-def _to_epoch_days(cond):
-    """Normalize a day-partition filter condition to epoch-day ints:
-    accepts ints, datetime.date/datetime, pandas Timestamps, ISO 'YYYY-MM-DD'
-    strings, and the list/tuple condition forms thereof."""
+def _to_time_ordinal(cond, unit: str):
+    """Normalize a year/month/day/hour-partition filter condition to the
+    spec ordinal (years / months / days / hours since 1970-01-01 00:00 UTC):
+    accepts ints, datetime.date/datetime, pandas Timestamps, ISO strings,
+    and the list/tuple condition forms thereof."""
     import datetime as _dt
 
     def one(v):
         if isinstance(v, int):
             return v
         if isinstance(v, str):
-            v = _dt.date.fromisoformat(v[:10])
+            v = (_dt.datetime.fromisoformat(v) if unit == "hour"
+                 else _dt.date.fromisoformat(v[:10]))
         if hasattr(v, "to_pydatetime"):  # pandas Timestamp
             v = v.to_pydatetime()
+        if unit == "hour":
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is not None:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                delta = v - _dt.datetime(1970, 1, 1)
+                return int(delta.total_seconds() // 3600)
+            raise TypeError(
+                f"cannot interpret {v!r} as an hour partition value")
         if isinstance(v, _dt.datetime):
             v = v.date()
         if isinstance(v, _dt.date):
-            return (v - _dt.date(1970, 1, 1)).days
-        raise TypeError(f"cannot interpret {v!r} as a day partition value")
+            if unit == "day":
+                return (v - _dt.date(1970, 1, 1)).days
+            if unit == "month":
+                return (v.year - 1970) * 12 + v.month - 1
+            return v.year - 1970
+        raise TypeError(f"cannot interpret {v!r} as a {unit} partition value")
 
     if isinstance(cond, tuple) and len(cond) == 2:
         return (one(cond[0]), one(cond[1]))
     if isinstance(cond, (list, set, frozenset)):
         return [one(v) for v in cond]
     return one(cond)
+
+
+def _to_epoch_days(cond):
+    """Normalize a day-partition filter condition to epoch-day ints."""
+    return _to_time_ordinal(cond, "day")
 
 
 def murmur3_32(data: bytes, seed: int = 0) -> int:
@@ -555,10 +574,19 @@ def _bucket_udf(n: int, kind: str):
 
 
 _TRANSFORM_RE = re.compile(
-    r"(?:days?\((\w+)\))"
+    r"(?:(years?|months?|days?|hours?)\(\s*(\w+)\s*\))"
     r"|(?:bucket\(\s*(\d+)\s*,\s*(\w+)\s*\))"
     r"|(?:truncate\(\s*(\d+)\s*,\s*(\w+)\s*\))"
 )
+
+#: Iceberg spec §Partition Transforms: the time transforms and the source
+#: types each accepts (hour is timestamp-only — a date has no hours)
+_TIME_TRANSFORMS = {
+    "year": ("timestamp", "timestamptz", "date"),
+    "month": ("timestamp", "timestamptz", "date"),
+    "day": ("timestamp", "timestamptz", "date"),
+    "hour": ("timestamp", "timestamptz"),
+}
 
 
 def _stats_match(lower: dict | None, upper: dict | None,
@@ -655,26 +683,30 @@ class IcebergTable:
             for i, term in enumerate(partition_by or []):
                 term = term.strip()
                 m = _TRANSFORM_RE.fullmatch(term)
-                if m and m.group(1):        # days(col)
-                    transform, param, col = "day", None, m.group(1)
-                elif m and m.group(2):      # bucket(N, col)
-                    transform, param, col = "bucket", int(m.group(2)), m.group(3)
-                elif m and m.group(4):      # truncate(W, col)
-                    transform, param, col = "truncate", int(m.group(4)), m.group(5)
+                if m and m.group(1):        # years/months/days/hours(col)
+                    transform = m.group(1).rstrip("s")
+                    param, col = None, m.group(2)
+                elif m and m.group(3):      # bucket(N, col)
+                    transform, param, col = "bucket", int(m.group(3)), m.group(4)
+                elif m and m.group(5):      # truncate(W, col)
+                    transform, param, col = "truncate", int(m.group(5)), m.group(6)
                 else:                       # identity
                     transform, param, col = "identity", None, term
                 src = next((f for f in ice_schema["fields"]
                             if f["name"] == col), None)
                 if src is None:
                     raise ValueError(f"partition column {col!r} not in schema")
-                if transform == "day":
-                    if src["type"] not in ("timestamp", "timestamptz", "date"):
+                if transform in _TIME_TRANSFORMS:
+                    allowed = _TIME_TRANSFORMS[transform]
+                    if src["type"] not in allowed:
+                        kinds = ("timestamp" if transform == "hour"
+                                 else "timestamp/date")
                         raise ValueError(
-                            f"days() needs a timestamp/date column, got "
+                            f"{transform}s() needs a {kinds} column, got "
                             f"{col!r}: {src['type']!r}"
                         )
                     spec_fields.append({
-                        "name": f"{col}_day", "transform": "day",
+                        "name": f"{col}_{transform}", "transform": transform,
                         "source-id": src["id"], "field-id": 1000 + i,
                     })
                     continue
@@ -709,8 +741,9 @@ class IcebergTable:
                 if src["type"] not in _PARTITIONABLE:
                     raise ValueError(
                         f"identity partitioning supports {sorted(_PARTITIONABLE)} "
-                        f"columns (or days(ts) / bucket(N, col) / "
-                        f"truncate(W, col)), got {col!r}: {src['type']!r}"
+                        f"columns (or years/months/days/hours(ts) / "
+                        f"bucket(N, col) / truncate(W, col)), got "
+                        f"{col!r}: {src['type']!r}"
                     )
                 spec_fields.append({
                     "name": col, "transform": "identity",
@@ -763,7 +796,7 @@ class IcebergTable:
 
         def value_type(f: dict) -> str:
             tr = f.get("transform", "identity")
-            if tr == "day" or tr.startswith("bucket["):
+            if tr in _TIME_TRANSFORMS or tr.startswith("bucket["):
                 return "int"
             return schema_fields[f["source-id"]]["type"]
 
@@ -788,6 +821,16 @@ class IcebergTable:
             if tr == "day":
                 col = F.datediff(F.col(src_name).cast("date"),
                                  F.to_date(F.lit("1970-01-01")))
+            elif tr == "year":
+                col = (F.year(F.col(src_name)) - F.lit(1970)).cast("int")
+            elif tr == "month":
+                col = ((F.year(F.col(src_name)) - F.lit(1970)) * F.lit(12)
+                       + F.month(F.col(src_name)) - F.lit(1)).cast("int")
+            elif tr == "hour":
+                # floor (not int-div) so pre-1970 timestamps round down
+                col = F.floor(
+                    F.unix_micros(F.col(src_name).cast("timestamp"))
+                    / F.lit(3_600_000_000)).cast("int")
             elif tr.startswith("bucket["):
                 n = int(tr[len("bucket["):-1])
                 if src_type in ("int", "long"):
@@ -1939,8 +1982,8 @@ class IcebergTable:
 
         def norm(fld: dict, cond):
             tr = fld.get("transform", "identity")
-            if tr == "day":
-                return _to_epoch_days(cond)
+            if tr in _TIME_TRANSFORMS:
+                return _to_time_ordinal(cond, tr)
             if tr.startswith("bucket["):
                 nb = int(tr[len("bucket["):-1])
                 st = schema_fields[fld["source-id"]]["type"]

@@ -57,9 +57,11 @@ def _partition_values(pdf, spec: list[tuple]) -> dict:
 
     out = {}
     for field, transform, source, param in spec:
-        if transform == "day":
+        if transform in ("year", "month", "day", "hour"):
+            unit = {"year": "Y", "month": "M", "day": "D", "hour": "h"}[transform]
             out[field] = (
-                pdf[source].to_numpy().astype("datetime64[D]").astype("int64")
+                pdf[source].to_numpy()
+                .astype(f"datetime64[{unit}]").astype("int64")
             )
         elif transform == "identity":
             out[field] = pdf[source].to_numpy()

@@ -919,6 +919,85 @@ def test_bucket_truncate_validation(spark, tmp_path):
         "bucket[8]", "truncate[10]"]
 
 
+def test_year_month_hour_partition_transforms(spark, tmp_path):
+    """year()/month()/hour() — the rest of the Iceberg spec time-transform
+    ladder (spec §Partition Transforms): ordinals are years/months/hours
+    since 1970-01-01 UTC, writer and filter paths agree, range pruning
+    works (time transforms preserve order), hour rejects non-timestamp
+    sources."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from engine.iceberg import _to_time_ordinal
+
+    # spec example vectors for 2017-11-16T22:31:08 (spec §Partition
+    # Transforms table: year 47, month 574, day 17486, hour 419686)
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert _to_time_ordinal(ts, "year") == 47
+    assert _to_time_ordinal(ts, "month") == 574
+    assert _to_time_ordinal(ts, "day") == 17486
+    assert _to_time_ordinal(ts, "hour") == 419686
+    assert _to_time_ordinal("2017-11-16T22:31:08", "hour") == 419686
+
+    df0 = spark.range(0).selectExpr(
+        "concat('c', id) AS clip_id", "current_timestamp() AS event_ts",
+        "cast(id AS double) AS dur")
+
+    def rows(day_str, lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "concat('c', id) AS clip_id",
+            f"timestamp'{day_str} 06:00:00' "
+            f"+ make_interval(0,0,0,0,0,0,id) AS event_ts",
+            "cast(id AS double) AS dur")
+
+    t = IcebergTable(str(tmp_path / "mh"), schema=df0.schema,
+                     partition_by=["month(event_ts)"])
+    assert [(f["name"], f["transform"]) for f in t.spec_fields()] == [
+        ("event_ts_month", "month")]
+    t.write_dataframe(rows("2024-01-15", 0, 20))
+    t.write_dataframe(rows("2024-02-15", 20, 40))
+    t.write_dataframe(rows("2024-03-15", 40, 60))
+    live = t.plan_files()
+    m0 = (2024 - 1970) * 12
+    assert {f.partition["event_ts_month"] for f in live} == {m0, m0 + 1, m0 + 2}
+    # equality by ISO string prunes to one month's files
+    one = t.plan_files(partition_filter={"event_ts_month": "2024-02-01"})
+    assert 0 < len(one) < len(live)
+    assert all(f.partition["event_ts_month"] == m0 + 1 for f in one)
+    # order-preserving range by date objects; exact here because every
+    # file sits wholly inside one month
+    got = t.read(spark, partition_filter={
+        "event_ts_month": (dt.date(2024, 2, 1), dt.date(2024, 3, 31))})
+    want = t.read(spark).filter("event_ts >= timestamp'2024-02-01'")
+    pd.testing.assert_frame_equal(
+        got.toPandas().sort_values("clip_id", ignore_index=True),
+        want.toPandas().sort_values("clip_id", ignore_index=True))
+
+    # hour-partitioned: the writer's ordinal equals the scalar transform
+    th = IcebergTable(str(tmp_path / "hh"), schema=df0.schema,
+                      partition_by=["hours(event_ts)"])
+    th.write_dataframe(rows("2024-01-15", 0, 3))
+    base = _to_time_ordinal(dt.datetime(2024, 1, 15, 6), "hour")
+    assert {f.partition["event_ts_hour"] for f in th.plan_files()} == {base}
+    pruned = th.plan_files(
+        partition_filter={"event_ts_hour": "2024-01-15T06:30:00"})
+    assert pruned and all(
+        f.partition["event_ts_hour"] == base for f in pruned)
+
+    # year-partitioned + reopen round-trip; hour on a double raises
+    ty = IcebergTable(str(tmp_path / "yy"), schema=df0.schema,
+                      partition_by=["year(event_ts)"])
+    ty.write_dataframe(rows("2024-06-01", 0, 5))
+    assert {f.partition["event_ts_year"]
+            for f in ty.plan_files()} == {2024 - 1970}
+    assert [f["transform"]
+            for f in IcebergTable(ty.location).spec_fields()] == ["year"]
+    with pytest.raises(ValueError, match="hours.. needs a timestamp"):
+        IcebergTable(str(tmp_path / "hbad"), schema=df0.schema,
+                     partition_by=["hour(dur)"])
+
+
 def test_day_partitioned_topic_streams_and_prunes(spark, tmp_path):
     """The round-4 flagship gap: a days(event_ts)-partitioned clip topic
     must stream (full replay) AND support a day-pruned streamed backfill

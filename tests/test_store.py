@@ -323,10 +323,15 @@ def test_streaming_upsert_kill_restart(spark, store, clips_dir_small, tmp_path):
         return store.insert_stream(fg, stream, ckpt, mode=SaveMode.UPSERT)
 
     q = start()
-    while not q.recentProgress:  # let at least one batch commit
-        import time as _t
+    import time as _t
 
+    deadline = _t.time() + 120
+    while not q.recentProgress and q.isActive:  # let at least one batch commit
+        if _t.time() > deadline:
+            break
         _t.sleep(0.2)
+    if not q.isActive and q.exception() is not None:
+        raise q.exception()
     q.stop()  # kill mid-stream
     q2 = start()  # restart from the same checkpoint
     q2.processAllAvailable()

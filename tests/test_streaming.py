@@ -91,8 +91,13 @@ def test_kill_restart_no_dupes_no_gaps(spark, clips_dir, tmp_path):
     )
     import time
 
-    while len(sink.committed_batches()) < 3:
+    deadline = time.time() + 120
+    while len(sink.committed_batches()) < 3 and q.isActive:
+        if time.time() > deadline:
+            break
         time.sleep(0.2)
+    if not q.isActive and q.exception() is not None:
+        raise q.exception()
     q.stop()  # kill mid-stream
 
     # phase 2: restart from the same checkpoint → must resume, not redo
@@ -315,8 +320,17 @@ def test_day_pruned_backfill_kill_restart(spark, tmp_path):
     q = (agg.writeStream.outputMode("append")
          .option("checkpointLocation", ckpt)
          .foreachBatch(sink.foreach_batch()).start())
-    while len(sink.committed_batches()) < 2:
+    # Bounded wait: under a loaded box batch cadence stretches; if the query
+    # dies, surface its exception instead of spinning forever. If it races
+    # ahead and finishes everything before the kill, the restart is simply a
+    # no-op resume — every assertion below still holds.
+    deadline = _time.time() + 120
+    while len(sink.committed_batches()) < 2 and q.isActive:
+        if _time.time() > deadline:
+            break
         _time.sleep(0.2)
+    if not q.isActive and q.exception() is not None:
+        raise q.exception()
     q.stop()  # kill mid-backfill
 
     q2 = (agg.writeStream.outputMode("append")
