@@ -1089,6 +1089,9 @@ def _q_iceberg_lifecycle(spark, sf_dir):
       asserted — no resolution join) + snapshot expiration with GC;
     - ``pruned_range``: truncate[50] partition pruning (strictly fewer
       files);
+    - ``month_prune``: month(ts) time-transform pruning (round 5 —
+      year/month/day/hour ladder complete per the Iceberg spec) over a
+      month-partitioned orders slice (strictly fewer files);
     - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
       spec murmur3 transform (strictly fewer files);
     - ``stats_range``: manifest column-bounds metrics skipping
@@ -1188,6 +1191,27 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     f_stats = tag(t2.read(spark, stats_filter={"c_custkey": (10, 49)}),
                   "stats_range")
 
+    # month(ts) time-transform pruning: half a year of orders partitioned
+    # by month, one month planned (strictly fewer files), facet-mapped
+    # into the shared (snap, c_custkey, c_name, c_acctbal) schema
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).filter("o_orderdate >= '1995-01-01' AND o_orderdate < '1995-07-01'")
+    t4 = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life4_"),
+        schema=orders.schema, partition_by=["month(o_orderdate)"],
+    )
+    t4.write_dataframe(orders)
+    n_months = len(t4.plan_files())
+    m_flt = {"o_orderdate_month": "1995-03-01"}
+    n_march = len(t4.plan_files(partition_filter=m_flt))
+    assert 0 < n_march < n_months, (n_march, n_months)
+    f_month = t4.read(spark, partition_filter=m_flt).select(
+        F.lit("month_prune").alias("snap"),
+        F.col("o_orderkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("c_name"),
+        F.round("o_totalprice", 6).alias("c_acctbal"))
+
     # write-audit-publish (round 5): commits staged on a branch are
     # invisible to main (and CDC/tails) until fast_forward publishes them
     import os as _os
@@ -1215,7 +1239,7 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     return f_s1.unionByName(f_up).unionByName(f_m) \
         .unionByName(f_tag).unionByName(f_evo) \
         .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats) \
-        .unionByName(f_staged).unionByName(f_pub)
+        .unionByName(f_month).unionByName(f_staged).unionByName(f_pub)
 
 
 _SQL_ICEBERG_LIFECYCLE = """
@@ -1247,6 +1271,11 @@ FROM customer WHERE c_custkey = 42
 UNION ALL
 SELECT 'stats_range', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey BETWEEN 10 AND 49
+UNION ALL
+SELECT 'month_prune', o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+       round(o_totalprice, 6)
+FROM orders
+WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
 UNION ALL
 SELECT 'staged_main', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey <= 100
