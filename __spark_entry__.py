@@ -1092,6 +1092,10 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     - ``month_prune``: month(ts) time-transform pruning (round 5 —
       year/month/day/hour ladder complete per the Iceberg spec) over a
       month-partitioned orders slice (strictly fewer files);
+    - ``where_deleted``: predicate row-level DELETE via v2 POSITION
+      deletes (round 5, engine/iceberg.py delete_where — exact (file,
+      row-ordinal) masks from ``_metadata.row_index``, no data
+      rewritten), read resolves in-plan;
     - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
       spec murmur3 transform (strictly fewer files);
     - ``stats_range``: manifest column-bounds metrics skipping
@@ -1212,6 +1216,15 @@ def _q_iceberg_lifecycle(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("c_name"),
         F.round("o_totalprice", 6).alias("c_acctbal"))
 
+    # predicate row-level DELETE via position deletes: exact (file,
+    # ordinal) masks, no data files rewritten, resolved in-plan
+    t5 = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life5_"), schema=cust.schema)
+    t5.write_dataframe(cust.filter("c_custkey <= 120").coalesce(2))
+    assert t5.delete_where(spark, "c_custkey % 3 = 0") is not None
+    assert [d.content for d in t5.plan_delete_files()] == [1]
+    f_wdel = tag(t5.read(spark), "where_deleted")
+
     # write-audit-publish (round 5): commits staged on a branch are
     # invisible to main (and CDC/tails) until fast_forward publishes them
     import os as _os
@@ -1239,7 +1252,8 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     return f_s1.unionByName(f_up).unionByName(f_m) \
         .unionByName(f_tag).unionByName(f_evo) \
         .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats) \
-        .unionByName(f_month).unionByName(f_staged).unionByName(f_pub)
+        .unionByName(f_month).unionByName(f_wdel) \
+        .unionByName(f_staged).unionByName(f_pub)
 
 
 _SQL_ICEBERG_LIFECYCLE = """
@@ -1276,6 +1290,9 @@ SELECT 'month_prune', o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
        round(o_totalprice, 6)
 FROM orders
 WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+UNION ALL
+SELECT 'where_deleted', c_custkey, c_name, round(c_acctbal, 6)
+FROM customer WHERE c_custkey <= 120 AND c_custkey % 3 <> 0
 UNION ALL
 SELECT 'staged_main', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey <= 100

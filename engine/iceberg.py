@@ -244,15 +244,18 @@ TAIL_EXPIRY_WATERMARK_PROP = "tail.last-expired-append-seq"
 @dataclass
 class DataFileInfo:
     """One parquet file as tracked by the table metadata — a data file
-    (content=0) or an equality-delete file (content=2, spec §Row-level
-    deletes: its rows are key tuples that mask any matching data row with
-    a STRICTLY SMALLER data sequence number)."""
+    (content=0), a position-delete file (content=1, spec §Position Delete
+    Files: its rows are (file_path, pos) pairs that mask those exact row
+    ordinals in files with sequence number <= its own), or an
+    equality-delete file (content=2, spec §Row-level deletes: its rows
+    are key tuples that mask any matching data row with a STRICTLY
+    SMALLER data sequence number)."""
     file_path: str          # absolute path (file:// URI in manifests)
     record_count: int
     file_size_in_bytes: int
     sequence_number: int | None = None  # set when planned from a manifest
     partition: dict | None = None       # identity-partition values (or None)
-    content: int = 0                    # 0 data, 2 equality deletes
+    content: int = 0                    # 0 data, 1 position / 2 equality dels
     equality_ids: list[int] | None = None  # delete key field ids (content=2)
     lower_bounds: dict | None = None    # {field_id: bytes} (Appendix D)
     upper_bounds: dict | None = None
@@ -1532,7 +1535,7 @@ class IcebergTable:
         unexpected = set(live_dels) - purged_paths
         if unexpected:
             raise RuntimeError(
-                f"live equality-delete file(s) not covered by this replace "
+                f"live delete file(s) not covered by this replace "
                 f"({sorted(unexpected)[:2]}) — rewritten files take a new "
                 "sequence number, which would stop these deletes from "
                 "masking their rows; re-plan the rewrite applying them"
@@ -1543,10 +1546,16 @@ class IcebergTable:
         if purged_paths:
             # purging a delete resurrects the rows it masked in any file
             # kept with an older sequence number — every maskable file must
-            # have been rewritten
-            max_dseq = max(live_dels[p].sequence_number for p in purged_paths)
-            masked_kept = [f for f in survivors
-                           if f.sequence_number < max_dseq]
+            # have been rewritten (strictly-smaller for equality deletes,
+            # <= for position deletes)
+            max_eq = max((live_dels[p].sequence_number for p in purged_paths
+                          if live_dels[p].content == 2), default=None)
+            max_pos = max((live_dels[p].sequence_number for p in purged_paths
+                           if live_dels[p].content == 1), default=None)
+            masked_kept = [
+                f for f in survivors
+                if (max_eq is not None and f.sequence_number < max_eq)
+                or (max_pos is not None and f.sequence_number <= max_pos)]
             if masked_kept:
                 raise RuntimeError(
                     f"replace purges deletes but keeps {len(masked_kept)} "
@@ -1654,11 +1663,12 @@ class IcebergTable:
         snapshots still plans the original files, and incremental/CDC reads
         skip the replace snapshot entirely (no row is ever re-delivered).
 
-        When the table carries live equality-delete files (uncompacted
-        upserts), the rewrite APPLIES them: every maskable file (data
-        sequence number below a delete's) joins the input set regardless
-        of size, the rewrite scan is the delete-resolved read, and the
-        REPLACE commit purges the delete files — afterwards
+        When the table carries live delete files (uncompacted upserts —
+        equality deletes; or ``delete_where`` position deletes), the
+        rewrite APPLIES them: every maskable file (sequence number below
+        an equality delete's, or <= a position delete's) joins the input
+        set regardless of size, the rewrite scan is the delete-resolved
+        read, and the REPLACE commit purges the delete files — afterwards
         :meth:`read` plans a plain scan with no resolution join.
 
         Returns the new snapshot id, or None when fewer than
@@ -1669,10 +1679,19 @@ class IcebergTable:
 
         live = self.plan_files()
         dels = self.plan_delete_files()
-        max_dseq = max((d.sequence_number for d in dels), default=None)
+        # equality deletes mask files with STRICTLY SMALLER sequence
+        # numbers; position deletes mask <= theirs (spec §Scan Planning)
+        max_eq = max((d.sequence_number for d in dels if d.content == 2),
+                     default=None)
+        max_pos = max((d.sequence_number for d in dels if d.content == 1),
+                      default=None)
+
+        def maskable(f: DataFileInfo) -> bool:
+            return ((max_eq is not None and f.sequence_number < max_eq)
+                    or (max_pos is not None and f.sequence_number <= max_pos))
+
         inputs = [f for f in live
-                  if f.file_size_in_bytes < target_file_bytes
-                  or (max_dseq is not None and f.sequence_number < max_dseq)]
+                  if f.file_size_in_bytes < target_file_bytes or maskable(f)]
         if not dels and len(inputs) < min_input_files:
             return None
         if dels and not inputs:
@@ -1689,7 +1708,7 @@ class IcebergTable:
         scan = spark.read.schema(ddl).parquet(*[f.file_path for f in inputs])
         expected_rows = None
         if dels:
-            scan = self._apply_equality_deletes(spark, scan, inputs, dels)
+            scan = self._apply_deletes(spark, scan, inputs, dels)
             expected_rows = scan.count()
         spec = self.spec_fields()
         if spec:
@@ -2085,11 +2104,13 @@ class IcebergTable:
     def plan_delete_files(self, snapshot_id: int | None = None,
                           as_of_ms: int | None = None,
                           ref: str | None = None) -> list[DataFileInfo]:
-        """Live equality-delete files at a snapshot (content=1 manifests).
-        Each masks data rows matching its key tuples in files with a
-        STRICTLY SMALLER data sequence number.  Global (unpartitioned)
-        application — partition pruning never skips a delete, so pruned
-        reads stay correct."""
+        """Live delete files at a snapshot (content=1 manifests), both
+        kinds: equality deletes (``content=2`` — mask rows matching their
+        key tuples in files with a STRICTLY SMALLER data sequence number)
+        and position deletes (``content=1`` — mask the exact (file, row
+        ordinal) pairs they record, in files with sequence number <=
+        theirs).  Global (unpartitioned) application — partition pruning
+        never skips a delete, so pruned reads stay correct."""
         snap = self._resolve_snapshot(snapshot_id, as_of_ms, ref)
         if snap is None:
             return []
@@ -2109,7 +2130,7 @@ class IcebergTable:
                         e["sequence_number"] if e["sequence_number"] is not None
                         else m["sequence_number"]),
                     partition=df.get("partition") or None,
-                    content=2,
+                    content=int(df.get("content") or 2),
                     equality_ids=list(df.get("equality_ids") or []),
                 ))
         return out
@@ -2246,17 +2267,90 @@ class IcebergTable:
         dels = self.plan_delete_files(snapshot_id, as_of_ms, ref)
         if not dels:
             return df
-        return self._apply_equality_deletes(spark, df, files, dels)
+        return self._apply_deletes(spark, df, files, dels)
 
-    def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
-                                files: list[DataFileInfo],
-                                dels: list[DataFileInfo]) -> DataFrame:
-        """Mask data rows per the v2 equality-delete rule: a row is deleted
-        iff some live delete file has a matching key tuple AND a data
-        sequence number strictly greater than the row's file's."""
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       files: list[DataFileInfo],
+                       dels: list[DataFileInfo]) -> DataFrame:
+        """Apply live delete files of both v2 kinds to a pinned data scan.
+
+        File identity (basename) + row ordinal (``_metadata.row_index``)
+        + data sequence number are attached ONCE here, while ``df`` is
+        still the raw file scan — metadata columns and
+        ``input_file_name`` don't survive a shuffle, so attachment must
+        precede every join.  Then equality deletes (content=2) and
+        position deletes (content=1) each subtract via anti-joins; order
+        doesn't affect the result."""
         from pyspark.sql import functions as F
 
         cols = df.columns
+        base_seq = [(os.path.basename(f.file_path), f.sequence_number)
+                    for f in files]
+        if len({b for b, _ in base_seq}) != len(base_seq):
+            raise RuntimeError(
+                "data file basenames are not unique — cannot attach "
+                "sequence numbers for delete application")
+        seq_df = spark.createDataFrame(
+            base_seq, "__file_base string, __seq bigint")
+        df = (
+            df.withColumn(
+                "__file_base",
+                F.regexp_extract(F.col("_metadata.file_path"), "[^/]*$", 0))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(seq_df), "__file_base")
+        )
+        eq = [d for d in dels if d.content == 2]
+        pos = [d for d in dels if d.content == 1]
+        if eq:
+            df = self._apply_equality_deletes(spark, df, eq)
+        if pos:
+            df = self._apply_position_deletes(spark, df, pos)
+        return df.select(*cols)
+
+    def _apply_position_deletes(self, spark: SparkSession, df: DataFrame,
+                                dels: list[DataFileInfo]) -> DataFrame:
+        """Mask data rows per the v2 position-delete rule: a row is deleted
+        iff some live position-delete file records (its file, its row
+        ordinal) with a data sequence number >= the row's file's —
+        position deletes may target rows committed in their own snapshot,
+        hence >= where equality deletes use strictly-greater.  ``df``
+        must already carry ``__file_base``/``__pos``/``__seq``
+        (:meth:`_apply_deletes`).  The join is a plain equi-join on
+        (file basename, position) with the sequence rule as a residual,
+        so the delete set stays distributed (no driver materialization,
+        no forced broadcast) however large the deletion."""
+        from pyspark.sql import functions as F
+
+        dseq = [(os.path.basename(d.file_path), d.sequence_number)
+                for d in dels]
+        dseq_df = spark.createDataFrame(
+            dseq, "__dfile_base string, __dseq bigint")
+        del_df = (
+            spark.read.schema("file_path string, pos long")
+            .parquet(*[d.file_path for d in dels])
+            .withColumn(
+                "__dfile_base",
+                F.regexp_extract(F.col("_metadata.file_path"), "[^/]*$", 0))
+            .join(F.broadcast(dseq_df), "__dfile_base")
+            .select(
+                F.regexp_extract("file_path", "[^/]*$", 0).alias("__t_base"),
+                F.col("pos").alias("__t_pos"),
+                F.col("__dseq").alias("__t_dseq"))
+        )
+        cond = ((F.col("__file_base") == F.col("__t_base"))
+                & (F.col("__pos") == F.col("__t_pos"))
+                & (F.col("__t_dseq") >= F.col("__seq")))
+        return df.join(del_df, on=cond, how="left_anti")
+
+    def _apply_equality_deletes(self, spark: SparkSession, df: DataFrame,
+                                dels: list[DataFileInfo]) -> DataFrame:
+        """Mask data rows per the v2 equality-delete rule: a row is deleted
+        iff some live delete file has a matching key tuple AND a data
+        sequence number strictly greater than the row's file's.  ``df``
+        must already carry ``__file_base``/``__seq``
+        (:meth:`_apply_deletes`)."""
+        from pyspark.sql import functions as F
+
         schema_fields = self.schema_json()["fields"]
         id_to_name = {f["id"]: f["name"] for f in schema_fields}
 
@@ -2264,17 +2358,6 @@ class IcebergTable:
             by_name = {f["name"]: f for f in schema_fields}
             return iceberg_schema_to_ddl(
                 {"fields": [by_name[k] for k in keys]})
-
-        base_seq = [(os.path.basename(f.file_path), f.sequence_number)
-                    for f in files]
-        if len({b for b, _ in base_seq}) != len(base_seq):
-            raise RuntimeError(
-                "data file basenames are not unique — cannot attach "
-                "sequence numbers for equality-delete application")
-        seq_df = spark.createDataFrame(base_seq, "__file_base string, __seq bigint")
-        df = df.withColumn(
-            "__file_base", F.regexp_extract(F.input_file_name(), "[^/]*$", 0)
-        ).join(F.broadcast(seq_df), "__file_base")
 
         by_ids: dict[tuple, list[DataFileInfo]] = {}
         for d in dels:
@@ -2299,7 +2382,7 @@ class IcebergTable:
             for k in keys:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"__d_{k}"))
             df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
-        return df.select(*cols)
+        return df
 
     # -- writing DataFrames -------------------------------------------------
     def write_dataframe(self, df: DataFrame, mode: str = "append",
@@ -2465,14 +2548,93 @@ class IcebergTable:
                 pass
             raise
 
+    def delete_where(self, spark: SparkSession, condition,
+                     summary_extra: dict | None = None) -> int | None:
+        """Row-level DELETE by arbitrary predicate — a POSITION-delete-only
+        commit (Iceberg v2 content=1, spec §Position Delete Files): the
+        rows currently matching ``condition`` (a SQL string or Column)
+        are recorded as (data file path, row ordinal) pairs — ordinals
+        from the parquet scan's ``_metadata.row_index``, the file sorted
+        by (file_path, pos) per the spec — and masked from this snapshot
+        on, with no data rewritten.  Complements :meth:`delete_keys`
+        (equality deletes): a predicate needs no key column, and the
+        position mask applies only to files with sequence number <= the
+        delete's, so rows appended AFTER this commit are never affected
+        even if they match the predicate.  Rows already masked by live
+        deletes are filtered out first, so the recorded count is exact.
+        Time travel to older snapshots still sees the rows;
+        ``compact_data_files`` folds the mask into the data files and
+        purges the delete file, after which reads plan a plain scan.
+        Returns the new snapshot id, or None when no visible row
+        matches."""
+        import glob as _glob
+        import shutil
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        files = self.plan_files()
+        if not files:
+            return None
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        ddl = iceberg_schema_to_ddl(self.schema_json())
+        raw = (
+            spark.read.schema(ddl).parquet(*[f.file_path for f in files])
+            .withColumn(
+                "__del_base",
+                F.regexp_extract(F.col("_metadata.file_path"), "[^/]*$", 0))
+            .withColumn("pos", F.col("_metadata.row_index").cast("long"))
+        )
+        dels = self.plan_delete_files()
+        if dels:
+            # only currently-VISIBLE rows count as matches; __del_base/pos
+            # ride through (_apply_deletes keeps every entry column)
+            raw = self._apply_deletes(spark, raw, files, dels)
+        mapping = spark.createDataFrame(
+            [(os.path.basename(f.file_path), _to_uri(f.file_path))
+             for f in files],
+            "__del_base string, file_path string")
+        matches = (
+            raw.filter(cond)
+            .join(F.broadcast(mapping), "__del_base")
+            .select("file_path", "pos")
+            .repartition(1).sortWithinPartitions("file_path", "pos")
+        )
+        tmp = os.path.join(self.location, f".tmp-posdel-{uuid.uuid4().hex[:8]}")
+        matches.write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        n = pq.read_metadata(src).num_rows
+        if n == 0:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return None
+        del_path = os.path.join(
+            self.data_dir, f"posdel-{uuid.uuid4().hex[:8]}.parquet")
+        os.rename(src, del_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        del_info = DataFileInfo(
+            file_path=del_path,
+            record_count=n,
+            file_size_in_bytes=os.path.getsize(del_path),
+            content=1,
+        )
+        try:
+            return self._commit_row_delta([], del_info, summary_extra,
+                                          operation="delete")
+        except BaseException:
+            try:
+                os.remove(del_path)
+            except OSError:
+                pass
+            raise
+
     def _commit_row_delta(self, data_files: list[DataFileInfo],
                           delete_file: DataFileInfo,
                           summary_extra: dict | None = None,
                           operation: str = "overwrite") -> int:
-        """Commit new data files + one equality-delete file as a single
-        'overwrite' snapshot (the v2 row-delta shape): an added data
-        manifest (content=0), an added delete manifest (content=1), and
-        the previous snapshot's manifests carried forward."""
+        """Commit new data files + one delete file (either v2 kind) as a
+        single row-delta snapshot: an added data manifest (content=0), an
+        added delete manifest (content=1), and the previous snapshot's
+        manifests carried forward."""
         meta, base_version = self._metadata_at()
         prev = self._resolve_snapshot(None, None)
         seq = meta["last-sequence-number"] + 1
@@ -2523,7 +2685,9 @@ class IcebergTable:
             "added-data-files": str(len(data_files)),
             "added-records": str(add_rows),
             "added-delete-files": "1",
-            "added-equality-delete-records": str(delete_file.record_count),
+            ("added-position-delete-records" if delete_file.content == 1
+             else "added-equality-delete-records"):
+                str(delete_file.record_count),
             # totals are metadata-level (pre-delete-application), like
             # Iceberg's total-records on row-delta snapshots
             "total-data-files": str(prev_total_files + len(data_files)),

@@ -1387,6 +1387,79 @@ def test_delete_keys_masks_then_compaction_erases(spark, tmp_path):
     assert 3 not in live_ks and 39 not in live_ks and 17 in live_ks
 
 
+def test_delete_where_position_deletes(spark, tmp_path):
+    """delete_where — predicate row-level DELETE via v2 POSITION deletes
+    (content=1): masks exact (file, ordinal) pairs, leaves time travel
+    intact, never touches rows appended after (<= sequence rule, where
+    equality uses strictly-smaller), counts only currently-visible rows,
+    stacks with equality deletes, and compaction folds both kinds into a
+    plain scan."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "posdel")
+    s1 = t.write_dataframe(_df(spark, 0, 100).repartition(3))
+    sid = t.delete_where(spark, "k % 7 = 0")
+    assert sid is not None
+    assert t.snapshot(sid)["summary"]["operation"] == "delete"
+    assert int(t.snapshot(sid)["summary"]
+               ["added-position-delete-records"]) == 15
+    dels = t.plan_delete_files()
+    assert [d.content for d in dels] == [1] and not dels[0].equality_ids
+
+    want = [k for k in range(100) if k % 7 != 0]
+    assert sorted(r.k for r in t.read(spark).collect()) == want
+    # time travel to the pre-delete snapshot still sees every row
+    assert t.read(spark, snapshot_id=s1).count() == 100
+
+    # rows appended AFTER the position delete are NOT masked even where
+    # they match the predicate (new file's sequence > the delete's)
+    t.write_dataframe(_df(spark, 100, 121))  # holds 105, 112, 119
+    got2 = sorted(r.k for r in t.read(spark).collect())
+    assert got2 == want + list(range(100, 121))
+
+    # nothing visible matches -> no snapshot committed
+    assert t.delete_where(spark, "k < 0") is None
+    # only currently-VISIBLE matches are recorded: the first delete's
+    # rows are not re-counted
+    sid2 = t.delete_where(spark, "k % 7 = 0")
+    assert int(t.snapshot(sid2)["summary"]
+               ["added-position-delete-records"]) == 3  # 105, 112, 119
+    want3 = [k for k in range(121) if k % 7 != 0]
+    assert sorted(r.k for r in t.read(spark).collect()) == want3
+
+    # stack an equality delete on top — both kinds live at once
+    t.delete_keys(spark, spark.createDataFrame(
+        [(k,) for k in range(10)], "k long"), ["k"])
+    want4 = [k for k in range(121) if k % 7 != 0 and k >= 10]
+    assert sorted(r.k for r in t.read(spark).collect()) == want4
+    assert sorted(d.content for d in t.plan_delete_files()) == [1, 1, 2]
+
+    # compaction folds BOTH kinds away: rows identical, plain scan after
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    assert t.plan_delete_files() == []
+    after_df = t.read(spark)
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "post-compaction read must be a plain scan"
+    pd.testing.assert_frame_equal(
+        after_df.toPandas().sort_values("k", ignore_index=True), before)
+
+
+def test_delete_where_composes_with_partition_pruning(spark, tmp_path):
+    """Position deletes apply globally: a partition-pruned read still
+    masks its partition's deleted rows (deletes are never pruned)."""
+    df0 = spark.range(0).selectExpr("id AS k", "concat('s', id % 3) AS seg")
+    t = IcebergTable(str(tmp_path / "pdp"), schema=df0.schema,
+                     partition_by=["seg"])
+    t.write_dataframe(spark.range(0, 90).selectExpr(
+        "id AS k", "concat('s', id % 3) AS seg"))
+    assert t.delete_where(spark, "k >= 60") is not None
+    got = sorted(r.k for r in
+                 t.read(spark, partition_filter={"seg": "s1"}).collect())
+    assert got == [k for k in range(60) if k % 3 == 1]
+    assert t.read(spark).count() == 60
+
+
 # ---------------------------------------------------------------------------
 # snapshot refs (tags) + additive schema evolution
 # ---------------------------------------------------------------------------
