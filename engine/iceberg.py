@@ -1744,6 +1744,101 @@ class IcebergTable:
                     pass
             raise
 
+    def rewrite_manifests(self, target_entries_per_manifest: int = 100_000,
+                          summary_extra: dict | None = None) -> int | None:
+        """Metadata-only manifest compaction — Iceberg's
+        ``rewrite_manifests`` maintenance action, the PLANNING-cost lever
+        at stream scale: every micro-batch append prepends one manifest
+        to the list, so a year-long sink topic makes ``plan_files`` /
+        ``append_log`` pay one manifest open per historical commit.  This
+        reads the current snapshot's live entries once and commits a
+        'replace' snapshot whose manifest list holds
+        ``ceil(n / target_entries_per_manifest)`` consolidated data
+        manifests (+ one delete manifest when delete files are live),
+        every entry EXISTING with its ORIGINAL data sequence number and
+        column bounds — the live file set, delete-sequence semantics,
+        time travel, CDC and tail offsets are all unchanged (a 'replace'
+        snapshot contributes nothing to the append log), and no data
+        file is opened or moved.  Concurrency-safe like every commit
+        here: the metadata version CAS fails if another writer lands
+        first.  Returns the new snapshot id, or None when the manifest
+        list is already consolidated."""
+        import math
+
+        meta, base_version = self._metadata_at()
+        snap = self._resolve_snapshot(None, None)
+        if snap is None:
+            return None
+        old_manifests = self._read_manifest_list(snap["manifest-list"])
+        live = sorted(self.plan_files(), key=lambda f: f.file_path)
+        dels = sorted(self.plan_delete_files(), key=lambda f: f.file_path)
+        want = (math.ceil(len(live) / target_entries_per_manifest)
+                + (1 if dels else 0)) or 1
+        if len(old_manifests) <= max(want, 2):
+            return None
+
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        now_ms = int(time.time() * 1000)
+        spec_json = self._spec_json()
+
+        def entry(f: DataFileInfo) -> dict:
+            return {
+                "status": _STATUS_EXISTING, "snapshot_id": snapshot_id,
+                "sequence_number": f.sequence_number,
+                "file_sequence_number": f.sequence_number,
+                "data_file": {
+                    "content": int(f.content),
+                    "file_path": _to_uri(f.file_path),
+                    "file_format": "PARQUET",
+                    "partition": dict(f.partition or {}),
+                    "record_count": int(f.record_count),
+                    "file_size_in_bytes": int(f.file_size_in_bytes),
+                    "equality_ids": (list(f.equality_ids)
+                                     if f.equality_ids else None),
+                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
+                },
+            }
+
+        manifests = []
+        for i in range(0, len(live), target_entries_per_manifest):
+            chunk = live[i:i + target_entries_per_manifest]
+            mpath, mlen = self._write_manifest(
+                [entry(f) for f in chunk], spec_json)
+            manifests.append(self._manifest_list_entry(
+                mpath, mlen, seq,
+                min(f.sequence_number for f in chunk), snapshot_id,
+                (0, 0), (0, 0),
+                (len(chunk), sum(f.record_count for f in chunk)),
+            ))
+        if dels:
+            dpath, dlen = self._write_manifest(
+                [entry(f) for f in dels], spec_json, content="deletes")
+            manifests.append(self._manifest_list_entry(
+                dpath, dlen, seq,
+                min(f.sequence_number for f in dels), snapshot_id,
+                (0, 0), (0, 0),
+                (len(dels), sum(f.record_count for f in dels)),
+                content=1,
+            ))
+        summary = {
+            "operation": "replace",
+            "added-data-files": "0",
+            "added-records": "0",
+            "rewritten-manifests": str(len(old_manifests)),
+            "added-manifests": str(len(manifests)),
+            "total-data-files": snap["summary"].get(
+                "total-data-files", str(len(live))),
+            "total-records": snap["summary"].get(
+                "total-records", str(sum(f.record_count for f in live))),
+        }
+        summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
+        return self._finalize_snapshot(
+            manifests, seq, snapshot_id, now_ms, summary, meta, base_version,
+            snap,
+        )
+
     def expire_snapshots(self, older_than_ms: int | None = None,
                          retain_last: int = 1) -> dict:
         """Expire snapshot history + garbage-collect unreachable files —

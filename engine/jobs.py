@@ -472,6 +472,17 @@ def cmd_maintain(args) -> dict:
                 int(t.snapshot(sid)["summary"].get("removed-delete-files", 0))
                 if sid is not None else 0),
         }
+    if args.rewrite_manifests:
+        pre_m = len(t._read_manifest_list(
+            t.snapshot(t.current_snapshot_id)["manifest-list"]))
+        sid = t.rewrite_manifests()
+        out["manifest_rewrite"] = {
+            "snapshot_id": sid, "manifests_before": pre_m,
+            "manifests_after": (
+                len(t._read_manifest_list(
+                    t.snapshot(t.current_snapshot_id)["manifest-list"]))
+                if sid is not None else pre_m),
+        }
     if args.expire_older_than_ms is not None or args.retain_last is not None:
         out["expiration"] = t.expire_snapshots(
             older_than_ms=args.expire_older_than_ms,
@@ -604,6 +615,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="expire snapshots older than this epoch-ms bound")
     p.add_argument("--retain-last", type=int, default=None,
                    help="always keep the N newest snapshots (enables expiration)")
+    p.add_argument("--rewrite-manifests", action="store_true",
+                   help="consolidate the manifest list (metadata-only; "
+                        "planning-cost lever for long-running sink topics)")
     p.add_argument("--remove-orphans", action="store_true",
                    help="delete unreferenced files (crashed-write leftovers)")
     p.add_argument("--orphans-older-than-ms", type=int, default=None,

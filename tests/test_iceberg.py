@@ -1445,6 +1445,72 @@ def test_delete_where_position_deletes(spark, tmp_path):
         after_df.toPandas().sort_values("k", ignore_index=True), before)
 
 
+def test_rewrite_manifests_metadata_only(spark, tmp_path):
+    """rewrite_manifests — metadata-only manifest compaction: appends
+    accrete one manifest per commit (planning cost at stream scale);
+    the rewrite consolidates the list while keeping the live file set,
+    per-file sequence numbers, delete semantics, column bounds, CDC/tail
+    invisibility, and time travel bit-identical. No data file moves."""
+    import os as _os
+
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "rwm")
+    for lo in range(0, 50, 10):        # 5 append commits → 5 manifests
+        t.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    t.delete_keys(spark, spark.createDataFrame(
+        [(3,), (14,)], "k long"), ["k"])
+    snap0 = t.current_snapshot_id
+    before_files = {(f.file_path, f.sequence_number)
+                    for f in t.plan_files()}
+    before_rows = t.read(spark).toPandas().sort_values(
+        "k", ignore_index=True)
+    n_before = len(t._read_manifest_list(t.snapshot(snap0)["manifest-list"]))
+    assert n_before >= 6
+    data_mtimes = {f.file_path: _os.path.getmtime(f.file_path)
+                   for f in t.plan_files()}
+
+    sid = t.rewrite_manifests()
+    assert sid is not None
+    mlist = t._read_manifest_list(t.snapshot(sid)["manifest-list"])
+    assert len(mlist) == 2  # one data manifest + one delete manifest
+    assert t.snapshot(sid)["summary"]["operation"] == "replace"
+
+    # live set + ORIGINAL sequence numbers identical; rows identical
+    # (the equality delete still masks k=3,14 via the kept sequences)
+    assert {(f.file_path, f.sequence_number)
+            for f in t.plan_files()} == before_files
+    pd.testing.assert_frame_equal(
+        t.read(spark).toPandas().sort_values("k", ignore_index=True),
+        before_rows)
+    # column bounds survived: a stats-pruned plan still skips files
+    assert 0 < len(t.plan_files(stats_filter={"k": (0, 9)})) < len(
+        before_files)
+    # no data file was touched
+    assert all(_os.path.getmtime(p) == m for p, m in data_mtimes.items())
+    # CDC and the tail's append log see nothing from the rewrite
+    assert t.snapshot_added_files(t.snapshot(sid)) == []
+    assert t.incremental_files(snap0) == []
+    # time travel to the pre-rewrite snapshot unaffected; second call no-op
+    # (and a target that would GROW the manifest count is also a no-op)
+    assert t.read(spark, snapshot_id=snap0).count() == len(before_rows)
+    assert t.rewrite_manifests() is None
+    assert t.rewrite_manifests(target_entries_per_manifest=2) is None
+
+    # chunked: on an unconsolidated table a small target bin-packs into
+    # ceil(n/target) data manifests
+    t2 = _mktable(spark, tmp_path, "rwm2")
+    for lo in range(0, 50, 10):
+        t2.write_dataframe(_df(spark, lo, lo + 10).coalesce(1))
+    want2 = {(f.file_path, f.sequence_number) for f in t2.plan_files()}
+    assert t2.rewrite_manifests(target_entries_per_manifest=2) is not None
+    mlist2 = t2._read_manifest_list(
+        t2.snapshot(t2.current_snapshot_id)["manifest-list"])
+    assert len(mlist2) == 3  # ceil(5/2) data manifests, no deletes
+    assert {(f.file_path, f.sequence_number)
+            for f in t2.plan_files()} == want2
+
+
 def test_delete_where_composes_with_partition_pruning(spark, tmp_path):
     """Position deletes apply globally: a partition-pruned read still
     masks its partition's deleted rows (deletes are never pruned)."""
