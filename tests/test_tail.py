@@ -171,6 +171,30 @@ def test_reader_compaction_upsert_and_expiry(spark, tmp_path):
         r._index_of(r._log(), o)
 
 
+def test_reader_manifest_rewrite_invisible(spark, tmp_path):
+    """rewrite_manifests is a metadata-only replace snapshot: a tail
+    offset taken before it still resolves after it, the rewrite delivers
+    nothing, and appends across it deliver exactly once."""
+    t = _mktable(spark, tmp_path)
+    t.write_dataframe(_df(spark, 0, 4).coalesce(2))
+    t.write_dataframe(_df(spark, 4, 8).coalesce(2))
+    s3 = t.write_dataframe(_df(spark, 8, 10).coalesce(1))
+    r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
+                           "max_files_per_trigger": "100"})
+    o = r.latestOffset()
+    assert o["snap"] == s3
+    assert t.rewrite_manifests() is not None
+    assert r._index_of(r._log(), o) == 5  # stable across the rewrite
+    assert r.latestOffset() == o          # rewrite adds nothing deliverable
+    s5 = t.write_dataframe(_df(spark, 10, 13).coalesce(1))
+    o2 = r.latestOffset()
+    assert o2["snap"] == s5
+    rows = [b.num_rows
+            for p in r.partitions(o, o2) for b in r.read(p)]
+    assert sum(rows) == 3  # exactly the post-rewrite append, once
+
+
 def test_reader_resumes_after_safe_expiry(spark, tmp_path):
     """A stopped tail whose offset snapshot AGES OUT of retention resumes
     losslessly when that is provable: the offset was end-of-snapshot and
