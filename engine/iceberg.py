@@ -2473,10 +2473,15 @@ class IcebergTable:
                 .join(F.broadcast(dseq_df), "__dfile_base")
                 .select(*[F.col(k).alias(f"__d_{k}") for k in keys], "__dseq")
             )
+            # broadcast only when the manifests say the key set is small;
+            # a 10^9-key delete must plan a shuffled join, not an
+            # executor-OOM broadcast (record counts are exact metadata)
+            if sum(d.record_count for d in group) <= 5_000_000:
+                del_df = F.broadcast(del_df)
             cond = F.col("__dseq") > F.col("__seq")
             for k in keys:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"__d_{k}"))
-            df = df.join(F.broadcast(del_df), on=cond, how="left_anti")
+            df = df.join(del_df, on=cond, how="left_anti")
         return df
 
     # -- writing DataFrames -------------------------------------------------
@@ -2689,47 +2694,59 @@ class IcebergTable:
             [(os.path.basename(f.file_path), _to_uri(f.file_path))
              for f in files],
             "__del_base string, file_path string")
+        # shard by source file so a huge deletion writes in parallel
+        # (bounded by shuffle partitions; each delete FILE is sorted by
+        # (file_path, pos) per the spec — cross-file order is not required)
         matches = (
             raw.filter(cond)
             .join(F.broadcast(mapping), "__del_base")
             .select("file_path", "pos")
-            .repartition(1).sortWithinPartitions("file_path", "pos")
+            .repartition(F.col("file_path"))
+            .sortWithinPartitions("file_path", "pos")
         )
         tmp = os.path.join(self.location, f".tmp-posdel-{uuid.uuid4().hex[:8]}")
         matches.write.mode("overwrite").parquet(tmp)
-        src = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
-        n = pq.read_metadata(src).num_rows
-        if n == 0:
-            shutil.rmtree(tmp, ignore_errors=True)
-            return None
-        del_path = os.path.join(
-            self.data_dir, f"posdel-{uuid.uuid4().hex[:8]}.parquet")
-        os.rename(src, del_path)
-        shutil.rmtree(tmp, ignore_errors=True)
-        del_info = DataFileInfo(
-            file_path=del_path,
-            record_count=n,
-            file_size_in_bytes=os.path.getsize(del_path),
-            content=1,
-        )
+        token = uuid.uuid4().hex[:8]
+        del_infos: list[DataFileInfo] = []
         try:
-            return self._commit_row_delta([], del_info, summary_extra,
+            for i, src in enumerate(
+                    sorted(_glob.glob(os.path.join(tmp, "*.parquet")))):
+                n = pq.read_metadata(src).num_rows
+                if n == 0:
+                    continue
+                del_path = os.path.join(
+                    self.data_dir, f"posdel-{token}-{i}.parquet")
+                os.rename(src, del_path)
+                del_infos.append(DataFileInfo(
+                    file_path=del_path,
+                    record_count=n,
+                    file_size_in_bytes=os.path.getsize(del_path),
+                    content=1,
+                ))
+            if not del_infos:
+                return None
+            return self._commit_row_delta([], del_infos, summary_extra,
                                           operation="delete")
         except BaseException:
-            try:
-                os.remove(del_path)
-            except OSError:
-                pass
+            for f in del_infos:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
             raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def _commit_row_delta(self, data_files: list[DataFileInfo],
-                          delete_file: DataFileInfo,
+                          delete_file: DataFileInfo | list[DataFileInfo],
                           summary_extra: dict | None = None,
                           operation: str = "overwrite") -> int:
-        """Commit new data files + one delete file (either v2 kind) as a
+        """Commit new data files + delete file(s) (either v2 kind) as a
         single row-delta snapshot: an added data manifest (content=0), an
         added delete manifest (content=1), and the previous snapshot's
         manifests carried forward."""
+        delete_files = (delete_file if isinstance(delete_file, list)
+                        else [delete_file])
         meta, base_version = self._metadata_at()
         prev = self._resolve_snapshot(None, None)
         seq = meta["last-sequence-number"] + 1
@@ -2764,11 +2781,12 @@ class IcebergTable:
                 mpath, mlen, seq, seq, snapshot_id,
                 (len(data_files), add_rows), (0, 0),
             ))
+        del_rows = sum(f.record_count for f in delete_files)
         dpath, dlen = self._write_manifest(
-            [entry(delete_file)], spec_json, content="deletes")
+            [entry(f) for f in delete_files], spec_json, content="deletes")
         manifests.append(self._manifest_list_entry(
             dpath, dlen, seq, seq, snapshot_id,
-            (1, delete_file.record_count), (0, 0), content=1,
+            (len(delete_files), del_rows), (0, 0), content=1,
         ))
         prev_total_files = prev_total_rows = 0
         if prev is not None:
@@ -2779,10 +2797,10 @@ class IcebergTable:
             "operation": operation,
             "added-data-files": str(len(data_files)),
             "added-records": str(add_rows),
-            "added-delete-files": "1",
-            ("added-position-delete-records" if delete_file.content == 1
-             else "added-equality-delete-records"):
-                str(delete_file.record_count),
+            "added-delete-files": str(len(delete_files)),
+            ("added-position-delete-records"
+             if delete_files[0].content == 1
+             else "added-equality-delete-records"): str(del_rows),
             # totals are metadata-level (pre-delete-application), like
             # Iceberg's total-records on row-delta snapshots
             "total-data-files": str(prev_total_files + len(data_files)),
