@@ -2569,30 +2569,21 @@ class IcebergTable:
         else:
             wdf.write.mode("overwrite").parquet(tmp)
         data_infos = self._register_written_files(tmp, name_prefix="upsert-")
-        # the equality-delete file: just the key tuples, one global file
-        tmp2 = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
-        df.select(*key_cols).coalesce(1).write.mode("overwrite").parquet(tmp2)
-        import glob as _glob
         import shutil
 
-        src = _glob.glob(os.path.join(tmp2, "*.parquet"))[0]
-        del_path = os.path.join(
-            self.data_dir, f"eqdel-{uuid.uuid4().hex[:8]}.parquet")
-        os.rename(src, del_path)
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(tmp2, ignore_errors=True)
-        import pyarrow.parquet as pq
-
-        del_info = DataFileInfo(
-            file_path=del_path,
-            record_count=pq.read_metadata(del_path).num_rows,
-            file_size_in_bytes=os.path.getsize(del_path),
-            content=2, equality_ids=eq_ids,
-        )
+        # the equality-delete files: just the key tuples, hash-sharded so
+        # a huge upsert's key write stays parallel
+        tmp2 = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
+        df.select(*key_cols).repartition(*key_cols) \
+            .write.mode("overwrite").parquet(tmp2)
+        del_infos = self._harvest_delete_files(
+            tmp2, "eqdel", content=2, eq_ids=eq_ids)
         try:
-            return self._commit_row_delta(data_infos, del_info, summary_extra)
+            return self._commit_row_delta(data_infos, del_infos,
+                                          summary_extra)
         except BaseException:
-            for f in data_infos + [del_info]:
+            for f in data_infos + del_infos:
                 try:
                     os.remove(f.file_path)
                 except OSError:
@@ -2601,7 +2592,7 @@ class IcebergTable:
 
     def delete_keys(self, spark: SparkSession, keys_df: DataFrame,
                     key_cols: list[str],
-                    summary_extra: dict | None = None) -> int:
+                    summary_extra: dict | None = None) -> int | None:
         """Row-level DELETE by key — an equality-delete-only commit (the
         GDPR/right-to-erasure shape a feature store needs): every existing
         row matching a key tuple in ``keys_df`` is masked from this
@@ -2610,7 +2601,8 @@ class IcebergTable:
         deletion into the data files (physically removing the bytes) and
         ``expire_snapshots`` then GCs the originals — the full erasure
         path.  ``keys_df`` needs exactly the key columns (extra columns
-        are dropped)."""
+        are dropped).  Returns the new snapshot id, or None when
+        ``keys_df`` is empty."""
         missing = [k for k in key_cols if k not in keys_df.columns]
         if missing:
             raise ValueError(f"delete key columns not in frame: {missing}")
@@ -2621,32 +2613,56 @@ class IcebergTable:
             raise ValueError(f"delete key columns not in table schema: {bad}")
         eq_ids = [name_to_id[k] for k in key_cols]
         tmp = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
-        keys_df.select(*key_cols).distinct().coalesce(1)             .write.mode("overwrite").parquet(tmp)
+        # distinct() already hash-distributes the key tuples — the write
+        # stays parallel (one delete file per non-empty partition) instead
+        # of funneling a huge erasure batch through one task
+        keys_df.select(*key_cols).distinct() \
+            .write.mode("overwrite").parquet(tmp)
+        del_infos = self._harvest_delete_files(
+            tmp, "eqdel", content=2, eq_ids=eq_ids)
+        try:
+            if not del_infos:
+                return None
+            return self._commit_row_delta([], del_infos, summary_extra,
+                                          operation="delete")
+        except BaseException:
+            for f in del_infos:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
+            raise
+
+    def _harvest_delete_files(self, tmp: str, prefix: str, content: int,
+                              eq_ids: list[int] | None = None
+                              ) -> list[DataFileInfo]:
+        """Move a delete-write job's non-empty parquet outputs from ``tmp``
+        into ``data/`` under collision-free names; returns their infos."""
         import glob as _glob
         import shutil
 
-        src = _glob.glob(os.path.join(tmp, "*.parquet"))[0]
-        del_path = os.path.join(
-            self.data_dir, f"eqdel-{uuid.uuid4().hex[:8]}.parquet")
-        os.rename(src, del_path)
-        shutil.rmtree(tmp, ignore_errors=True)
         import pyarrow.parquet as pq
 
-        del_info = DataFileInfo(
-            file_path=del_path,
-            record_count=pq.read_metadata(del_path).num_rows,
-            file_size_in_bytes=os.path.getsize(del_path),
-            content=2, equality_ids=eq_ids,
-        )
+        token = uuid.uuid4().hex[:8]
+        out: list[DataFileInfo] = []
         try:
-            return self._commit_row_delta([], del_info, summary_extra,
-                                          operation="delete")
-        except BaseException:
-            try:
-                os.remove(del_path)
-            except OSError:
-                pass
-            raise
+            for i, src in enumerate(
+                    sorted(_glob.glob(os.path.join(tmp, "*.parquet")))):
+                n = pq.read_metadata(src).num_rows
+                if n == 0:
+                    continue
+                del_path = os.path.join(
+                    self.data_dir, f"{prefix}-{token}-{i}.parquet")
+                os.rename(src, del_path)
+                out.append(DataFileInfo(
+                    file_path=del_path,
+                    record_count=n,
+                    file_size_in_bytes=os.path.getsize(del_path),
+                    content=content, equality_ids=eq_ids,
+                ))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
 
     def delete_where(self, spark: SparkSession, condition,
                      summary_extra: dict | None = None) -> int | None:
@@ -2667,10 +2683,6 @@ class IcebergTable:
         purges the delete file, after which reads plan a plain scan.
         Returns the new snapshot id, or None when no visible row
         matches."""
-        import glob as _glob
-        import shutil
-
-        import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
         files = self.plan_files()
@@ -2706,23 +2718,8 @@ class IcebergTable:
         )
         tmp = os.path.join(self.location, f".tmp-posdel-{uuid.uuid4().hex[:8]}")
         matches.write.mode("overwrite").parquet(tmp)
-        token = uuid.uuid4().hex[:8]
-        del_infos: list[DataFileInfo] = []
+        del_infos = self._harvest_delete_files(tmp, "posdel", content=1)
         try:
-            for i, src in enumerate(
-                    sorted(_glob.glob(os.path.join(tmp, "*.parquet")))):
-                n = pq.read_metadata(src).num_rows
-                if n == 0:
-                    continue
-                del_path = os.path.join(
-                    self.data_dir, f"posdel-{token}-{i}.parquet")
-                os.rename(src, del_path)
-                del_infos.append(DataFileInfo(
-                    file_path=del_path,
-                    record_count=n,
-                    file_size_in_bytes=os.path.getsize(del_path),
-                    content=1,
-                ))
             if not del_infos:
                 return None
             return self._commit_row_delta([], del_infos, summary_extra,
@@ -2734,8 +2731,6 @@ class IcebergTable:
                 except OSError:
                     pass
             raise
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
     def _commit_row_delta(self, data_files: list[DataFileInfo],
                           delete_file: DataFileInfo | list[DataFileInfo],
@@ -2782,12 +2777,14 @@ class IcebergTable:
                 (len(data_files), add_rows), (0, 0),
             ))
         del_rows = sum(f.record_count for f in delete_files)
-        dpath, dlen = self._write_manifest(
-            [entry(f) for f in delete_files], spec_json, content="deletes")
-        manifests.append(self._manifest_list_entry(
-            dpath, dlen, seq, seq, snapshot_id,
-            (len(delete_files), del_rows), (0, 0), content=1,
-        ))
+        if delete_files:
+            dpath, dlen = self._write_manifest(
+                [entry(f) for f in delete_files], spec_json,
+                content="deletes")
+            manifests.append(self._manifest_list_entry(
+                dpath, dlen, seq, seq, snapshot_id,
+                (len(delete_files), del_rows), (0, 0), content=1,
+            ))
         prev_total_files = prev_total_rows = 0
         if prev is not None:
             manifests.extend(self._read_manifest_list(prev["manifest-list"]))
@@ -2799,7 +2796,7 @@ class IcebergTable:
             "added-records": str(add_rows),
             "added-delete-files": str(len(delete_files)),
             ("added-position-delete-records"
-             if delete_files[0].content == 1
+             if delete_files and delete_files[0].content == 1
              else "added-equality-delete-records"): str(del_rows),
             # totals are metadata-level (pre-delete-application), like
             # Iceberg's total-records on row-delta snapshots
