@@ -1317,6 +1317,30 @@ class IcebergTable:
             "partitions": [],
         }
 
+    def _manifest_entry(self, f: DataFileInfo, status: int,
+                        snapshot_id: int, esq: int | None) -> dict:
+        """One manifest entry for ``f`` — the single builder every commit
+        path shares (a schema change here reaches them all).  ADDED
+        entries pass ``esq=None`` to inherit the snapshot's sequence
+        number (v2 inheritance); EXISTING/DELETED entries carry their
+        original data sequence number."""
+        return {
+            "status": status, "snapshot_id": snapshot_id,
+            "sequence_number": esq, "file_sequence_number": esq,
+            "data_file": {
+                "content": int(f.content),
+                "file_path": _to_uri(f.file_path),
+                "file_format": "PARQUET",
+                "partition": dict(f.partition or {}),
+                "record_count": int(f.record_count),
+                "file_size_in_bytes": int(f.file_size_in_bytes),
+                "equality_ids": (list(f.equality_ids)
+                                 if f.equality_ids else None),
+                "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                "upper_bounds": _bounds_to_avro(f.upper_bounds),
+            },
+        }
+
     # -- commits ------------------------------------------------------------
     def _commit(self, new_files: list[DataFileInfo], operation: str,
                 summary_extra: dict | None, branch: str = "main") -> int:
@@ -1337,24 +1361,7 @@ class IcebergTable:
         spec_json = self._spec_json()
 
         def entry(f: DataFileInfo, status: int, esq: int | None) -> dict:
-            return {
-                "status": status, "snapshot_id": snapshot_id,
-                # ADDED entries inherit the snapshot's sequence number;
-                # DELETED entries keep their original data sequence number
-                "sequence_number": esq, "file_sequence_number": esq,
-                "data_file": {
-                    "content": int(f.content),
-                    "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET",
-                    "partition": dict(f.partition or {}),
-                    "record_count": int(f.record_count),
-                    "file_size_in_bytes": int(f.file_size_in_bytes),
-                    "equality_ids": (list(f.equality_ids)
-                                     if f.equality_ids else None),
-                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
-                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
-                },
-            }
+            return self._manifest_entry(f, status, snapshot_id, esq)
 
         add_rows = sum(f.record_count for f in new_files)
         mpath, mlen = self._write_manifest(
@@ -1568,22 +1575,7 @@ class IcebergTable:
         spec_json = self._spec_json()
 
         def entry(f: DataFileInfo, status: int, esq: int | None) -> dict:
-            return {
-                "status": status, "snapshot_id": snapshot_id,
-                "sequence_number": esq, "file_sequence_number": esq,
-                "data_file": {
-                    "content": int(f.content),
-                    "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET",
-                    "partition": dict(f.partition or {}),
-                    "record_count": int(f.record_count),
-                    "file_size_in_bytes": int(f.file_size_in_bytes),
-                    "equality_ids": (list(f.equality_ids)
-                                     if f.equality_ids else None),
-                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
-                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
-                },
-            }
+            return self._manifest_entry(f, status, snapshot_id, esq)
 
         manifests = []
         apath, alen = self._write_manifest(
@@ -1783,23 +1775,8 @@ class IcebergTable:
         spec_json = self._spec_json()
 
         def entry(f: DataFileInfo) -> dict:
-            return {
-                "status": _STATUS_EXISTING, "snapshot_id": snapshot_id,
-                "sequence_number": f.sequence_number,
-                "file_sequence_number": f.sequence_number,
-                "data_file": {
-                    "content": int(f.content),
-                    "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET",
-                    "partition": dict(f.partition or {}),
-                    "record_count": int(f.record_count),
-                    "file_size_in_bytes": int(f.file_size_in_bytes),
-                    "equality_ids": (list(f.equality_ids)
-                                     if f.equality_ids else None),
-                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
-                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
-                },
-            }
+            return self._manifest_entry(
+                f, _STATUS_EXISTING, snapshot_id, f.sequence_number)
 
         manifests = []
         for i in range(0, len(live), target_entries_per_manifest):
@@ -2475,8 +2452,10 @@ class IcebergTable:
             )
             # broadcast only when the manifests say the key set is small;
             # a 10^9-key delete must plan a shuffled join, not an
-            # executor-OOM broadcast (record counts are exact metadata)
-            if sum(d.record_count for d in group) <= 5_000_000:
+            # executor-OOM broadcast. Gate on exact FILE BYTES (footer
+            # metadata) rather than record count — wide string keys can
+            # make a modest row count broadcast-huge
+            if sum(d.file_size_in_bytes for d in group) <= 32 << 20:
                 del_df = F.broadcast(del_df)
             cond = F.col("__dseq") > F.col("__seq")
             for k in keys:
@@ -2660,6 +2639,15 @@ class IcebergTable:
                     file_size_in_bytes=os.path.getsize(del_path),
                     content=content, equality_ids=eq_ids,
                 ))
+        except BaseException:
+            # a mid-loop failure must not leak already-renamed files into
+            # data/ — nothing references them yet
+            for f in out:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
+            raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return out
@@ -2688,6 +2676,20 @@ class IcebergTable:
         files = self.plan_files()
         if not files:
             return None
+        # internal columns are __del_-prefixed so a predicate over data
+        # columns named 'pos'/'file_path' still sees the DATA values;
+        # only the final delete-file projection takes the spec names
+        clash = {"__del_base", "__del_pos", "__del_uri"} & {
+            f["name"] for f in self.schema_json()["fields"]}
+        if clash:
+            raise ValueError(f"column names reserved for delete_where: "
+                             f"{sorted(clash)}")
+        base_to_uri = [(os.path.basename(f.file_path), _to_uri(f.file_path))
+                       for f in files]
+        if len({b for b, _ in base_to_uri}) != len(base_to_uri):
+            raise RuntimeError(
+                "data file basenames are not unique — cannot attribute "
+                "row positions for delete_where")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         ddl = iceberg_schema_to_ddl(self.schema_json())
         raw = (
@@ -2695,24 +2697,24 @@ class IcebergTable:
             .withColumn(
                 "__del_base",
                 F.regexp_extract(F.col("_metadata.file_path"), "[^/]*$", 0))
-            .withColumn("pos", F.col("_metadata.row_index").cast("long"))
+            .withColumn("__del_pos",
+                        F.col("_metadata.row_index").cast("long"))
         )
         dels = self.plan_delete_files()
         if dels:
-            # only currently-VISIBLE rows count as matches; __del_base/pos
+            # only currently-VISIBLE rows count as matches; __del_* cols
             # ride through (_apply_deletes keeps every entry column)
             raw = self._apply_deletes(spark, raw, files, dels)
         mapping = spark.createDataFrame(
-            [(os.path.basename(f.file_path), _to_uri(f.file_path))
-             for f in files],
-            "__del_base string, file_path string")
+            base_to_uri, "__del_base string, __del_uri string")
         # shard by source file so a huge deletion writes in parallel
         # (bounded by shuffle partitions; each delete FILE is sorted by
         # (file_path, pos) per the spec — cross-file order is not required)
         matches = (
             raw.filter(cond)
             .join(F.broadcast(mapping), "__del_base")
-            .select("file_path", "pos")
+            .select(F.col("__del_uri").alias("file_path"),
+                    F.col("__del_pos").alias("pos"))
             .repartition(F.col("file_path"))
             .sortWithinPartitions("file_path", "pos")
         )
@@ -2750,22 +2752,7 @@ class IcebergTable:
         spec_json = self._spec_json()
 
         def entry(f: DataFileInfo) -> dict:
-            return {
-                "status": _STATUS_ADDED, "snapshot_id": snapshot_id,
-                "sequence_number": None, "file_sequence_number": None,
-                "data_file": {
-                    "content": int(f.content),
-                    "file_path": _to_uri(f.file_path),
-                    "file_format": "PARQUET",
-                    "partition": dict(f.partition or {}),
-                    "record_count": int(f.record_count),
-                    "file_size_in_bytes": int(f.file_size_in_bytes),
-                    "equality_ids": (list(f.equality_ids)
-                                     if f.equality_ids else None),
-                    "lower_bounds": _bounds_to_avro(f.lower_bounds),
-                    "upper_bounds": _bounds_to_avro(f.upper_bounds),
-                },
-            }
+            return self._manifest_entry(f, _STATUS_ADDED, snapshot_id, None)
 
         add_rows = sum(f.record_count for f in data_files)
         manifests = []

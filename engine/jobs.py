@@ -473,15 +473,17 @@ def cmd_maintain(args) -> dict:
                 if sid is not None else 0),
         }
     if args.rewrite_manifests:
-        pre_m = len(t._read_manifest_list(
-            t.snapshot(t.current_snapshot_id)["manifest-list"]))
+        def n_manifests():
+            if t.current_snapshot_id is None:
+                return 0  # empty table: nothing to rewrite
+            return len(t._read_manifest_list(
+                t.snapshot(t.current_snapshot_id)["manifest-list"]))
+
+        pre_m = n_manifests()
         sid = t.rewrite_manifests()
         out["manifest_rewrite"] = {
             "snapshot_id": sid, "manifests_before": pre_m,
-            "manifests_after": (
-                len(t._read_manifest_list(
-                    t.snapshot(t.current_snapshot_id)["manifest-list"]))
-                if sid is not None else pre_m),
+            "manifests_after": (n_manifests() if sid is not None else pre_m),
         }
     if args.expire_older_than_ms is not None or args.retain_last is not None:
         out["expiration"] = t.expire_snapshots(

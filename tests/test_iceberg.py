@@ -1511,6 +1511,22 @@ def test_rewrite_manifests_metadata_only(spark, tmp_path):
             for f in t2.plan_files()} == want2
 
 
+def test_delete_where_with_pos_and_file_path_columns(spark, tmp_path):
+    """Predicates over data columns named 'pos'/'file_path' must see the
+    DATA values (review regression: the writer's internal ordinal/path
+    columns are __del_-prefixed so they can never shadow the schema)."""
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "id AS pos", "concat('f', id) AS file_path")
+    t = IcebergTable(str(tmp_path / "clash"), schema=df0.schema)
+    t.write_dataframe(spark.range(0, 20).selectExpr(
+        "id AS k", "id + 100 AS pos", "concat('f', id) AS file_path"))
+    # data pos is 100..119; row ordinals are 0..19 — shadowing would
+    # make this predicate match nothing (or the wrong rows)
+    assert t.delete_where(
+        spark, "pos >= 110 AND file_path LIKE 'f%'") is not None
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(10))
+
+
 def test_delete_where_composes_with_partition_pruning(spark, tmp_path):
     """Position deletes apply globally: a partition-pruned read still
     masks its partition's deleted rows (deletes are never pruned)."""
