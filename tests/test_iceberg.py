@@ -1072,6 +1072,87 @@ def test_day_partitioned_topic_streams_and_prunes(spark, tmp_path):
         iceberg_stream_data_dir(t)
 
 
+def test_hour_partitioned_topic_streams_and_prunes(spark, tmp_path):
+    """The new hour(event_ts) transform composes with the streamed path:
+    an hour-partitioned topic supports an hour-pruned streamed backfill
+    (finer-grained than the day lever — the replay-one-bad-hour shape)."""
+    from engine.streams import (
+        iceberg_stream_source_path,
+        read_clip_stream_iceberg,
+        write_clips_iceberg,
+    )
+
+    loc = str(tmp_path / "clips_hice")
+    # 300 clips x 45 s mean gap ≈ 3.75 hours from the 2024-01-01 base
+    t = write_clips_iceberg(loc, 300, n_files=6, seed=9,
+                            files_per_snapshot=3, mean_gap_ms=45_000,
+                            jitter_ms=5_000,
+                            partition_by=["hours(event_ts)"])
+    live = t.plan_files()
+    hours = sorted({f.partition["event_ts_hour"] for f in live})
+    assert len(hours) >= 2
+    flt = {"event_ts_hour": hours[1]}
+    planned = t.plan_files(partition_filter=flt)
+    assert 0 < len(planned) < len(live)
+    path, recursive = iceberg_stream_source_path(t, flt)
+    assert recursive and f"__p_event_ts_hour={hours[1]}" in path
+    sdf = read_clip_stream_iceberg(spark, t, max_files_per_trigger=2,
+                                   partition_filter=flt)
+    q = (sdf.writeStream.format("memory").queryName("hice_hour")
+         .option("checkpointLocation", str(tmp_path / "ck_hour"))
+         .outputMode("append").start())
+    q.processAllAvailable(); q.stop()
+    got = {r.clip_id for r in
+           spark.sql("SELECT clip_id FROM hice_hour").collect()}
+    want = {r.clip_id for r in
+            t.read(spark, partition_filter=flt).select("clip_id").collect()}
+    assert got == want and len(got) == sum(f.record_count for f in planned)
+
+
+def test_full_lifecycle_maintenance_sequence(spark, tmp_path):
+    """Composition of every maintenance action over one table, in the
+    order a long-running deployment runs them: appends → upsert →
+    predicate delete → manifest rewrite → compaction (folds BOTH delete
+    kinds) → snapshot expiration GC → orphan removal — visible rows
+    asserted identical at every stage."""
+    import pandas as pd
+
+    t = _mktable(spark, tmp_path, "life")
+    for lo in range(0, 60, 20):
+        t.write_dataframe(_df(spark, lo, lo + 20).coalesce(2))
+    t.upsert(spark, spark.createDataFrame(
+        [(5, 9.9, "up")], "k long, v double, s string"), ["k"])
+    assert t.delete_where(spark, "k >= 50") is not None
+
+    def snap_rows():
+        return t.read(spark).toPandas().sort_values(
+            "k", ignore_index=True)
+
+    expect = snap_rows()
+    assert list(expect.k) == list(range(50))
+    assert expect.loc[expect.k == 5, "s"].iloc[0] == "up"
+
+    assert t.rewrite_manifests() is not None
+    pd.testing.assert_frame_equal(snap_rows(), expect)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    assert t.plan_delete_files() == []
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    pd.testing.assert_frame_equal(snap_rows(), expect)
+    gc = t.expire_snapshots(retain_last=1)
+    assert gc["expired_snapshots"] >= 4 and gc["data_files"] >= 4
+    pd.testing.assert_frame_equal(snap_rows(), expect)
+    stray = os.path.join(t.data_dir, "crashed.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    import time as _time
+
+    gone = t.remove_orphan_files(
+        older_than_ms=int(_time.time() * 1000) + 60_000)
+    assert gone["data_files"] == 1 and not os.path.exists(stray)
+    pd.testing.assert_frame_equal(snap_rows(), expect)
+
+
 def test_stream_glob_refuses_non_rectangular_prune(spark, tmp_path):
     """A stale on-disk dir inside the glob's cross product (uncommitted
     files in a partition the filter would cover) must fail fast — the
