@@ -1096,6 +1096,10 @@ def _q_iceberg_lifecycle(spark, sf_dir):
       deletes (round 5, engine/iceberg.py delete_where — exact (file,
       row-ordinal) masks from ``_metadata.row_index``, no data
       rewritten), read resolves in-plan;
+    - ``partition_overwrite``: REPLACE-WHERE partition-level overwrite
+      (round 5, overwrite_partitions — the day-correction write): one
+      month of a month-partitioned orders table swapped for corrected
+      rows, every other month carried untouched;
     - ``bucket_lookup``: bucket(8, c_custkey) point-lookup pruning per the
       spec murmur3 transform (strictly fewer files);
     - ``stats_range``: manifest column-bounds metrics skipping
@@ -1216,6 +1220,23 @@ def _q_iceberg_lifecycle(spark, sf_dir):
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("c_name"),
         F.round("o_totalprice", 6).alias("c_acctbal"))
 
+    # REPLACE-WHERE partition overwrite: February's files swapped for a
+    # corrected frame (+100000 on o_totalprice), other months untouched
+    t6 = IcebergTable(
+        tempfile.mkdtemp(prefix="entry_iceberg_life6_"),
+        schema=orders.schema, partition_by=["month(o_orderdate)"],
+    )
+    t6.write_dataframe(orders)
+    corr = orders.filter(
+        "o_orderdate >= '1995-02-01' AND o_orderdate < '1995-03-01'"
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100000.0))
+    t6.overwrite_partitions(corr, {"o_orderdate_month": "1995-02-01"})
+    f_powr = t6.read(spark).select(
+        F.lit("partition_overwrite").alias("snap"),
+        F.col("o_orderkey").alias("c_custkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("c_name"),
+        F.round("o_totalprice", 6).alias("c_acctbal"))
+
     # predicate row-level DELETE via position deletes: exact (file,
     # ordinal) masks, no data files rewritten, resolved in-plan
     t5 = IcebergTable(
@@ -1252,7 +1273,7 @@ def _q_iceberg_lifecycle(spark, sf_dir):
     return f_s1.unionByName(f_up).unionByName(f_m) \
         .unionByName(f_tag).unionByName(f_evo) \
         .unionByName(f_seg).unionByName(f_bkt).unionByName(f_stats) \
-        .unionByName(f_month).unionByName(f_wdel) \
+        .unionByName(f_month).unionByName(f_powr).unionByName(f_wdel) \
         .unionByName(f_staged).unionByName(f_pub)
 
 
@@ -1290,6 +1311,14 @@ SELECT 'month_prune', o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
        round(o_totalprice, 6)
 FROM orders
 WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+UNION ALL
+SELECT 'partition_overwrite', o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+       round(o_totalprice
+             + CASE WHEN o_orderdate >= DATE '1995-02-01'
+                     AND o_orderdate < DATE '1995-03-01'
+                    THEN 100000.0 ELSE 0 END, 6)
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
 UNION ALL
 SELECT 'where_deleted', c_custkey, c_name, round(c_acctbal, 6)
 FROM customer WHERE c_custkey <= 120 AND c_custkey % 3 <> 0

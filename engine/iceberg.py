@@ -2503,6 +2503,157 @@ class IcebergTable:
             return self.commit_append(infos, summary_extra, branch=branch)
         return self.commit_overwrite(infos, summary_extra, branch=branch)
 
+    def overwrite_partitions(self, df: DataFrame, partition_filter: dict,
+                             summary_extra: dict | None = None) -> int:
+        """Partition-level overwrite — Iceberg ``REPLACE WHERE`` / Hive
+        ``INSERT OVERWRITE ... PARTITION`` parity, the day-correction
+        write for a partitioned topic: exactly the files whose partition
+        tuples match ``partition_filter`` (SOURCE-column values, any
+        transform) are swapped for ``df``'s rows; every other partition's
+        entries are carried as EXISTING with their original sequence
+        numbers, and live delete files of both kinds are carried too (a
+        partial overwrite that dropped them would resurrect masked rows
+        in the KEPT partitions).  Every row of ``df`` must fall inside
+        the target partitions — a row outside raises before any metadata
+        is written (a correction that silently leaked rows into other
+        partitions would be a data bug).  Time travel to older snapshots
+        still plans the replaced files; CDC and tails deliver the NEW
+        rows (a corrected day re-delivers — the intended backfill
+        semantic).  Returns the new snapshot id."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if not self.spec_fields():
+            raise ValueError(
+                "overwrite_partitions needs a partitioned table — use "
+                "write_dataframe(mode='overwrite') for a full replace")
+        flt = self.normalize_partition_filter(partition_filter)
+        if not flt:
+            raise ValueError(
+                "partition_filter must name at least one partition column")
+
+        # every df row must land inside the target partitions; rows with
+        # NULL partition values count as outside (coalesce keeps them)
+        exprs = dict(self._partition_exprs())
+        inside = F.lit(True)
+        for col, cond in flt.items():
+            e = exprs[col]
+            if isinstance(cond, tuple) and len(cond) == 2:
+                keep = (e >= F.lit(cond[0])) & (e <= F.lit(cond[1]))
+            elif isinstance(cond, (list, set, frozenset)):
+                keep = e.isin(list(cond))
+            else:
+                keep = e == F.lit(cond)
+            inside = inside & F.coalesce(keep, F.lit(False))
+        stray = df.filter(~inside).limit(1).collect()
+        if stray:
+            raise ValueError(
+                f"overwrite_partitions: a row falls outside the target "
+                f"partitions {sorted(flt)} (e.g. "
+                f"{ {k: stray[0][k] for k in list(df.columns)[:3]} }) — "
+                "filter the frame or widen the partition_filter")
+
+        tmp = os.path.join(self.location, f".tmp-powr-{uuid.uuid4().hex[:8]}")
+        wdf = df
+        pdup = [f"__p_{name}" for name, _ in self._partition_exprs()]
+        clash = set(pdup) & set(df.columns)
+        if clash:
+            raise ValueError(f"column names reserved for the writer: {clash}")
+        for d, (_, col) in zip(pdup, self._partition_exprs()):
+            wdf = wdf.withColumn(d, col)
+        wdf.write.partitionBy(*pdup).mode("overwrite").parquet(tmp)
+        new_files = self._register_written_files(tmp, name_prefix="powr-")
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            return self._commit_partial_overwrite(
+                new_files, flt, summary_extra)
+        except BaseException:
+            for f in new_files:
+                try:
+                    os.remove(f.file_path)
+                except OSError:
+                    pass
+            raise
+
+    def _commit_partial_overwrite(self, new_files: list[DataFileInfo],
+                                  normalized_filter: dict,
+                                  summary_extra: dict | None) -> int:
+        """Commit for :meth:`overwrite_partitions`: a self-contained
+        manifest list holding the added files, the non-matching live
+        files as EXISTING, the matching live files as DELETED, and the
+        live delete files (both kinds) as EXISTING."""
+        meta, base_version = self._metadata_at()
+        prev = self._resolve_snapshot(None, None)
+        if prev is None:
+            raise ValueError("cannot overwrite partitions of an empty table")
+        live = self.plan_files()
+        removed = [f for f in live if _partition_match(
+            f.partition or {}, normalized_filter)]
+        kept = [f for f in live if not _partition_match(
+            f.partition or {}, normalized_filter)]
+        dels = self.plan_delete_files()
+
+        seq = meta["last-sequence-number"] + 1
+        snapshot_id = uuid.uuid4().int & ((1 << 62) - 1)
+        now_ms = int(time.time() * 1000)
+        spec_json = self._spec_json()
+        new_rows = sum(f.record_count for f in new_files)
+        kept_rows = sum(f.record_count for f in kept)
+
+        manifests = []
+        if new_files:
+            apath, alen = self._write_manifest(
+                [self._manifest_entry(f, _STATUS_ADDED, snapshot_id, None)
+                 for f in new_files], spec_json)
+            manifests.append(self._manifest_list_entry(
+                apath, alen, seq, seq, snapshot_id,
+                (len(new_files), new_rows), (0, 0)))
+        if kept:
+            epath, elen = self._write_manifest(
+                [self._manifest_entry(f, _STATUS_EXISTING, snapshot_id,
+                                      f.sequence_number)
+                 for f in kept], spec_json)
+            manifests.append(self._manifest_list_entry(
+                epath, elen, seq,
+                min(f.sequence_number for f in kept), snapshot_id,
+                (0, 0), (0, 0), (len(kept), kept_rows)))
+        if removed:
+            dpath, dlen = self._write_manifest(
+                [self._manifest_entry(f, _STATUS_DELETED, snapshot_id,
+                                      f.sequence_number)
+                 for f in removed], spec_json)
+            manifests.append(self._manifest_list_entry(
+                dpath, dlen, seq,
+                min(f.sequence_number for f in removed), snapshot_id,
+                (0, 0),
+                (len(removed), sum(f.record_count for f in removed))))
+        if dels:
+            xpath, xlen = self._write_manifest(
+                [self._manifest_entry(f, _STATUS_EXISTING, snapshot_id,
+                                      f.sequence_number)
+                 for f in dels], spec_json, content="deletes")
+            manifests.append(self._manifest_list_entry(
+                xpath, xlen, seq,
+                min(f.sequence_number for f in dels), snapshot_id,
+                (0, 0), (0, 0),
+                (len(dels), sum(f.record_count for f in dels)), content=1))
+        summary = {
+            "operation": "overwrite",
+            "added-data-files": str(len(new_files)),
+            "added-records": str(new_rows),
+            "deleted-data-files": str(len(removed)),
+            "deleted-records": str(
+                sum(f.record_count for f in removed)),
+            "total-data-files": str(len(kept) + len(new_files)),
+            "total-records": str(kept_rows + new_rows),
+        }
+        summary.update({k: str(v) for k, v in (summary_extra or {}).items()})
+        return self._finalize_snapshot(
+            manifests, seq, snapshot_id, now_ms, summary, meta,
+            base_version, prev,
+        )
+
     def upsert(self, spark: SparkSession, df: DataFrame,
                key_cols: list[str],
                summary_extra: dict | None = None) -> int:

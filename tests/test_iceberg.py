@@ -1109,6 +1109,69 @@ def test_hour_partitioned_topic_streams_and_prunes(spark, tmp_path):
     assert got == want and len(got) == sum(f.record_count for f in planned)
 
 
+def test_overwrite_partitions_day_correction(spark, tmp_path):
+    """overwrite_partitions — the REPLACE-WHERE day-correction write:
+    only the target day's files are swapped, other partitions and live
+    delete masks are carried untouched, rows outside the target raise,
+    time travel sees the original, CDC delivers the corrected rows."""
+    import datetime as dt
+
+    import pandas as pd
+
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "current_timestamp() AS event_ts", "id AS v")
+
+    def rows(day_str, lo, hi, v_off=0):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            f"timestamp'{day_str} 06:00:00' "
+            f"+ make_interval(0,0,0,0,0,0,id) AS event_ts",
+            f"id + {v_off} AS v")
+
+    t = IcebergTable(str(tmp_path / "powr"), schema=df0.schema,
+                     partition_by=["days(event_ts)"])
+    t.write_dataframe(rows("2024-03-01", 0, 20))
+    t.write_dataframe(rows("2024-03-02", 20, 40))
+    # a live equality delete against day-1 rows must survive the
+    # partial overwrite of day 2 (kept partitions stay masked)
+    t.delete_keys(spark, spark.createDataFrame([(0,), (1,)], "k long"),
+                  ["k"])
+    pre = t.current_snapshot_id
+    d2 = (dt.date(2024, 3, 2) - dt.date(1970, 1, 1)).days
+
+    # a correction frame carrying a row OUTSIDE the target day raises
+    with pytest.raises(ValueError, match="outside the target"):
+        t.overwrite_partitions(rows("2024-03-03", 50, 52),
+                               {"event_ts_day": "2024-03-02"})
+
+    corr = rows("2024-03-02", 100, 110, v_off=1000)
+    sid = t.overwrite_partitions(corr, {"event_ts_day": "2024-03-02"})
+    got = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    # day 1 keeps rows 2..19 (0,1 masked); day 2 is exactly the correction
+    assert list(got.k) == list(range(2, 20)) + list(range(100, 110))
+    assert list(got.v[-10:]) == [k + 1000 for k in range(100, 110)]
+    # only the target day's files were swapped
+    assert all(f.partition["event_ts_day"] == d2
+               for f in t.plan_files(partition_filter={"event_ts_day": d2}))
+    # time travel to the pre-correction snapshot sees the original day 2
+    old = t.read(spark, snapshot_id=pre).toPandas()
+    assert sorted(old.k) == list(range(2, 40))
+    # CDC delivers exactly the corrected day's new files
+    inc = t.incremental_files(pre)
+    assert inc and all(f.partition["event_ts_day"] == d2 for f in inc)
+    assert sum(f.record_count for f in inc) == 10
+    # compaction + plain scan still work after the partial overwrite
+    before = t.read(spark).toPandas().sort_values("k", ignore_index=True)
+    assert t.compact_data_files(spark, target_file_bytes=1 << 30) is not None
+    pd.testing.assert_frame_equal(
+        t.read(spark).toPandas().sort_values("k", ignore_index=True), before)
+    # unpartitioned tables refuse
+    t2 = _mktable(spark, tmp_path, "powr_flat")
+    t2.write_dataframe(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="needs a partitioned table"):
+        t2.overwrite_partitions(_df(spark, 0, 1), {"k": 1})
+
+
 def test_full_lifecycle_maintenance_sequence(spark, tmp_path):
     """Composition of every maintenance action over one table, in the
     order a long-running deployment runs them: appends → upsert →
