@@ -49,15 +49,18 @@ def cmd_producer(args) -> dict:
     if args.iceberg:
         from engine.streams import write_clips_iceberg
 
+        partition_by = (getattr(args, "partition_by", None)
+                        or (["days(event_ts)"] if args.partition_days
+                            else None))
         table = write_clips_iceberg(
             args.out, args.n_clips, n_files=args.n_files, seed=args.seed,
             files_per_snapshot=args.files_per_snapshot,
             jitter_ms=args.jitter_ms, max_dur_ms=args.max_dur_ms,
             mean_gap_ms=args.mean_gap_ms,
-            partition_by=(["days(event_ts)"] if args.partition_days else None),
+            partition_by=partition_by,
         )
         out["iceberg_snapshots"] = len(table.snapshots())
-        out["partitioned"] = bool(args.partition_days)
+        out["partitioned"] = bool(partition_by)
     else:
         from engine.streams import write_clips_stream_dir
 
@@ -87,12 +90,12 @@ def cmd_pipeline(args) -> dict:
     # only the matching partitions' files are listed or replayed.
     recursive = False
     day_filter = None
-    if args.day or args.day_range:
+    if args.day or args.day_range or getattr(args, "partition", None):
         if not os.path.exists(
                 os.path.join(args.clips, "metadata", "version-hint.text")):
             raise SystemExit(
-                "--day/--day-range need an Iceberg topic partitioned by "
-                "days(event_ts) (producer --iceberg --partition-days)")
+                "--day/--day-range/--partition need a partitioned Iceberg "
+                "topic (producer --iceberg --partition-days)")
     tail_table = None
     if os.path.exists(os.path.join(args.clips, "metadata", "version-hint.text")):
         from engine.iceberg import IcebergTable
@@ -109,6 +112,19 @@ def cmd_pipeline(args) -> dict:
                     f"{[f['name'] for f in table.spec_fields()]})")
             cond = (tuple(args.day_range) if args.day_range else args.day)
             day_filter = {day_fields[0]: cond}
+        if getattr(args, "partition", None):
+            extra = {}
+            for term in args.partition:
+                if "=" not in term:
+                    raise SystemExit(
+                        f"--partition needs FIELD=VALUE, got {term!r}")
+                k, v = term.split("=", 1)
+                try:
+                    v = int(v)  # identity int / epoch ordinals
+                except ValueError:
+                    pass  # ISO strings / string identity values
+                extra[k] = v
+            day_filter = {**(day_filter or {}), **extra}
         if getattr(args, "tail", False):
             # snapshot-tail source: manifest-planned, no path rewrite —
             # the query keeps following commits made while it runs
@@ -587,6 +603,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partition-days", action="store_true",
                    help="lay the Iceberg topic out partitioned by "
                         "days(event_ts) — the 10^12-clip deployment shape")
+    p.add_argument("--partition-by", action="append", default=None,
+                   metavar="TERM",
+                   help="arbitrary Iceberg partition terms for the topic, "
+                        "e.g. hours(event_ts) or 'bucket(8, speaker_id)' "
+                        "(repeatable; overrides --partition-days)")
     p.add_argument("--mean-gap-ms", type=int, default=1000,
                    help="mean inter-clip gap (stretches the topic across days)")
     p.add_argument("--files-per-snapshot", type=int, default=None,
@@ -704,6 +725,12 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--day-range", nargs=2, default=None,
                            metavar=("FROM", "TO"),
                            help="inclusive day range for the streamed backfill")
+            p.add_argument("--partition", action="append", default=None,
+                           metavar="FIELD=VALUE",
+                           help="generic pruned-backfill filter on any "
+                                "partition field (repeatable; composes with "
+                                "--day), e.g. event_ts_hour=2024-01-01T06:00 "
+                                "or speaker_id_bucket=c42")
             p.add_argument("--tail", action="store_true",
                            help="read the Iceberg topic via the snapshot-"
                                 "tail source (manifest-planned, follows "
