@@ -457,3 +457,37 @@ def test_chunking_covers_exactly_once_per_overlap_class(n, chunk, overlap):
     assert set(covered) == set(range(1, n + 1))
     max_membership = -(-chunk // step)  # ceil
     assert max(covered.values()) <= max_membership
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.datetimes(min_value=pd.Timestamp("1970-01-01").to_pydatetime(),
+                    max_value=pd.Timestamp("2100-01-01").to_pydatetime()))
+def test_time_transform_ordinals_consistent(ts):
+    """year/month/day/hour ordinals (Iceberg spec §Partition Transforms)
+    are mutually consistent for any timestamp: hour floors to day*24+h,
+    day re-derives the calendar date, month = 12*year + (month-1), and
+    every ordinal is monotone in the timestamp (order preservation is
+    what makes range pruning on time transforms sound)."""
+    import datetime as dt
+
+    from engine.iceberg import _to_time_ordinal
+
+    y = _to_time_ordinal(ts, "year")
+    m = _to_time_ordinal(ts, "month")
+    d = _to_time_ordinal(ts, "day")
+    h = _to_time_ordinal(ts, "hour")
+    assert y == ts.year - 1970
+    assert m == 12 * y + (ts.month - 1)
+    assert d == (ts.date() - dt.date(1970, 1, 1)).days
+    assert h == d * 24 + ts.hour
+    # numpy (the producer path) agrees with the scalar filter path
+    ts64 = np.datetime64(ts.replace(microsecond=0), "us")
+    assert ts64.astype("datetime64[Y]").astype("int64") == y
+    assert ts64.astype("datetime64[M]").astype("int64") == m
+    assert ts64.astype("datetime64[D]").astype("int64") == d
+    assert ts64.astype("datetime64[h]").astype("int64") == h
+    # monotone: one hour later never decreases any ordinal
+    later = ts + dt.timedelta(hours=1)
+    assert _to_time_ordinal(later, "hour") == h + 1
+    for unit, cur in (("year", y), ("month", m), ("day", d)):
+        assert _to_time_ordinal(later, unit) >= cur

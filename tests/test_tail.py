@@ -195,6 +195,40 @@ def test_reader_manifest_rewrite_invisible(spark, tmp_path):
     assert sum(rows) == 3  # exactly the post-rewrite append, once
 
 
+def test_reader_partition_overwrite_redelivers_corrections(spark, tmp_path):
+    """overwrite_partitions is an 'overwrite' snapshot: a tail past the
+    original rows receives exactly the CORRECTED rows (the intended
+    backfill semantic — a fixed day re-delivers downstream), and the
+    replaced files are never re-read."""
+    import datetime as dt
+
+    df0 = spark.range(0).selectExpr(
+        "id AS k", "current_timestamp() AS event_ts", "id AS v")
+
+    def rows(day_str, lo, hi, v_off=0):
+        return spark.range(lo, hi).selectExpr(
+            "id AS k",
+            f"timestamp'{day_str} 06:00:00' "
+            f"+ make_interval(0,0,0,0,0,0,id) AS event_ts",
+            f"id + {v_off} AS v")
+
+    t = IcebergTable(str(tmp_path / "powr_tail"), schema=df0.schema,
+                     partition_by=["days(event_ts)"])
+    t.write_dataframe(rows("2024-03-01", 0, 10).coalesce(1))
+    t.write_dataframe(rows("2024-03-02", 10, 20).coalesce(1))
+    r = IcebergTailReader({"location": t.location,
+                           "unsafe_no_progress": "true",
+                           "max_files_per_trigger": "100"})
+    o = r.latestOffset()  # tail fully caught up (20 rows delivered)
+    t.overwrite_partitions(rows("2024-03-02", 100, 105, v_off=1000),
+                           {"event_ts_day": dt.date(2024, 3, 2)})
+    o2 = r.latestOffset()
+    batches = [b for p in r.partitions(o, o2) for b in r.read(p)]
+    ks = sorted(k for b in batches for k in b.column("k").to_pylist())
+    assert ks == list(range(100, 105))  # corrected rows only, exactly once
+    assert r.latestOffset() == o2       # drained
+
+
 def test_reader_resumes_after_safe_expiry(spark, tmp_path):
     """A stopped tail whose offset snapshot AGES OUT of retention resumes
     losslessly when that is provable: the offset was end-of-snapshot and
