@@ -2478,30 +2478,40 @@ class IcebergTable:
         its followers see nothing until :meth:`fast_forward`."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"iceberg save mode must be append/overwrite, got {mode!r}")
-        tmp = os.path.join(self.location, f".tmp-write-{uuid.uuid4().hex[:8]}")
+        infos = self._write_partitioned_tmp(df, "write", "")
+        if mode == "append":
+            return self.commit_append(infos, summary_extra, branch=branch)
+        return self.commit_overwrite(infos, summary_extra, branch=branch)
+
+    def _write_partitioned_tmp(self, df: DataFrame, job_prefix: str,
+                               name_prefix: str) -> list[DataFileInfo]:
+        """One parquet write job into a temp dir + file registration — the
+        shared data-file writer every write path uses.  Iceberg keeps
+        partition columns IN the data files (unlike the Hive layout);
+        ``partitionBy`` would drop them, so partitioned tables write
+        through duplicated ``__p_*`` columns — the dirs carry the values
+        for the manifests, the files keep the full row."""
+        import shutil
+
+        tmp = os.path.join(
+            self.location, f".tmp-{job_prefix}-{uuid.uuid4().hex[:8]}")
         spec = self.spec_fields()
         if spec:
-            # Iceberg keeps partition columns IN the data files (unlike the
-            # Hive layout); partitionBy would drop them, so write through
-            # duplicated __p_* columns — the dirs carry the values for the
-            # manifests, the files keep the full row
             exprs = self._partition_exprs()
             dup = [f"__p_{name}" for name, _ in exprs]
             clash = set(dup) & set(df.columns)
             if clash:
-                raise ValueError(f"column names reserved for the writer: {clash}")
+                raise ValueError(
+                    f"column names reserved for the writer: {clash}")
             for d, (_, col) in zip(dup, exprs):
                 df = df.withColumn(d, col)
             df.write.partitionBy(*dup).mode("overwrite").parquet(tmp)
         else:
             df.write.mode("overwrite").parquet(tmp)
-        infos = self._register_written_files(tmp)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        if mode == "append":
-            return self.commit_append(infos, summary_extra, branch=branch)
-        return self.commit_overwrite(infos, summary_extra, branch=branch)
+        try:
+            return self._register_written_files(tmp, name_prefix=name_prefix)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def overwrite_partitions(self, df: DataFrame, partition_filter: dict,
                              summary_extra: dict | None = None) -> int:
@@ -2520,10 +2530,6 @@ class IcebergTable:
         still plans the replaced files; CDC and tails deliver the NEW
         rows (a corrected day re-delivers — the intended backfill
         semantic).  Returns the new snapshot id."""
-        import shutil
-
-        from pyspark.sql import functions as F
-
         if not self.spec_fields():
             raise ValueError(
                 "overwrite_partitions needs a partitioned table — use "
@@ -2533,39 +2539,21 @@ class IcebergTable:
             raise ValueError(
                 "partition_filter must name at least one partition column")
 
-        # every df row must land inside the target partitions; rows with
-        # NULL partition values count as outside (coalesce keeps them)
-        exprs = dict(self._partition_exprs())
-        inside = F.lit(True)
-        for col, cond in flt.items():
-            e = exprs[col]
-            if isinstance(cond, tuple) and len(cond) == 2:
-                keep = (e >= F.lit(cond[0])) & (e <= F.lit(cond[1]))
-            elif isinstance(cond, (list, set, frozenset)):
-                keep = e.isin(list(cond))
-            else:
-                keep = e == F.lit(cond)
-            inside = inside & F.coalesce(keep, F.lit(False))
-        stray = df.filter(~inside).limit(1).collect()
-        if stray:
-            raise ValueError(
-                f"overwrite_partitions: a row falls outside the target "
-                f"partitions {sorted(flt)} (e.g. "
-                f"{ {k: stray[0][k] for k in list(df.columns)[:3]} }) — "
-                "filter the frame or widen the partition_filter")
-
-        tmp = os.path.join(self.location, f".tmp-powr-{uuid.uuid4().hex[:8]}")
-        wdf = df
-        pdup = [f"__p_{name}" for name, _ in self._partition_exprs()]
-        clash = set(pdup) & set(df.columns)
-        if clash:
-            raise ValueError(f"column names reserved for the writer: {clash}")
-        for d, (_, col) in zip(pdup, self._partition_exprs()):
-            wdf = wdf.withColumn(d, col)
-        wdf.write.partitionBy(*pdup).mode("overwrite").parquet(tmp)
-        new_files = self._register_written_files(tmp, name_prefix="powr-")
-        shutil.rmtree(tmp, ignore_errors=True)
+        new_files = self._write_partitioned_tmp(df, "powr", "powr-")
         try:
+            # validate on the WRITTEN files' partition tuples — exact even
+            # for non-deterministic frames (a pre-write scan could pass
+            # while the write job re-computes different rows), and no
+            # extra Spark job.  A null partition value matches nothing in
+            # _partition_match, so null-partition rows count as outside.
+            stray = [f for f in new_files
+                     if not _partition_match(f.partition or {}, flt)]
+            if stray:
+                raise ValueError(
+                    f"overwrite_partitions: {len(stray)} written file(s) "
+                    f"fall outside the target partitions {sorted(flt)} "
+                    f"(e.g. {stray[0].partition}) — filter the frame or "
+                    "widen the partition_filter")
             return self._commit_partial_overwrite(
                 new_files, flt, summary_extra)
         except BaseException:
@@ -2686,30 +2674,18 @@ class IcebergTable:
                       for f in self.schema_json()["fields"]}
         eq_ids = [name_to_id[k] for k in key_cols]
 
-        # data files (partition-aware, same path as write_dataframe)
-        tmp = os.path.join(self.location, f".tmp-upsert-{uuid.uuid4().hex[:8]}")
-        spec = self.spec_fields()
-        wdf = df
-        if spec:
-            exprs = self._partition_exprs()
-            pdup = [f"__p_{name}" for name, _ in exprs]
-            for d, (_, col) in zip(pdup, exprs):
-                wdf = wdf.withColumn(d, col)
-            wdf.write.partitionBy(*pdup).mode("overwrite").parquet(tmp)
-        else:
-            wdf.write.mode("overwrite").parquet(tmp)
-        data_infos = self._register_written_files(tmp, name_prefix="upsert-")
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        # the equality-delete files: just the key tuples, hash-sharded so
-        # a huge upsert's key write stays parallel
-        tmp2 = os.path.join(self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
-        df.select(*key_cols).repartition(*key_cols) \
-            .write.mode("overwrite").parquet(tmp2)
-        del_infos = self._harvest_delete_files(
-            tmp2, "eqdel", content=2, eq_ids=eq_ids)
+        # data files (partition-aware, same writer as write_dataframe)
+        data_infos = self._write_partitioned_tmp(df, "upsert", "upsert-")
+        del_infos: list[DataFileInfo] = []
         try:
+            # the equality-delete files: just the key tuples, hash-sharded
+            # so a huge upsert's key write stays parallel
+            tmp2 = os.path.join(
+                self.location, f".tmp-eqdel-{uuid.uuid4().hex[:8]}")
+            df.select(*key_cols).repartition(*key_cols) \
+                .write.mode("overwrite").parquet(tmp2)
+            del_infos = self._harvest_delete_files(
+                tmp2, "eqdel", content=2, eq_ids=eq_ids)
             return self._commit_row_delta(data_infos, del_infos,
                                           summary_extra)
         except BaseException:

@@ -113,16 +113,25 @@ def cmd_pipeline(args) -> dict:
             cond = (tuple(args.day_range) if args.day_range else args.day)
             day_filter = {day_fields[0]: cond}
         if getattr(args, "partition", None):
+            # coerce by the table's PARTITION VALUE types — a blind int()
+            # would turn an identity-string value like speaker '123' into
+            # an int that matches nothing (a silent data miss on the tail
+            # path, which has no matches-no-files guard)
+            ptypes = table._partition_col_types()
             extra = {}
             for term in args.partition:
                 if "=" not in term:
                     raise SystemExit(
                         f"--partition needs FIELD=VALUE, got {term!r}")
                 k, v = term.split("=", 1)
-                try:
-                    v = int(v)  # identity int / epoch ordinals
-                except ValueError:
-                    pass  # ISO strings / string identity values
+                t_ = ptypes.get(k)  # unknown field → normalize raises
+                if t_ in ("int", "long"):
+                    try:
+                        v = int(v)  # ordinals / identity ints
+                    except ValueError:
+                        pass  # ISO strings for time transforms
+                elif t_ in ("float", "double"):
+                    v = float(v)
                 extra[k] = v
             day_filter = {**(day_filter or {}), **extra}
         if getattr(args, "tail", False):

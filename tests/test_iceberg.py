@@ -1138,6 +1138,11 @@ def test_overwrite_partitions_day_correction(spark, tmp_path):
                   ["k"])
     pre = t.current_snapshot_id
     d2 = (dt.date(2024, 3, 2) - dt.date(1970, 1, 1)).days
+    d1 = d2 - 1
+    pre_d1_files = {f.file_path for f in t.plan_files(
+        partition_filter={"event_ts_day": d1})}
+    pre_d2_files = {f.file_path for f in t.plan_files(
+        partition_filter={"event_ts_day": d2})}
 
     # a correction frame carrying a row OUTSIDE the target day raises
     with pytest.raises(ValueError, match="outside the target"):
@@ -1150,9 +1155,13 @@ def test_overwrite_partitions_day_correction(spark, tmp_path):
     # day 1 keeps rows 2..19 (0,1 masked); day 2 is exactly the correction
     assert list(got.k) == list(range(2, 20)) + list(range(100, 110))
     assert list(got.v[-10:]) == [k + 1000 for k in range(100, 110)]
-    # only the target day's files were swapped
-    assert all(f.partition["event_ts_day"] == d2
-               for f in t.plan_files(partition_filter={"event_ts_day": d2}))
+    # only the target day's files were swapped: day 1's file set is
+    # byte-identical, day 2's shares nothing with the original
+    assert {f.file_path for f in t.plan_files(
+        partition_filter={"event_ts_day": d1})} == pre_d1_files
+    post_d2_files = {f.file_path for f in t.plan_files(
+        partition_filter={"event_ts_day": d2})}
+    assert post_d2_files and not (post_d2_files & pre_d2_files)
     # time travel to the pre-correction snapshot sees the original day 2
     old = t.read(spark, snapshot_id=pre).toPandas()
     assert sorted(old.k) == list(range(2, 40))
