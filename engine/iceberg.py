@@ -402,7 +402,12 @@ def bucket_value(v, source_type: str, n: int) -> int | None:
             v = v.to_pydatetime()
         if isinstance(v, _dt.datetime):
             epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            v = round((v - epoch).total_seconds() * 1_000_000)
+            d = v - epoch
+            # exact integer µs — total_seconds() is float64 and loses
+            # up to tens of µs for far-from-epoch timestamps, which
+            # would hash into the WRONG bucket
+            v = (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                 + d.microseconds)
         h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
     elif source_type == "string":
         h = murmur3_32(str(v).encode("utf-8"))

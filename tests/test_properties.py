@@ -491,3 +491,55 @@ def test_time_transform_ordinals_consistent(ts):
     assert _to_time_ordinal(later, "hour") == h + 1
     for unit, cur in (("year", y), ("month", m), ("day", d)):
         assert _to_time_ordinal(later, unit) >= cur
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**40), max_value=2**40),
+       st.integers(min_value=-(2**40), max_value=2**40),
+       st.integers(min_value=1, max_value=1_000_000))
+def test_truncate_transform_floor_and_monotone(a, b, w):
+    """truncate[W] on ints (Iceberg spec): result is the W-multiple floor
+    (covers negatives via floor-mod), idempotent, and MONOTONE — the
+    property that makes range pruning on truncate partitions sound."""
+    from engine.iceberg import truncate_value
+
+    ta = truncate_value(a, "long", w)
+    assert ta % w == 0 and ta <= a < ta + w
+    assert truncate_value(ta, "long", w) == ta  # idempotent
+    if a <= b:
+        assert ta <= truncate_value(b, "long", w)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=40), st.integers(min_value=1, max_value=16))
+def test_truncate_transform_string_prefix(s, w):
+    """truncate[W] on strings keeps the first W CHARACTERS (not bytes)
+    and preserves lexicographic order."""
+    from engine.iceberg import truncate_value
+
+    t = truncate_value(s, "string", w)
+    assert t == s[:w] and len(t) <= w and s.startswith(t)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=-(2**62), max_value=2**62),
+       st.integers(min_value=1, max_value=4096))
+def test_bucket_transform_range_and_type_widening(v, n):
+    """bucket[N] ordinals are in [0, N); int and long sources hash
+    identically (the spec hashes both as 8-byte longs, so widening a
+    column's type never reshuffles the layout); datetimes hash as their
+    epoch-microsecond long."""
+    import datetime as dt
+
+    from engine.iceberg import bucket_value
+
+    b = bucket_value(v, "long", n)
+    assert 0 <= b < n
+    if -(2**31) <= v < 2**31:
+        assert bucket_value(v, "int", n) == b
+    # any datetime-representable epoch-microsecond (datetime caps at
+    # year 9999 ≈ 2.5e17 µs); this found a real bug — the engine used
+    # float total_seconds(), off by ~17 µs far from the epoch
+    us = abs(v) % (2 * 10**17)
+    ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
+    assert bucket_value(ts, "timestamp", n) == bucket_value(us, "long", n)
