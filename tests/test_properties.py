@@ -543,3 +543,38 @@ def test_bucket_transform_range_and_type_widening(v, n):
     us = abs(v) % (2 * 10**17)
     ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us)
     assert bucket_value(ts, "timestamp", n) == bucket_value(us, "long", n)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.data())
+def test_stats_match_never_false_skips(data):
+    """Soundness of manifest metrics skipping (_stats_match, spec
+    Appendix D bounds): a file that CONTAINS a row satisfying the
+    condition is never skipped, for every type and condition form.
+    (Skipping files that cannot match is a performance property; never
+    skipping one that can is the correctness property — a false skip
+    silently drops data.)"""
+    from engine.iceberg import _stats_match, bound_to_bytes
+
+    t = data.draw(st.sampled_from(["int", "long", "double", "string"]))
+    if t == "int":
+        vs = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    elif t == "long":
+        vs = st.integers(min_value=-(2**62), max_value=2**62)
+    elif t == "double":
+        vs = st.floats(allow_nan=False, allow_infinity=False)
+    else:
+        vs = st.text(max_size=8)
+    vals = data.draw(st.lists(vs, min_size=1, max_size=8))
+    v = data.draw(st.sampled_from(vals))  # a row value the file holds
+    form = data.draw(st.sampled_from(["eq", "in", "range"]))
+    if form == "eq":
+        cond = v
+    elif form == "in":
+        cond = [v, *data.draw(st.lists(vs, max_size=3))]
+    else:
+        a = data.draw(vs)
+        cond = (a, v) if a <= v else (v, a)
+    lower = {7: bound_to_bytes(min(vals), t)}
+    upper = {7: bound_to_bytes(max(vals), t)}
+    assert _stats_match(lower, upper, {7: (t, cond)})
